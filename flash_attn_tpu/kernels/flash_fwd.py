@@ -1,0 +1,513 @@
+"""Pallas TPU flash-attention forward kernel (dense, fixed-length).
+
+This is the TPU-native replacement for the reference's forward mainloops
+(csrc/flash_attn/src/flash_fwd_kernel.h:55 `compute_attn_1rowblock`,
+hopper/flash_fwd_kernel_sm90.h:28 `FlashAttnFwdSm90`). The GPU design —
+warp-specialized producer/consumer pipelines, TMA, online softmax in
+registers — maps onto a Pallas grid with automatically double-buffered
+HBM→VMEM block pipelines and fp32 VMEM scratch accumulators.
+
+Feature lattice (one kernel, not four generations):
+  * online softmax in base-2 (exp2 on the VPU is the fast path; the
+    softmax scale is folded into a single multiply with log2(e))
+  * bottom-right-aligned causal + sliding-window + attention-sink-token
+    masking (semantics of flash_attn/utils/testing.py:228 `attention_ref`
+    and csrc/flash_attn/src/mask.h)
+  * block-level skipping of fully-masked KV tiles: the kv grid index is
+    clamped in the BlockSpec index_map so Pallas skips the HBM→VMEM DMA
+    for revisited blocks, and compute is predicated off with pl.when —
+    the TPU analog of the reference's tile-bound logic (hopper/block.h)
+  * GQA/MQA by indexing K/V blocks at h_q // group_size
+    (maps kernel_traits + pack_gqa.h head mapping)
+  * ALiBi (csrc/flash_attn/src/alibi.h), additive bias, softcap
+    (tanh capping, hopper/softmax.h), learnable per-head sink (s_aux,
+    hopper/flash_api.cpp s_aux param)
+  * dropout with counter-based PRNG seeded per (batch, head, q-block,
+    kv-block) so the backward kernels regenerate identical masks
+    (maps csrc/flash_attn/src/dropout.h + philox.cuh)
+  * fp32 LSE output for the backward pass / split-combine merges
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    BlockSizes,
+    cdiv,
+    choose_block_sizes,
+    interpret_mode,
+    is_local,
+    make_causal_window_bounds,
+    normalize_window,
+    pad_to_block,
+    round_up,
+)
+
+# Mask value used in base-2 log space. Kept finite (never -inf) so
+# exp2(m - m) can't produce NaN; must NOT overflow float32 when compared or
+# subtracted, so we use the same -0.7*float32_max as the natural-log path.
+_MASK2 = DEFAULT_MASK_VALUE
+
+
+def _dropout_keep_mask(seed_ref, b, h, qblk, kblk, shape, keep_prob: float):
+    """Deterministic per-(b,h,q-block,kv-block) dropout mask.
+
+    The backward kernels call this with identical block coordinates (they are
+    constrained to the same tiling when dropout is active), reproducing the
+    forward mask exactly — the TPU version of Philox offset bookkeeping
+    (csrc/flash_attn/src/dropout.h:16).
+    """
+    # Fold block coordinates into the seed pair (prng_seed takes a short
+    # tuple); coordinates are bounded so the packing is collision-free.
+    block_id = ((b * (2**10) + h) * (2**14) + qblk) * (2**14) + kblk
+    pltpu.prng_seed(seed_ref[0, 0], block_id)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(keep_prob * (2**32)), 2**32 - 1))
+    return bits < threshold
+
+
+def _fwd_kernel(
+    # dynamic refs (optional ones present only when enabled):
+    *refs,
+    # static config:
+    seqlen_q: int,
+    seqlen_k: int,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    scale: float,
+    causal: bool,
+    window: Tuple[int, int],
+    sink_token_length: int,
+    softcap: float,
+    dropout_p: float,
+    group_size: int,
+    has_bias: bool,
+    has_alibi: bool,
+    alibi_batched: bool,
+    has_sink: bool,
+    has_segments: bool,
+    out_dtype,
+):
+    # Unpack refs in canonical order.
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    bias_ref = None
+    slopes_ref = None
+    sink_ref = None
+    seed_ref = None
+    qseg_ref = None
+    kseg_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if has_sink:
+        sink_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
+    if has_segments:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    m_scr = refs[idx]; idx += 1
+    l_scr = refs[idx]; idx += 1
+    acc_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    min_kv_blk, max_kv_blk = make_causal_window_bounds(
+        seqlen_q=seqlen_q,
+        seqlen_k=seqlen_k,
+        window=window,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
+    # Sink tokens re-enable the first blocks even outside the window.
+    if sink_token_length > 0:
+        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+
+    # Does this (qi, ki) tile need element-level masking at all? Static
+    # masking work is skipped entirely for pure-interior tiles of the
+    # non-causal aligned case.
+    needs_mask = (
+        causal
+        or is_local(window)
+        or has_segments
+        or (seqlen_k % block_kv != 0)
+        or (seqlen_q % block_q != 0)
+    )
+
+    def _compute(with_mask: bool):
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_kv, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_kv)
+
+        if softcap > 0.0:
+            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+        else:
+            s2 = s * (scale * LOG2E)
+
+        if has_alibi:
+            slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+            rel = jnp.abs(
+                (cols - rows - (seqlen_k - seqlen_q)).astype(jnp.float32)
+            )
+            s2 = s2 - slope2 * rel
+
+        if has_bias:
+            s2 = s2 + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+
+        if with_mask:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+            mask = cols < seqlen_k
+            offset = seqlen_k - seqlen_q
+            left, right = window
+            if causal or right >= 0:
+                r = 0 if causal and right < 0 else right
+                mask = jnp.logical_and(mask, cols <= rows + offset + r)
+            if left >= 0:
+                in_window = cols >= rows + offset - left
+                if sink_token_length > 0:
+                    in_window = jnp.logical_or(in_window, cols < sink_token_length)
+                mask = jnp.logical_and(mask, in_window)
+            if has_segments:
+                qseg = qseg_ref[0, :, 0]  # (block_q,)
+                kseg = kseg_ref[0, :, 0]  # (block_kv,)
+                mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
+            m_in = jnp.where(mask, s2, _MASK2)
+        else:
+            mask = None
+            m_in = s2
+
+        # Softmax statistics are kept lane-replicated (block_q, 128) so every
+        # update is a full-width VPU op; single-lane broadcasts are slow.
+        m_prev = m_scr[...]  # (block_q, 128)
+        m_cur = jnp.max(m_in, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_cur)  # lane-replicated (block_q, 128)
+        alpha = jnp.exp2(m_prev - m_next)
+
+        kv_rep = s2.shape[1] // m_next.shape[1]
+        m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
+        p = jnp.exp2(s2 - m_full)
+        if with_mask:
+            p = jnp.where(mask, p, 0.0)
+
+        l_prev = l_scr[...]
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        if dropout_p > 0.0:
+            keep = _dropout_keep_mask(
+                seed_ref, b, h, qi, ki, p.shape, 1.0 - dropout_p
+            )
+            p = jnp.where(keep, p, 0.0)
+
+        v = v_ref[0, 0]  # (block_kv, d)
+        d_rep = acc_scr.shape[1] // alpha.shape[1]
+        alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
+        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if not needs_mask:
+        @pl.when(should_run)
+        def _body_fast():
+            _compute(with_mask=False)
+    else:
+        # Specialize: interior tiles (fully inside the valid/causal/window
+        # region) skip every mask op — only diagonal/edge tiles pay for the
+        # iota+select work. This is the TPU analog of the reference's
+        # separate masked/unmasked mainloop iterations
+        # (csrc/flash_attn/src/flash_fwd_kernel.h: masking_steps).
+        row_lo = qi * block_q
+        row_hi = row_lo + block_q - 1
+        col_lo = ki * block_kv
+        col_hi = col_lo + block_kv - 1
+        offset = seqlen_k - seqlen_q
+        left, right = window
+        interior = col_hi < seqlen_k
+        if causal or right >= 0:
+            r = 0 if causal and right < 0 else right
+            interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
+        if left >= 0:
+            interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if has_segments:
+            interior = False
+        if seqlen_q % block_q != 0:
+            # Padded q rows are sliced off afterwards; no masking needed
+            # on their account.
+            pass
+
+        @pl.when(jnp.logical_and(should_run, interior))
+        def _body_interior():
+            _compute(with_mask=False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(interior)))
+        def _body_edge():
+            _compute(with_mask=True)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        m = m_scr[...][:, 0:1]  # (block_q, 1), base-2 units
+        l = l_scr[...][:, 0:1]
+        if has_sink:
+            sink2 = sink_ref[0, h] * LOG2E
+            l = l + jnp.exp2(sink2 - m)
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if dropout_p > 0.0:
+            l_inv = l_inv * (1.0 / (1.0 - dropout_p))
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+        lse = jnp.where(
+            l == 0.0,
+            -jnp.inf,
+            (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E,
+        )
+        lse_ref[0, 0] = lse  # (block_q, 1)
+
+
+def flash_attention_fwd(
+    q: jnp.ndarray,  # (b, h, seqlen_q, d)
+    k: jnp.ndarray,  # (b, h_kv, seqlen_k, d)
+    v: jnp.ndarray,  # (b, h_kv, seqlen_k, d)
+    *,
+    bias: Optional[jnp.ndarray] = None,  # (b|1, h|1, seqlen_q, seqlen_k)
+    alibi_slopes: Optional[jnp.ndarray] = None,  # (h,) or (b, h)
+    sink: Optional[jnp.ndarray] = None,  # (h,) learnable attention sink
+    q_segment_ids: Optional[jnp.ndarray] = None,  # (b, seqlen_q) int32
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # (b, seqlen_k) int32
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    sink_token_length: int = 0,
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Dense flash-attention forward. Returns (out, lse).
+
+    out: (b, h, seqlen_q, d) in q.dtype; lse: (b, h, seqlen_q) fp32,
+    natural-log sum-exp of the scaled scores (reference `softmax_lse`).
+    """
+    batch, num_heads, seqlen_q, head_dim = q.shape
+    _, num_heads_kv, seqlen_k, _ = k.shape
+    assert num_heads % num_heads_kv == 0
+    group_size = num_heads // num_heads_kv
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    window = normalize_window(window_size, causal, seqlen_k)
+    if interpret is None:
+        interpret = interpret_mode()
+    if block_sizes is None:
+        block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=q.dtype)
+    block_q = min(block_sizes.block_q, round_up(seqlen_q, NUM_LANES))
+    block_kv = min(block_sizes.block_kv, round_up(seqlen_k, NUM_LANES))
+
+    out_dtype = q.dtype
+
+    # Pad to tile boundaries; masking inside the kernel keeps semantics.
+    d_pad = round_up(head_dim, NUM_LANES)
+    qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
+    kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
+    vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
+    sq_pad, sk_pad = qp.shape[2], kp.shape[2]
+    num_q_blocks = sq_pad // block_q
+    num_kv_blocks = sk_pad // block_kv
+
+    min_kv_blk, max_kv_blk = make_causal_window_bounds(
+        seqlen_q=seqlen_q,
+        seqlen_k=seqlen_k,
+        window=window,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    def clamp_kv(ki, qi):
+        # Clamp the kv block index so skipped iterations re-address the same
+        # block: Pallas elides the DMA when the index is unchanged.
+        lo = min_kv_blk(qi)
+        hi = max_kv_blk(qi)
+        if sink_token_length > 0:
+            lo = 0
+        return jnp.clip(ki, lo, hi)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_kv, d_pad),
+            lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d_pad),
+            lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
+        ),
+    ]
+    args = [qp, kp, vp]
+
+    has_bias = bias is not None
+    if has_bias:
+        bb = 0 if bias.shape[0] == 1 else None
+        bh = 0 if bias.shape[1] == 1 else None
+        bias_p = pad_to_block(pad_to_block(bias, 3, block_kv), 2, block_q)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, block_kv),
+                lambda b, h, qi, ki, bb=bb, bh=bh: (
+                    0 if bb == 0 else b,
+                    0 if bh == 0 else h,
+                    qi,
+                    clamp_kv(ki, qi),
+                ),
+            )
+        )
+        args.append(bias_p)
+
+    # Scalar parameters live whole in SMEM and are indexed dynamically
+    # in-kernel (block must cover the full array on TPU).
+    has_alibi = alibi_slopes is not None
+    alibi_batched = False
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = slopes[None, :]
+        alibi_batched = slopes.shape[0] > 1
+        in_specs.append(
+            pl.BlockSpec(slopes.shape, lambda b, h, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(slopes)
+
+    has_sink = sink is not None
+    if has_sink:
+        sink_arr = jnp.asarray(sink, jnp.float32)[None, :]
+        in_specs.append(
+            pl.BlockSpec(sink_arr.shape, lambda b, h, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(sink_arr)
+
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda b, h, qi, ki: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(seed_arr)
+
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        assert kv_segment_ids is not None
+        qseg = pad_to_block(
+            jnp.asarray(q_segment_ids, jnp.int32), 1, block_q, value=-1
+        )[..., None]
+        kseg = pad_to_block(
+            jnp.asarray(kv_segment_ids, jnp.int32), 1, block_kv, value=-2
+        )[..., None]
+        in_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda b, h, qi, ki: (b, qi, 0))
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_kv, 1), lambda b, h, qi, ki: (b, clamp_kv(ki, qi), 0)
+            )
+        )
+        args.extend([qseg, kseg])
+
+    grid = (batch, num_heads, num_q_blocks, num_kv_blocks)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        seqlen_q=seqlen_q,
+        seqlen_k=seqlen_k,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+        scale=float(softmax_scale),
+        causal=causal,
+        window=window,
+        sink_token_length=sink_token_length,
+        softcap=float(softcap),
+        dropout_p=float(dropout_p),
+        group_size=group_size,
+        has_bias=has_bias,
+        has_alibi=has_alibi,
+        alibi_batched=alibi_batched,
+        has_sink=has_sink,
+        has_segments=has_segments,
+        out_dtype=out_dtype,
+    )
+
+    # LSE carries a trailing singleton lane dim: TPU block shapes must have
+    # their last two dims either tile-aligned or equal to the array dims.
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, num_heads, sq_pad, d_pad), out_dtype),
+        jax.ShapeDtypeStruct((batch, num_heads, sq_pad, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # running max (base-2)
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # running sum
+        pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+    ]
+
+    flops_per_block = 4 * block_q * block_kv * d_pad
+    cost = pl.CostEstimate(
+        flops=flops_per_block * batch * num_heads * num_q_blocks * num_kv_blocks,
+        bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+        transcendentals=batch * num_heads * sq_pad * sk_pad,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+    out = out[:, :, :seqlen_q, :head_dim]
+    lse = lse[:, :, :seqlen_q, 0]
+    return out, lse

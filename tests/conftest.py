@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Pallas kernels run in interpreter mode off-TPU (kernels auto-detect via
+flash_attn_tpu.kernels.common.interpret_mode). Sharding/parallelism tests use
+the 8 virtual CPU devices — the JAX answer to the reference's
+torchrun-launched multi-GPU tests (tests/models/test_gpt_parallel.py:22-43),
+with no real hardware needed.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)

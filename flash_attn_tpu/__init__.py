@@ -1,0 +1,20 @@
+"""flash_attn_tpu — TPU-native flash-attention framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+vllm-project/flash-attention (reference public API:
+flash_attn/__init__.py:8-16).
+"""
+
+__version__ = "0.1.0"
+
+from flash_attn_tpu.flash_attn_interface import (
+    flash_attn_func,
+    flash_attn_kvpacked_func,
+    flash_attn_qkvpacked_func,
+)
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_kvpacked_func",
+    "flash_attn_qkvpacked_func",
+]

@@ -1,0 +1,270 @@
+"""Public flash-attention API (reference: flash_attn/flash_attn_interface.py).
+
+The reference wraps its CUDA extensions in torch.autograd.Functions
+(flash_attn/flash_attn_interface.py:453-1009). The TPU-native equivalent is a
+single `jax.custom_vjp` over the Pallas forward/backward kernels; the C++
+host-dispatch layer (csrc/flash_attn/flash_api.cpp static_switch tree)
+collapses into trace-time Python configuration because XLA retraces per
+static shape.
+
+Layouts: the reference API is (batch, seqlen, nheads, headdim) ["bshd"].
+That is kept as the default for drop-in parity; the TPU kernels natively use
+(batch, nheads, seqlen, headdim) ["bhsd"], selectable via `layout=` to avoid
+transposes in TPU-first model code.
+
+Determinism note: the reference exposes `deterministic=` for its
+atomics-based dQ accumulation (flash_attn/flash_attn_interface.py:862). The
+TPU backward is grid-sequential and therefore always deterministic; the flag
+is accepted and ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.common import BlockSizes, choose_block_sizes
+from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Config:
+    softmax_scale: Optional[float]
+    causal: bool
+    window_size: Tuple[int, int]
+    sink_token_length: int
+    softcap: float
+    dropout_p: float
+    bias_grad: bool
+    block_sizes: Optional[BlockSizes]
+    interpret: Optional[bool]
+
+
+def _zero_cotangent(x):
+    if x is None:
+        return None
+    if jnp.issubdtype(x.dtype, jnp.integer) or jnp.issubdtype(x.dtype, jnp.bool_):
+        import numpy as np
+
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_attn_core(tensors: dict, config: _Config):
+    out, lse = _core_fwd(tensors, config)
+    return out, lse
+
+
+def _core_fwd(tensors, config):
+    return flash_attention_fwd(
+        tensors["q"], tensors["k"], tensors["v"],
+        bias=tensors.get("bias"),
+        alibi_slopes=tensors.get("alibi_slopes"),
+        sink=tensors.get("sink"),
+        q_segment_ids=tensors.get("q_segment_ids"),
+        kv_segment_ids=tensors.get("kv_segment_ids"),
+        softmax_scale=config.softmax_scale,
+        causal=config.causal,
+        window_size=config.window_size,
+        sink_token_length=config.sink_token_length,
+        softcap=config.softcap,
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
+        block_sizes=config.block_sizes,
+        interpret=config.interpret,
+    )
+
+
+def _core_fwd_vjp(tensors, config):
+    out, lse = _core_fwd(tensors, config)
+    return (out, lse), (tensors, out, lse)
+
+
+def _core_bwd_vjp(config, residuals, cotangents):
+    tensors, out, lse = residuals
+    do, _dlse = cotangents
+    res = flash_attention_bwd(
+        tensors["q"], tensors["k"], tensors["v"], out, lse, do,
+        bias=tensors.get("bias"),
+        bias_grad=config.bias_grad and tensors.get("bias") is not None,
+        alibi_slopes=tensors.get("alibi_slopes"),
+        q_segment_ids=tensors.get("q_segment_ids"),
+        kv_segment_ids=tensors.get("kv_segment_ids"),
+        softmax_scale=config.softmax_scale,
+        causal=config.causal,
+        window_size=config.window_size,
+        sink_token_length=config.sink_token_length,
+        softcap=config.softcap,
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
+        block_sizes=config.block_sizes,
+        interpret=config.interpret,
+    )
+    if len(res) == 4:
+        dq, dk, dv, dbias = res
+    else:
+        dq, dk, dv = res
+        dbias = None
+    grads = {}
+    for name, val in tensors.items():
+        if name == "q":
+            grads[name] = dq
+        elif name == "k":
+            grads[name] = dk
+        elif name == "v":
+            grads[name] = dv
+        elif name == "bias" and dbias is not None:
+            grads[name] = dbias
+        else:
+            grads[name] = _zero_cotangent(val)
+    return (grads,)
+
+
+_flash_attn_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
+
+
+def _dropout_blocks(block_sizes: Optional[BlockSizes], dropout_p: float,
+                    seqlen_q: int, seqlen_k: int, head_dim: int, dtype):
+    """When dropout is active, fwd and bwd must share tile coordinates so the
+    in-kernel PRNG regenerates identical keep-masks (see flash_bwd.py)."""
+    if dropout_p <= 0.0:
+        return block_sizes
+    if block_sizes is None:
+        block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=dtype)
+    blk = min(
+        block_sizes.block_q, block_sizes.block_kv,
+        block_sizes.block_q_dkv, block_sizes.block_kv_dkv,
+        block_sizes.block_q_dq, block_sizes.block_kv_dq,
+    )
+    return BlockSizes(blk, blk, blk, blk, blk, blk)
+
+
+def flash_attn_func(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,  # accepted for parity; TPU bwd always is
+    return_attn_probs: bool = False,
+    *,
+    attn_bias: Optional[jnp.ndarray] = None,
+    bias_grad: bool = True,
+    sink: Optional[jnp.ndarray] = None,
+    sink_token_length: int = 0,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    layout: str = "bshd",
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Drop-in analog of the reference `flash_attn_func`
+    (flash_attn/flash_attn_interface.py:1148).
+
+    Args follow the reference; TPU-only extensions are keyword-only.
+    q: (b, sq, h, d); k/v: (b, sk, hk, d) with h % hk == 0 (GQA/MQA).
+    Returns out (same layout as q); with return_attn_probs=True returns
+    (out, softmax_lse, None) — per-probability dropout masks are not
+    materialized (the reference returns them for debugging only).
+    """
+    del deterministic
+    if layout == "bshd":
+        q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    elif layout == "bhsd":
+        q_, k_, v_ = q, k, v
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+    block_sizes = _dropout_blocks(
+        block_sizes, dropout_p, q_.shape[2], k_.shape[2], q_.shape[3], q_.dtype
+    )
+    tensors = {"q": q_, "k": k_, "v": v_}
+    if attn_bias is not None:
+        tensors["bias"] = attn_bias
+    if alibi_slopes is not None:
+        tensors["alibi_slopes"] = jnp.asarray(alibi_slopes, jnp.float32)
+    if sink is not None:
+        tensors["sink"] = jnp.asarray(sink, jnp.float32)
+    if q_segment_ids is not None:
+        tensors["q_segment_ids"] = q_segment_ids
+        tensors["kv_segment_ids"] = kv_segment_ids
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        tensors["dropout_seed"] = jnp.asarray(dropout_seed, jnp.int32)
+
+    config = _Config(
+        softmax_scale=None if softmax_scale is None else float(softmax_scale),
+        causal=bool(causal),
+        window_size=tuple(int(w) for w in window_size),
+        sink_token_length=int(sink_token_length),
+        softcap=float(softcap),
+        dropout_p=float(dropout_p),
+        bias_grad=bool(bias_grad),
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+    out, lse = _flash_attn_core(tensors, config)
+    if layout == "bshd":
+        out = out.transpose(0, 2, 1, 3)
+    if return_attn_probs:
+        return out, lse, None
+    return out
+
+
+def flash_attn_qkvpacked_func(
+    qkv: jnp.ndarray,  # (b, s, 3, h, d)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    **kwargs,
+):
+    """Reference flash_attn_qkvpacked_func (flash_attn_interface.py:1011)."""
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return flash_attn_func(
+        q, k, v, dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs, **kwargs
+    )
+
+
+def flash_attn_kvpacked_func(
+    q: jnp.ndarray,  # (b, sq, h, d)
+    kv: jnp.ndarray,  # (b, sk, 2, hk, d)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    **kwargs,
+):
+    """Reference flash_attn_kvpacked_func (flash_attn_interface.py:1077)."""
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    return flash_attn_func(
+        q, k, v, dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs, **kwargs
+    )

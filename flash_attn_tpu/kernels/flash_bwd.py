@@ -1,0 +1,690 @@
+"""Pallas TPU flash-attention backward kernels.
+
+TPU-native replacement for the reference backward pass
+(csrc/flash_attn/src/flash_bwd_kernel.h, hopper/flash_bwd_kernel_sm90.h,
+flash_bwd_preprocess_kernel.h). The GPU design accumulates dQ with global
+atomics (optionally serialized for determinism); TPU Pallas has no atomics,
+so the pass is restructured as two grid-sequential kernels that are
+deterministic by construction (SURVEY.md hard-part #4):
+
+  * dK/dV kernel: KV-stationary. Grid (b, h, kv_block, q_block) with the
+    q loop innermost; dK/dV accumulate in fp32 VMEM scratch and are written
+    once on the last q step. Probabilities are recomputed from Q, K and the
+    forward LSE exactly as the reference bwd mainloop recomputes P.
+  * dQ kernel: Q-stationary. Grid (b, h, q_block, kv_block) with the kv loop
+    innermost; dQ accumulates in fp32 VMEM scratch. Optionally also emits
+    dBias per (q,kv) tile.
+
+The preprocess (delta = rowsum(dO * O), flash_bwd_preprocess_kernel.h) is a
+plain XLA reduction — XLA fuses it; no kernel needed.
+
+Block-level skipping of fully-masked tiles reuses the forward's clamped
+index-map trick so Pallas elides the HBM->VMEM DMAs for skipped tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    BlockSizes,
+    cdiv,
+    choose_block_sizes,
+    interpret_mode,
+    is_local,
+    make_causal_window_bounds,
+    normalize_window,
+    pad_to_block,
+    round_up,
+)
+from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
+
+
+def _make_inverse_bounds(
+    *,
+    seqlen_q: int,
+    seqlen_k: int,
+    window: Tuple[int, int],
+    block_q: int,
+    block_kv: int,
+    num_q_blocks: int,
+):
+    """Per-kv-block [min_q_block, max_q_block] visibility bounds.
+
+    Inverse of make_causal_window_bounds: which q blocks can see kv block ki.
+    Row r sees col c iff  r + off - left <= c <= r + off + right  (off =
+    seqlen_k - seqlen_q; negative bound = unbounded).
+    """
+    offset = seqlen_k - seqlen_q
+    left, right = window
+
+    def min_q_block(ki):
+        if right < 0:
+            return 0
+        first_col = ki * block_kv
+        lo = first_col - offset - right
+        return jnp.clip(lo // block_q, 0, num_q_blocks - 1)
+
+    def max_q_block(ki):
+        if left < 0:
+            return num_q_blocks - 1
+        last_col = ki * block_kv + block_kv - 1
+        hi = last_col - offset + left
+        return jnp.clip(hi // block_q, 0, num_q_blocks - 1)
+
+    return min_q_block, max_q_block
+
+
+def _recompute_p_and_ds(
+    q, k, v, do, lse2, delta,
+    *,
+    b, h, qi, ki,
+    block_q, block_kv,
+    seqlen_q, seqlen_k,
+    scale, causal, window, sink_token_length,
+    softcap, has_bias, bias_ref,
+    has_alibi, slopes_ref, alibi_batched,
+    dropout_p, seed_ref,
+    has_segments, qseg_ref, kseg_ref,
+    with_mask: bool,
+):
+    """Shared recompute: returns (p, ds_scaled, dbias_tile).
+
+    p: post-softmax probs (block_q, block_kv) fp32 (pre-dropout).
+    ds_scaled: gradient wrt raw scores s = q.k^T (includes softmax scale and
+    softcap chain rule), fp32.
+    dbias_tile: gradient wrt additive bias (None unless has_bias).
+    """
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bkv)
+
+    if softcap > 0.0:
+        t = jnp.tanh(s * (scale / softcap))
+        s2 = t * (softcap * LOG2E)
+    else:
+        t = None
+        s2 = s * (scale * LOG2E)
+
+    if has_alibi:
+        slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
+        rows_f = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        cols_f = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+        rel = jnp.abs((cols_f - rows_f - (seqlen_k - seqlen_q)).astype(jnp.float32))
+        s2 = s2 - slope2 * rel
+
+    if has_bias:
+        s2 = s2 + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+
+    p = jnp.exp2(s2 - lse2)  # (bq, bkv); lse2 broadcast (bq, 1)
+
+    if with_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+        mask = jnp.logical_and(cols < seqlen_k, rows < seqlen_q)
+        offset = seqlen_k - seqlen_q
+        left, right = window
+        if causal or right >= 0:
+            r = 0 if causal and right < 0 else right
+            mask = jnp.logical_and(mask, cols <= rows + offset + r)
+        if left >= 0:
+            in_window = cols >= rows + offset - left
+            if sink_token_length > 0:
+                in_window = jnp.logical_or(in_window, cols < sink_token_length)
+            mask = jnp.logical_and(mask, in_window)
+        if has_segments:
+            qseg = qseg_ref[0, :, 0]
+            kseg = kseg_ref[0, :, 0]
+            mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
+        p = jnp.where(mask, p, 0.0)
+
+    # Dropout: regenerate the forward keep-mask from the same per-(b,h,tile)
+    # seed. Requires fwd/bwd to share tile sizes (enforced by the interface).
+    if dropout_p > 0.0:
+        keep = _dropout_keep_mask(seed_ref, b, h, qi, ki, p.shape, 1.0 - dropout_p)
+        p_drop = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_p))
+    else:
+        p_drop = p
+
+    # dP (wrt post-dropout probs), then dS.
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bkv)
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
+    ds = p * (dp - delta)  # (bq, bkv); delta broadcast (bq, 1)
+
+    dbias_tile = ds if has_bias else None
+
+    if softcap > 0.0:
+        ds_scaled = ds * ((1.0 - t * t) * scale)
+    else:
+        ds_scaled = ds * scale
+
+    return p, p_drop, ds_scaled, dbias_tile
+
+
+def _bwd_dkv_kernel(
+    *refs,
+    seqlen_q: int, seqlen_k: int,
+    block_q: int, block_kv: int,
+    num_q_blocks: int,
+    scale: float, causal: bool, window: Tuple[int, int],
+    sink_token_length: int, softcap: float, dropout_p: float,
+    has_bias: bool, has_alibi: bool, alibi_batched: bool,
+    has_segments: bool,
+    out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    bias_ref = slopes_ref = seed_ref = qseg_ref = kseg_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
+    if has_segments:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    dk_ref = refs[idx]; idx += 1
+    dv_ref = refs[idx]; idx += 1
+    dk_scr = refs[idx]; idx += 1
+    dv_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    min_kv_blk, max_kv_blk = make_causal_window_bounds(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+        block_q=block_q, block_kv=block_kv,
+        num_kv_blocks=cdiv(round_up(seqlen_k, block_kv), block_kv),
+    )
+    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
+    if sink_token_length > 0:
+        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+
+    needs_mask = (
+        causal or is_local(window) or has_segments
+        or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
+    )
+
+    def _compute(with_mask: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse2 = lse_ref[0, 0] * LOG2E  # (bq, 1) natural -> base2
+        delta = delta_ref[0, 0]  # (bq, 1)
+        p, p_drop, ds_scaled, _ = _recompute_p_and_ds(
+            q, k, v, do, lse2, delta,
+            b=b, h=h, qi=qi, ki=ki,
+            block_q=block_q, block_kv=block_kv,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            scale=scale, causal=causal, window=window,
+            sink_token_length=sink_token_length,
+            softcap=softcap, has_bias=has_bias, bias_ref=bias_ref,
+            has_alibi=has_alibi, slopes_ref=slopes_ref,
+            alibi_batched=alibi_batched,
+            dropout_p=dropout_p, seed_ref=seed_ref,
+            has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+            with_mask=with_mask,
+        )
+        # dV += P_drop^T dO   (contract over q rows)
+        dv_scr[...] += jax.lax.dot_general(
+            p_drop, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK += dS^T Q
+        dk_scr[...] += jax.lax.dot_general(
+            ds_scaled, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if not needs_mask:
+        @pl.when(should_run)
+        def _fast():
+            _compute(with_mask=False)
+    else:
+        row_lo = qi * block_q
+        row_hi = row_lo + block_q - 1
+        col_lo = ki * block_kv
+        col_hi = col_lo + block_kv - 1
+        offset = seqlen_k - seqlen_q
+        left, right = window
+        interior = jnp.logical_and(col_hi < seqlen_k, row_hi < seqlen_q)
+        if causal or right >= 0:
+            r = 0 if causal and right < 0 else right
+            interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
+        if left >= 0:
+            interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if has_segments:
+            interior = False
+
+        @pl.when(jnp.logical_and(should_run, interior))
+        def _interior():
+            _compute(with_mask=False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(interior)))
+        def _edge():
+            _compute(with_mask=True)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...].astype(out_dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(out_dtype)
+
+
+def _bwd_dq_kernel(
+    *refs,
+    seqlen_q: int, seqlen_k: int,
+    block_q: int, block_kv: int,
+    num_kv_blocks: int,
+    scale: float, causal: bool, window: Tuple[int, int],
+    sink_token_length: int, softcap: float, dropout_p: float,
+    has_bias: bool, bias_grad: bool, has_alibi: bool, alibi_batched: bool,
+    has_segments: bool,
+    out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    bias_ref = slopes_ref = seed_ref = qseg_ref = kseg_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
+    if has_segments:
+        qseg_ref = refs[idx]; idx += 1
+        kseg_ref = refs[idx]; idx += 1
+    dq_ref = refs[idx]; idx += 1
+    dbias_ref = None
+    if bias_grad:
+        dbias_ref = refs[idx]; idx += 1
+    dq_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    min_kv_blk, max_kv_blk = make_causal_window_bounds(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+    )
+    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
+    if sink_token_length > 0:
+        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+
+    needs_mask = (
+        causal or is_local(window) or has_segments
+        or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
+    )
+
+    if bias_grad:
+        # Every (qi, ki) tile is visited exactly once; zero skipped tiles.
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    def _compute(with_mask: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse2 = lse_ref[0, 0] * LOG2E
+        delta = delta_ref[0, 0]
+        p, p_drop, ds_scaled, dbias_tile = _recompute_p_and_ds(
+            q, k, v, do, lse2, delta,
+            b=b, h=h, qi=qi, ki=ki,
+            block_q=block_q, block_kv=block_kv,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            scale=scale, causal=causal, window=window,
+            sink_token_length=sink_token_length,
+            softcap=softcap, has_bias=has_bias, bias_ref=bias_ref,
+            has_alibi=has_alibi, slopes_ref=slopes_ref,
+            alibi_batched=alibi_batched,
+            dropout_p=dropout_p, seed_ref=seed_ref,
+            has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+            with_mask=with_mask,
+        )
+        # dQ += dS K
+        dq_scr[...] += jax.lax.dot_general(
+            ds_scaled, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias_grad:
+            dbias_ref[0, 0] = dbias_tile.astype(dbias_ref.dtype)
+
+    if not needs_mask:
+        @pl.when(should_run)
+        def _fast():
+            _compute(with_mask=False)
+    else:
+        row_lo = qi * block_q
+        row_hi = row_lo + block_q - 1
+        col_lo = ki * block_kv
+        col_hi = col_lo + block_kv - 1
+        offset = seqlen_k - seqlen_q
+        left, right = window
+        interior = jnp.logical_and(col_hi < seqlen_k, row_hi < seqlen_q)
+        if causal or right >= 0:
+            r = 0 if causal and right < 0 else right
+            interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
+        if left >= 0:
+            interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if has_segments:
+            interior = False
+
+        @pl.when(jnp.logical_and(should_run, interior))
+        def _interior():
+            _compute(with_mask=False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(interior)))
+        def _edge():
+            _compute(with_mask=True)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...].astype(out_dtype)
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,   # (b, h, sq, d)
+    k: jnp.ndarray,   # (b, hk, sk, d)
+    v: jnp.ndarray,   # (b, hk, sk, d)
+    out: jnp.ndarray,  # (b, h, sq, d)
+    lse: jnp.ndarray,  # (b, h, sq) fp32 natural log
+    do: jnp.ndarray,   # (b, h, sq, d)
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    bias_grad: bool = False,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    sink_token_length: int = 0,
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Flash-attention backward. Returns (dq, dk, dv[, dbias]).
+
+    dk/dv come back per *kv* head (GQA groups summed).
+    """
+    batch, num_heads, seqlen_q, head_dim = q.shape
+    _, num_heads_kv, seqlen_k, _ = k.shape
+    group_size = num_heads // num_heads_kv
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    window = normalize_window(window_size, causal, seqlen_k)
+    if interpret is None:
+        interpret = interpret_mode()
+    if block_sizes is None:
+        block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=q.dtype)
+    if dropout_p > 0.0:
+        # Dropout masks are regenerated per tile; fwd/bwd must share tiling.
+        bq_kv = bkv_kv = bq_dq = bkv_dq = min(
+            block_sizes.block_q, block_sizes.block_kv,
+            block_sizes.block_q_dkv, block_sizes.block_kv_dkv,
+        )
+    else:
+        bq_kv = block_sizes.block_q_dkv
+        bkv_kv = block_sizes.block_kv_dkv
+        bq_dq = block_sizes.block_q_dq
+        bkv_dq = block_sizes.block_kv_dq
+
+    d_pad = round_up(head_dim, NUM_LANES)
+    out_dtype = q.dtype
+
+    # delta = rowsum(dO * O) in fp32 (preprocess kernel equivalent).
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (b, h, sq)
+
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+    has_bias = bias is not None
+    has_alibi = alibi_slopes is not None
+    has_segments = q_segment_ids is not None
+    alibi_batched = False
+    slopes = None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = slopes[None, :]
+        alibi_batched = slopes.shape[0] > 1
+
+    def common_specs(block_q, block_kv, clamp_q, clamp_kv):
+        """in_specs + args for q,k,v,do,lse,delta and the optional extras."""
+        qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
+        kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
+        vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
+        dop = pad_to_block(pad_to_block(do, 3, d_pad), 2, block_q)
+        lsep = pad_to_block(lse, 2, block_q)[..., None]  # (b,h,sqp,1)
+        deltap = pad_to_block(delta, 2, block_q)[..., None]
+        specs = [
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, i, j: (b, h // group_size, clamp_kv(i, j), 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, i, j: (b, h // group_size, clamp_kv(i, j), 0)),
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
+        ]
+        args = [qp, kp, vp, dop, lsep, deltap]
+        if has_bias:
+            bb = 0 if bias.shape[0] == 1 else None
+            bh = 0 if bias.shape[1] == 1 else None
+            bias_p = pad_to_block(pad_to_block(bias, 3, block_kv), 2, block_q)
+            specs.append(
+                pl.BlockSpec(
+                    (1, 1, block_q, block_kv),
+                    lambda b, h, i, j, bb=bb, bh=bh: (
+                        0 if bb == 0 else b, 0 if bh == 0 else h,
+                        clamp_q(i, j), clamp_kv(i, j),
+                    ),
+                )
+            )
+            args.append(bias_p)
+        if has_alibi:
+            specs.append(
+                pl.BlockSpec(slopes.shape, lambda b, h, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            args.append(slopes)
+        if dropout_p > 0.0:
+            specs.append(
+                pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            args.append(seed_arr)
+        if has_segments:
+            qseg = pad_to_block(
+                jnp.asarray(q_segment_ids, jnp.int32), 1, block_q, value=-1
+            )[..., None]
+            kseg = pad_to_block(
+                jnp.asarray(kv_segment_ids, jnp.int32), 1, block_kv, value=-2
+            )[..., None]
+            specs.append(
+                pl.BlockSpec((1, block_q, 1), lambda b, h, i, j: (b, clamp_q(i, j), 0))
+            )
+            specs.append(
+                pl.BlockSpec((1, block_kv, 1), lambda b, h, i, j: (b, clamp_kv(i, j), 0))
+            )
+            args.extend([qseg, kseg])
+        return specs, args, qp.shape[2], kp.shape[2]
+
+    # ---------------- dK/dV kernel (grid: b, h, kv, q) ----------------
+    num_q_blocks_kv = cdiv(round_up(seqlen_q, bq_kv), bq_kv)
+    num_kv_blocks_kv = cdiv(round_up(seqlen_k, bkv_kv), bkv_kv)
+    min_qb, max_qb = _make_inverse_bounds(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+        block_q=bq_kv, block_kv=bkv_kv, num_q_blocks=num_q_blocks_kv,
+    )
+
+    def clamp_q_kv(ki, qi):
+        lo = min_qb(ki)
+        hi = max_qb(ki)
+        return jnp.clip(qi, lo, hi)
+
+    specs, args, sqp, skp = common_specs(
+        bq_kv, bkv_kv,
+        clamp_q=lambda ki, qi: clamp_q_kv(ki, qi),
+        clamp_kv=lambda ki, qi: ki,
+    )
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel,
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+        block_q=bq_kv, block_kv=bkv_kv, num_q_blocks=num_q_blocks_kv,
+        scale=float(softmax_scale), causal=causal, window=window,
+        sink_token_length=sink_token_length, softcap=float(softcap),
+        dropout_p=float(dropout_p),
+        has_bias=has_bias, has_alibi=has_alibi, alibi_batched=alibi_batched,
+        has_segments=has_segments, out_dtype=jnp.float32,
+    )
+    dk_gh, dv_gh = pl.pallas_call(
+        dkv_kernel,
+        grid=(batch, num_heads, num_kv_blocks_kv, num_q_blocks_kv),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv_kv, d_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bkv_kv, d_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, skp, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, skp, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv_kv, d_pad), jnp.float32),
+            pltpu.VMEM((bkv_kv, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # Reduce GQA groups: (b, h, sk, d) -> (b, hk, sk, d).
+    dk_gh = dk_gh[:, :, :seqlen_k, :head_dim]
+    dv_gh = dv_gh[:, :, :seqlen_k, :head_dim]
+    if group_size > 1:
+        dk = dk_gh.reshape(
+            batch, num_heads_kv, group_size, seqlen_k, head_dim
+        ).sum(axis=2)
+        dv = dv_gh.reshape(
+            batch, num_heads_kv, group_size, seqlen_k, head_dim
+        ).sum(axis=2)
+    else:
+        dk, dv = dk_gh, dv_gh
+    dk = dk.astype(out_dtype)
+    dv = dv.astype(out_dtype)
+
+    # ---------------- dQ kernel (grid: b, h, q, kv) ----------------
+    num_q_blocks_dq = cdiv(round_up(seqlen_q, bq_dq), bq_dq)
+    num_kv_blocks_dq = cdiv(round_up(seqlen_k, bkv_dq), bkv_dq)
+    min_kvb, max_kvb = make_causal_window_bounds(
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+        block_q=bq_dq, block_kv=bkv_dq, num_kv_blocks=num_kv_blocks_dq,
+    )
+
+    def clamp_kv_dq(qi, ki):
+        lo = min_kvb(qi)
+        if sink_token_length > 0:
+            lo = 0
+        return jnp.clip(ki, lo, max_kvb(qi))
+
+    specs, args, sqp, skp = common_specs(
+        bq_dq, bkv_dq,
+        clamp_q=lambda qi, ki: qi,
+        clamp_kv=lambda qi, ki: clamp_kv_dq(qi, ki),
+    )
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+        block_q=bq_dq, block_kv=bkv_dq, num_kv_blocks=num_kv_blocks_dq,
+        scale=float(softmax_scale), causal=causal, window=window,
+        sink_token_length=sink_token_length, softcap=float(softcap),
+        dropout_p=float(dropout_p),
+        has_bias=has_bias, bias_grad=bias_grad,
+        has_alibi=has_alibi, alibi_batched=alibi_batched,
+        has_segments=has_segments, out_dtype=out_dtype,
+    )
+    out_specs = [
+        pl.BlockSpec((1, 1, bq_dq, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, num_heads, sqp, d_pad), out_dtype),
+    ]
+    if bias_grad:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq_dq, bkv_dq), lambda b, h, qi, ki: (b, h, qi, ki))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, num_heads, sqp, skp), jnp.float32)
+        )
+    results = pl.pallas_call(
+        dq_kernel,
+        grid=(batch, num_heads, num_q_blocks_dq, num_kv_blocks_dq),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bq_dq, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    dq = results[0][:, :, :seqlen_q, :head_dim]
+
+    if bias_grad:
+        dbias_full = results[1][:, :, :seqlen_q, :seqlen_k]
+        # Sum over broadcast dims to match the bias's declared shape.
+        if bias.shape[0] == 1:
+            dbias_full = dbias_full.sum(axis=0, keepdims=True)
+        if bias.shape[1] == 1:
+            dbias_full = dbias_full.sum(axis=1, keepdims=True)
+        return dq, dk, dv, dbias_full.astype(bias.dtype)
+    return dq, dk, dv

@@ -135,22 +135,6 @@ def _core_bwd_vjp(config, residuals, cotangents):
 _flash_attn_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
 
 
-def _dropout_blocks(block_sizes: Optional[BlockSizes], dropout_p: float,
-                    seqlen_q: int, seqlen_k: int, head_dim: int, dtype):
-    """When dropout is active, fwd and bwd must share tile coordinates so the
-    in-kernel PRNG regenerates identical keep-masks (see flash_bwd.py)."""
-    if dropout_p <= 0.0:
-        return block_sizes
-    if block_sizes is None:
-        block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=dtype)
-    blk = min(
-        block_sizes.block_q, block_sizes.block_kv,
-        block_sizes.block_q_dkv, block_sizes.block_kv_dkv,
-        block_sizes.block_q_dq, block_sizes.block_kv_dq,
-    )
-    return BlockSizes(blk, blk, blk, blk, blk, blk)
-
-
 def flash_attn_func(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -192,9 +176,6 @@ def flash_attn_func(
     else:
         raise ValueError(f"unknown layout {layout!r}")
 
-    block_sizes = _dropout_blocks(
-        block_sizes, dropout_p, q_.shape[2], k_.shape[2], q_.shape[3], q_.dtype
-    )
     tensors = {"q": q_, "k": k_, "v": v_}
     if attn_bias is not None:
         tensors["bias"] = attn_bias

@@ -147,10 +147,12 @@ def _recompute_p_and_ds(
             mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
         p = jnp.where(mask, p, 0.0)
 
-    # Dropout: regenerate the forward keep-mask from the same per-(b,h,tile)
-    # seed. Requires fwd/bwd to share tile sizes (enforced by the interface).
+    # Dropout: regenerate the forward keep-mask. The PRNG is keyed on
+    # absolute element coordinates, so fwd/bwd tilings may differ freely.
     if dropout_p > 0.0:
-        keep = _dropout_keep_mask(seed_ref, b, h, qi, ki, p.shape, 1.0 - dropout_p)
+        keep = _dropout_keep_mask(
+            seed_ref, b, h, qi * block_q, ki * block_kv, p.shape, 1.0 - dropout_p
+        )
         p_drop = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_p))
     else:
         p_drop = p
@@ -455,17 +457,10 @@ def flash_attention_bwd(
         interpret = interpret_mode()
     if block_sizes is None:
         block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=q.dtype)
-    if dropout_p > 0.0:
-        # Dropout masks are regenerated per tile; fwd/bwd must share tiling.
-        bq_kv = bkv_kv = bq_dq = bkv_dq = min(
-            block_sizes.block_q, block_sizes.block_kv,
-            block_sizes.block_q_dkv, block_sizes.block_kv_dkv,
-        )
-    else:
-        bq_kv = block_sizes.block_q_dkv
-        bkv_kv = block_sizes.block_kv_dkv
-        bq_dq = block_sizes.block_q_dq
-        bkv_dq = block_sizes.block_kv_dq
+    bq_kv = block_sizes.block_q_dkv
+    bkv_kv = block_sizes.block_kv_dkv
+    bq_dq = block_sizes.block_q_dq
+    bkv_dq = block_sizes.block_kv_dq
 
     d_pad = round_up(head_dim, NUM_LANES)
     out_dtype = q.dtype

@@ -59,21 +59,32 @@ from flash_attn_tpu.kernels.common import (
 _MASK2 = DEFAULT_MASK_VALUE
 
 
-def _dropout_keep_mask(seed_ref, b, h, qblk, kblk, shape, keep_prob: float):
-    """Deterministic per-(b,h,q-block,kv-block) dropout mask.
+def _dropout_keep_mask(seed_ref, b, h, row0, col0, shape, keep_prob: float):
+    """Deterministic keep-mask from a counter-based hash PRNG.
 
-    The backward kernels call this with identical block coordinates (they are
-    constrained to the same tiling when dropout is active), reproducing the
-    forward mask exactly — the TPU version of Philox offset bookkeeping
-    (csrc/flash_attn/src/dropout.h:16).
+    Keyed on (seed, batch, head, absolute row, absolute col) — NOT on tile
+    coordinates — so the backward kernels regenerate the identical mask under
+    any tiling, and the same bits come out in compiled and interpreter mode.
+    This is the TPU version of Philox offset bookkeeping
+    (csrc/flash_attn/src/dropout.h:16), built from a murmur3-style finalizer
+    on the VPU instead of the hardware PRNG (which has no CPU lowering).
     """
-    # Fold block coordinates into the seed pair (prng_seed takes a short
-    # tuple); coordinates are bounded so the packing is collision-free.
-    block_id = ((b * (2**10) + h) * (2**14) + qblk) * (2**14) + kblk
-    pltpu.prng_seed(seed_ref[0, 0], block_id)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0).astype(jnp.uint32)
+    cols = (jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0).astype(jnp.uint32)
+    base = (
+        seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+        + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x165667B1)
+        + jnp.uint32(h).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    )
+    x = rows * jnp.uint32(0x9E3779B1) ^ cols * jnp.uint32(0x85EBCA77) ^ base
+    # murmur3 fmix32
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
     threshold = jnp.uint32(min(int(keep_prob * (2**32)), 2**32 - 1))
-    return bits < threshold
+    return x < threshold
 
 
 def _fwd_kernel(
@@ -228,7 +239,8 @@ def _fwd_kernel(
 
         if dropout_p > 0.0:
             keep = _dropout_keep_mask(
-                seed_ref, b, h, qi, ki, p.shape, 1.0 - dropout_p
+                seed_ref, b, h, qi * block_q, ki * block_kv, p.shape,
+                1.0 - dropout_p,
             )
             p = jnp.where(keep, p, 0.0)
 

@@ -5,12 +5,14 @@ flash_attn_tpu.kernels.common.interpret_mode). Sharding/parallelism tests use
 the 8 virtual CPU devices — the JAX answer to the reference's
 torchrun-launched multi-GPU tests (tests/models/test_gpt_parallel.py:22-43),
 with no real hardware needed.
+
+Note: the environment may pre-register an accelerator platform and pin
+JAX_PLATFORMS; `jax.config.update` below overrides it unconditionally —
+env-var setdefault is not enough.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +21,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

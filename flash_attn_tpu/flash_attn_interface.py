@@ -35,6 +35,7 @@ __all__ = [
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
+    "flash_attn_with_kvcache",
 ]
 
 
@@ -249,3 +250,125 @@ def flash_attn_kvpacked_func(
         q, k, v, dropout_p, softmax_scale, causal, window_size, softcap,
         alibi_slopes, deterministic, return_attn_probs, **kwargs
     )
+
+
+def flash_attn_with_kvcache(
+    q: jnp.ndarray,        # (b, sq, h, d)
+    k_cache: jnp.ndarray,  # (b, smax, hk, d) | paged (npages, page, hk, d)
+    v_cache: jnp.ndarray,
+    k: Optional[jnp.ndarray] = None,  # (b, snew, hk, d) to append
+    v: Optional[jnp.ndarray] = None,
+    rotary_cos: Optional[jnp.ndarray] = None,  # (smax_rot, rot/2)
+    rotary_sin: Optional[jnp.ndarray] = None,
+    cache_seqlens: Optional[jnp.ndarray] = None,  # (b,) lengths BEFORE append
+    cache_batch_idx: Optional[jnp.ndarray] = None,
+    cache_leftpad: Optional[jnp.ndarray] = None,
+    block_table: Optional[jnp.ndarray] = None,  # (b, max_pages)
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = False,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    num_splits: int = 0,  # accepted for parity; TPU grids are sequential
+    return_softmax_lse: bool = False,
+    *,
+    sink: Optional[jnp.ndarray] = None,
+    sink_token_length: int = 0,
+    layout: str = "bshd",
+    block_kv: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Decode-step attention over a (paged) KV cache; analog of the reference
+    `flash_attn_with_kvcache` (flash_attn/flash_attn_interface.py:1477 ->
+    mha_fwd_kvcache, csrc/flash_attn/flash_api.cpp:1309).
+
+    JAX is functional, so instead of mutating the caches in place this
+    returns them: `out[, lse][, (k_cache, v_cache)]` — the cache pair is
+    appended to the return value whenever `k`/`v` are given. Donate the cache
+    buffers into the surrounding jit to get true in-place updates.
+
+    `layout="bshd"` matches the reference tensor layouts; `layout="bhsd"`
+    takes caches in the TPU-native (b, hk, s, d) / (npages, hk, page, d)
+    layout with no transposes (used by the model runtime).
+    """
+    del num_splits
+    from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+    from flash_attn_tpu.ops.rotary import apply_rotary_emb
+    from flash_attn_tpu.runtime.kv_cache import (
+        update_kv_cache,
+        update_paged_kv_cache,
+    )
+
+    paged = block_table is not None
+    if layout == "bshd":
+        if paged:
+            kc = k_cache.transpose(0, 2, 1, 3)  # (npages, hk, page, d)
+            vc = v_cache.transpose(0, 2, 1, 3)
+        else:
+            kc = k_cache.transpose(0, 2, 1, 3)  # (b, hk, smax, d)
+            vc = v_cache.transpose(0, 2, 1, 3)
+    elif layout == "bhsd":
+        kc, vc = k_cache, v_cache
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+    batch, sq = q.shape[0], q.shape[1]
+    if cache_seqlens is None:
+        smax = kc.shape[2] if not paged else kc.shape[2] * block_table.shape[1]
+        cache_seqlens = jnp.full((batch,), smax - (0 if k is None else k.shape[1]),
+                                 jnp.int32)
+    elif jnp.ndim(cache_seqlens) == 0:
+        cache_seqlens = jnp.full((batch,), cache_seqlens, jnp.int32)
+    cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
+
+    if rotary_cos is not None:
+        q = apply_rotary_emb(
+            q, rotary_cos, rotary_sin,
+            interleaved=rotary_interleaved, seqlen_offsets=cache_seqlens,
+        )
+        if k is not None:
+            k = apply_rotary_emb(
+                k, rotary_cos, rotary_sin,
+                interleaved=rotary_interleaved, seqlen_offsets=cache_seqlens,
+            )
+
+    appended = k is not None
+    if appended:
+        if paged:
+            kc, vc = update_paged_kv_cache(
+                kc, vc, k, v, cache_seqlens, block_table
+            )
+        else:
+            kc, vc = update_kv_cache(
+                kc, vc, k, v, cache_seqlens, cache_batch_idx=cache_batch_idx
+            )
+        total = cache_seqlens + k.shape[1]
+    else:
+        total = cache_seqlens
+
+    out, lse = flash_attention_decode(
+        q, kc, vc, total,
+        block_table=block_table,
+        cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad,
+        alibi_slopes=alibi_slopes,
+        sink=sink,
+        softmax_scale=softmax_scale,
+        causal=causal or sq == 1,
+        window_left=int(window_size[0]),
+        sink_token_length=sink_token_length,
+        softcap=softcap,
+        block_kv=block_kv,
+        interpret=interpret,
+    )
+
+    ret = [out]
+    if return_softmax_lse:
+        ret.append(lse)
+    if appended:
+        if layout == "bshd":
+            ret.append((kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3)))
+        else:
+            ret.append((kc, vc))
+    return ret[0] if len(ret) == 1 else tuple(ret)

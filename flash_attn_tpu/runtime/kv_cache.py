@@ -1,0 +1,105 @@
+"""KV-cache containers and functional append.
+
+The reference appends new K/V inside the decode kernel (`knew_ptr`,
+csrc/flash_attn/flash_api.cpp:1309 + Append_KV switch,
+flash_fwd_launch_template.h:114). On TPU the idiomatic equivalent is a
+functional `dynamic_update_slice` / scatter that XLA performs in place when
+the cache buffer is donated into the jitted decode step — same zero-copy
+semantics, no kernel complexity.
+
+Native cache layout is (batch, kv_heads, max_seqlen, head_dim) — contiguous
+(seqlen, head_dim) tiles per head, the DMA-friendly layout for the decode
+kernel. Paged caches are (num_pages, kv_heads, page_size, head_dim) with a
+(batch, max_pages) int32 block table (maps hopper/paged_kv.h).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def update_kv_cache(
+    k_cache: jnp.ndarray,  # (b, hk, smax, d)
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,    # (b, snew, hk, d)
+    v_new: jnp.ndarray,
+    cache_seqlens: jnp.ndarray,  # (b,) int32 — lengths BEFORE append
+    *,
+    cache_batch_idx: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Append new tokens at each sequence's current length. Returns updated
+    (k_cache, v_cache). Donate the caches into the enclosing jit for true
+    in-place updates."""
+    kn = k_new.transpose(0, 2, 1, 3)  # (b, hk, snew, d)
+    vn = v_new.transpose(0, 2, 1, 3)
+    batch = kn.shape[0]
+    bidx = (
+        jnp.asarray(cache_batch_idx, jnp.int32)
+        if cache_batch_idx is not None
+        else jnp.arange(batch, dtype=jnp.int32)
+    )
+
+    def upd_one(cache, new, row, start):
+        # cache: (hk, smax, d); new: (hk, snew, d)
+        return jax.lax.dynamic_update_slice(cache, new, (0, start, 0))
+
+    def upd(cache, new):
+        updated = jax.vmap(
+            lambda i: upd_one(cache[bidx[i]], new[i], bidx[i], cache_seqlens[i])
+        )(jnp.arange(batch))
+        return cache.at[bidx].set(updated)
+
+    return upd(k_cache, kn), upd(v_cache, vn)
+
+
+def update_paged_kv_cache(
+    k_pages: jnp.ndarray,  # (npages, hk, page_size, d)
+    v_pages: jnp.ndarray,
+    k_new: jnp.ndarray,    # (b, snew, hk, d)
+    v_new: jnp.ndarray,
+    cache_seqlens: jnp.ndarray,  # (b,) lengths BEFORE append
+    block_table: jnp.ndarray,    # (b, max_pages) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter new tokens into their pages. Returns updated page pools."""
+    b, snew, hk, d = k_new.shape
+    page_size = k_pages.shape[2]
+    pos = cache_seqlens[:, None] + jnp.arange(snew)[None, :]  # (b, snew)
+    page_idx = jnp.take_along_axis(
+        block_table, pos // page_size, axis=1
+    )  # (b, snew)
+    slot = pos % page_size
+
+    kn = k_new.transpose(0, 1, 2, 3).reshape(b * snew, hk, d)
+    vn = v_new.reshape(b * snew, hk, d)
+    pi = page_idx.reshape(-1)
+    si = slot.reshape(-1)
+    k_pages = k_pages.at[pi, :, si, :].set(kn)
+    v_pages = v_pages.at[pi, :, si, :].set(vn)
+    return k_pages, v_pages
+
+
+def allocate_kv_cache(
+    batch: int,
+    max_seqlen: int,
+    num_heads_kv: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contiguous cache pair in native (b, hk, s, d) layout (maps
+    flash_attn/utils/generation.py:589 allocate_inference_cache)."""
+    shape = (batch, num_heads_kv, max_seqlen, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def allocate_paged_kv_cache(
+    num_pages: int,
+    page_size: int,
+    num_heads_kv: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (num_pages, num_heads_kv, page_size, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

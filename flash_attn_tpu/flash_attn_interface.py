@@ -372,3 +372,187 @@ def flash_attn_with_kvcache(
         else:
             ret.append((kc, vc))
     return ret[0] if len(ret) == 1 else tuple(ret)
+
+
+# ---------------------------------------------------------------------------
+# Varlen API (reference flash_attn_varlen_func, flash_attn_interface.py:1260).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _VarlenConfig:
+    softmax_scale: Optional[float]
+    causal: bool
+    window_size: Tuple[int, int]
+    softcap: float
+    block_q: int
+    block_kv: int
+    interpret: Optional[bool]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_attn_varlen_core(tensors: dict, config: _VarlenConfig):
+    return _varlen_fwd(tensors, config)
+
+
+def _varlen_fwd(tensors, config):
+    from flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen_fwd
+
+    return flash_attention_varlen_fwd(
+        tensors["q"], tensors["k"], tensors["v"],
+        tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
+        seqused_k=tensors.get("seqused_k"),
+        alibi_slopes=tensors.get("alibi_slopes"),
+        softmax_scale=config.softmax_scale,
+        causal=config.causal,
+        window_size=config.window_size,
+        softcap=config.softcap,
+        block_q=config.block_q,
+        block_kv=config.block_kv,
+        interpret=config.interpret,
+    )
+
+
+def _varlen_fwd_vjp(tensors, config):
+    out, lse = _varlen_fwd(tensors, config)
+    return (out, lse), (tensors, out, lse)
+
+
+def _varlen_bwd_vjp(config, residuals, cotangents):
+    from flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen_bwd
+
+    tensors, out, lse = residuals
+    do, _ = cotangents
+    dq, dk, dv = flash_attention_varlen_bwd(
+        tensors["q"], tensors["k"], tensors["v"], out, lse, do,
+        tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
+        seqused_k=tensors.get("seqused_k"),
+        alibi_slopes=tensors.get("alibi_slopes"),
+        softmax_scale=config.softmax_scale,
+        causal=config.causal,
+        window_size=config.window_size,
+        softcap=config.softcap,
+        block_q=config.block_q,
+        block_kv=config.block_kv,
+        interpret=config.interpret,
+    )
+    grads = {}
+    for name, val in tensors.items():
+        if name == "q":
+            grads[name] = dq
+        elif name == "k":
+            grads[name] = dk
+        elif name == "v":
+            grads[name] = dv
+        else:
+            grads[name] = _zero_cotangent(val)
+    return (grads,)
+
+
+_flash_attn_varlen_core.defvjp(_varlen_fwd_vjp, _varlen_bwd_vjp)
+
+
+def flash_attn_varlen_func(
+    q: jnp.ndarray,  # (total_q, h, d)
+    k: jnp.ndarray,  # (total_k, hk, d)
+    v: jnp.ndarray,
+    cu_seqlens_q: jnp.ndarray,  # (nseq+1,) int32
+    cu_seqlens_k: jnp.ndarray,
+    max_seqlen_q: Optional[int] = None,  # accepted for parity (static on TPU)
+    max_seqlen_k: Optional[int] = None,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    *,
+    seqused_k: Optional[jnp.ndarray] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Packed variable-length attention; analog of the reference
+    `flash_attn_varlen_func` (flash_attn/flash_attn_interface.py:1260,
+    vllm_flash_attn/flash_attn_interface.py:136).
+
+    Tensors are packed along one token axis; cu_seqlens give sequence
+    boundaries. Bottom-right-aligned causal masking per sequence, seqused_k
+    truncation, GQA, sliding windows, softcap, and ALiBi are supported.
+    Dropout in the varlen path is not yet implemented (raises).
+    """
+    del max_seqlen_q, max_seqlen_k, deterministic
+    if dropout_p > 0.0:
+        raise NotImplementedError("varlen dropout not yet implemented on TPU")
+    tensors = {
+        "q": q, "k": k, "v": v,
+        "cu_seqlens_q": jnp.asarray(cu_seqlens_q, jnp.int32),
+        "cu_seqlens_k": jnp.asarray(cu_seqlens_k, jnp.int32),
+    }
+    if seqused_k is not None:
+        tensors["seqused_k"] = jnp.asarray(seqused_k, jnp.int32)
+    if alibi_slopes is not None:
+        tensors["alibi_slopes"] = jnp.asarray(alibi_slopes, jnp.float32)
+    config = _VarlenConfig(
+        softmax_scale=None if softmax_scale is None else float(softmax_scale),
+        causal=bool(causal),
+        window_size=tuple(int(w) for w in window_size),
+        softcap=float(softcap),
+        block_q=int(block_q),
+        block_kv=int(block_kv),
+        interpret=interpret,
+    )
+    out, lse = _flash_attn_varlen_core(tensors, config)
+    if return_attn_probs:
+        return out, lse, None
+    return out
+
+
+def flash_attn_varlen_qkvpacked_func(
+    qkv: jnp.ndarray,  # (total, 3, h, d)
+    cu_seqlens: jnp.ndarray,
+    max_seqlen: Optional[int] = None,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    **kwargs,
+):
+    """Reference flash_attn_varlen_qkvpacked_func (flash_attn_interface.py:1180)."""
+    return flash_attn_varlen_func(
+        qkv[:, 0], qkv[:, 1], qkv[:, 2], cu_seqlens, cu_seqlens,
+        max_seqlen, max_seqlen, dropout_p, softmax_scale, causal,
+        window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
+        **kwargs,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,  # (total_k, 2, hk, d)
+    cu_seqlens_q: jnp.ndarray,
+    cu_seqlens_k: jnp.ndarray,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    **kwargs,
+):
+    """Reference flash_attn_varlen_kvpacked_func (flash_attn_interface.py:1220)."""
+    return flash_attn_varlen_func(
+        q, kv[:, 0], kv[:, 1], cu_seqlens_q, cu_seqlens_k,
+        max_seqlen_q, max_seqlen_k, dropout_p, softmax_scale, causal,
+        window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
+        **kwargs,
+    )

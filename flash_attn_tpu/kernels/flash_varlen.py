@@ -1,0 +1,712 @@
+"""Pallas TPU varlen flash-attention (packed sequences, fwd + bwd).
+
+TPU-native replacement for the reference varlen path (`mha_varlen_fwd`,
+csrc/flash_attn/flash_api.cpp:563; varlen offsets `BlockInfo`
+csrc/flash_attn/src/block_info.h:13; FA3 seqlen resolution hopper/seqlen.h).
+
+Design (SURVEY.md hard-part #6, build-plan stage 3):
+  * Sequences are packed into one (total_tokens, ...) axis — the reference's
+    cu_seqlens layout — and stay packed on TPU: no padding to max_seqlen.
+  * Per-token int32 metadata (segment id, bottom-right-adjusted position)
+    gives exact per-sequence causal/window/alibi masking inside a tile even
+    when a tile spans a sequence boundary.
+  * A host-side planner (`make_varlen_metadata`) computes per-q-block
+    [min,max] kv-block visibility bounds — the static-shape analog of the
+    reference's GPU-side prepare-scheduler (hopper/flash_prepare_scheduler.cu:43).
+    The bounds ride scalar prefetch; BlockSpec index_maps clamp with them so
+    the HBM->VMEM DMAs of skipped tiles are elided.
+  * The backward uses the same two-kernel deterministic structure as the
+    dense path (flash_bwd.py) with inverse per-kv-block q bounds.
+
+seqused_k (reference seqused_k arg) truncates each sequence's visible keys;
+the bottom-right diagonal then aligns to the used length, matching
+hopper/seqlen.h:36-59.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    cdiv,
+    interpret_mode,
+    pad_to_block,
+    round_up,
+)
+
+_MASK2 = DEFAULT_MASK_VALUE
+
+
+# ---------------------------------------------------------------------------
+# Host-side planner (the prepare-scheduler analog).
+# ---------------------------------------------------------------------------
+
+def make_varlen_metadata(
+    cu_seqlens_q: jnp.ndarray,  # (nseq+1,) int32
+    cu_seqlens_k: jnp.ndarray,
+    total_q: int,
+    total_k: int,
+    *,
+    seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) visible k per seq
+    block_q: int,
+    block_kv: int,
+    causal: bool,
+    window: Tuple[int, int],
+):
+    """Returns (qseg, qpos_adj, kseg, kpos, kvmin, kvmax, qmin, qmax).
+
+    qseg/kseg: (total,) segment id per token (-1/-2 for tail padding).
+    qpos_adj:  per-q-token position shifted by (used_k_j - seqlen_q_j) so the
+               bottom-right causal test is simply kpos <= qpos_adj.
+    kvmin/kvmax: per-q-block kv-block visibility bounds (fwd + dq grids).
+    qmin/qmax:   per-kv-block q-block bounds (dkv grid).
+    All jnp ops — usable under jit with traced cu_seqlens.
+    """
+    left, right = window
+    nqb = cdiv(total_q, block_q)
+    nkb = cdiv(total_k, block_kv)
+    tqp = nqb * block_q
+    tkp = nkb * block_kv
+
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    nseq = cu_q.shape[0] - 1
+    sq_len = cu_q[1:] - cu_q[:-1]  # (nseq,)
+    sk_len = cu_k[1:] - cu_k[:-1]
+    used_k = (
+        jnp.asarray(seqused_k, jnp.int32) if seqused_k is not None else sk_len
+    )
+
+    qidx = jnp.arange(tqp, dtype=jnp.int32)
+    kidx = jnp.arange(tkp, dtype=jnp.int32)
+    # searchsorted gives segment of each token; padding tail -> last+1.
+    qseg = jnp.searchsorted(cu_q, qidx, side="right").astype(jnp.int32) - 1
+    kseg = jnp.searchsorted(cu_k, kidx, side="right").astype(jnp.int32) - 1
+    qseg = jnp.where(qidx < total_q, qseg, -1)
+    kseg = jnp.where(kidx < total_k, kseg, -2)
+
+    qseg_c = jnp.clip(qseg, 0, nseq - 1)
+    kseg_c = jnp.clip(kseg, 0, nseq - 1)
+    qpos = qidx - cu_q[qseg_c]
+    kpos = kidx - cu_k[kseg_c]
+    # seqused_k: keys at pos >= used are invisible.
+    kseg = jnp.where(kpos < used_k[kseg_c], kseg, -2)
+    offset = used_k - sq_len  # bottom-right alignment per sequence
+    qpos_adj = qpos + offset[qseg_c]
+
+    # ---- per-q-block kv bounds ----
+    qb = jnp.arange(nqb, dtype=jnp.int32)
+    r_first = jnp.minimum(qb * block_q, total_q - 1)
+    r_last = jnp.minimum(qb * block_q + block_q - 1, total_q - 1)
+    jf = qseg_c[r_first]
+    jl = qseg_c[r_last]
+    if causal or right >= 0:
+        r = 0 if (causal and right < 0) else right
+        kmax_g = cu_k[jl] + jnp.clip(
+            qpos_adj[r_last] + r, 0, jnp.maximum(used_k[jl] - 1, 0)
+        )
+    else:
+        kmax_g = cu_k[jl] + jnp.maximum(used_k[jl] - 1, 0)
+    if left >= 0:
+        kmin_g = cu_k[jf] + jnp.clip(
+            qpos_adj[r_first] - left, 0, jnp.maximum(used_k[jf] - 1, 0)
+        )
+    else:
+        kmin_g = cu_k[jf]
+    kvmax = jnp.clip(kmax_g // block_kv, 0, nkb - 1)
+    kvmin = jnp.clip(kmin_g // block_kv, 0, nkb - 1)
+    kvmin = jnp.minimum(kvmin, kvmax)
+
+    # ---- per-kv-block q bounds (for the dkv grid) ----
+    kb = jnp.arange(nkb, dtype=jnp.int32)
+    c_first = jnp.minimum(kb * block_kv, total_k - 1)
+    c_last = jnp.minimum(kb * block_kv + block_kv - 1, total_k - 1)
+    jkf = kseg_c[c_first]
+    jkl = kseg_c[c_last]
+    if causal or right >= 0:
+        r = 0 if (causal and right < 0) else right
+        # first q row with qpos_adj + r >= kpos(c_first)
+        qmin_g = cu_q[jkf] + jnp.clip(
+            kpos[c_first] - offset[jkf] - r, 0, sq_len[jkf]
+        )
+    else:
+        qmin_g = cu_q[jkf]
+    if left >= 0:
+        qmax_g = cu_q[jkl] + jnp.clip(
+            kpos[c_last] + left - offset[jkl], 0, jnp.maximum(sq_len[jkl] - 1, 0)
+        )
+    else:
+        qmax_g = jnp.minimum(cu_q[jkl + 1], total_q) - 1
+    qmax = jnp.clip(qmax_g // block_q, 0, nqb - 1)
+    qmin = jnp.clip(qmin_g // block_q, 0, nqb - 1)
+    qmin = jnp.minimum(qmin, qmax)
+
+    return (
+        qseg[:, None], qpos_adj[:, None], kseg[:, None], kpos[:, None],
+        kvmin, kvmax, qmin, qmax,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared tile math.
+# ---------------------------------------------------------------------------
+
+def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi):
+    """Element mask + relative distance for a (bq, bkv) tile from per-token
+    metadata columns ((bq,1) and (bkv,1))."""
+    left, right = window
+    seg_ok = qseg == kseg.T  # (bq, bkv)
+    mask = seg_ok
+    rel = kpos.T - qpos  # (bq, bkv): kpos - qpos_adj
+    if causal or right >= 0:
+        r = 0 if (causal and right < 0) else right
+        mask = jnp.logical_and(mask, rel <= r)
+    if left >= 0:
+        mask = jnp.logical_and(mask, rel >= -left)
+    return mask, rel
+
+
+def _varlen_fwd_kernel(
+    kvmin_ref, kvmax_ref,  # scalar prefetch
+    *refs,
+    block_q: int, block_kv: int, num_kv_blocks: int,
+    scale: float, causal: bool, window: Tuple[int, int],
+    softcap: float, group_size: int,
+    has_alibi: bool, out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    qseg_ref = refs[idx]; idx += 1
+    qpos_ref = refs[idx]; idx += 1
+    kseg_ref = refs[idx]; idx += 1
+    kpos_ref = refs[idx]; idx += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    m_scr = refs[idx]; idx += 1
+    l_scr = refs[idx]; idx += 1
+    acc_scr = refs[idx]; idx += 1
+
+    h = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = jnp.logical_and(ki >= kvmin_ref[qi], ki <= kvmax_ref[qi])
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if softcap > 0.0:
+            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+        else:
+            s2 = s * (scale * LOG2E)
+
+        qseg = qseg_ref[...]  # (bq, 1)
+        qpos = qpos_ref[...]
+        kseg = kseg_ref[...]  # (bkv, 1)
+        kpos = kpos_ref[...]
+        mask, rel = _tile_mask(
+            qseg, qpos, kseg, kpos,
+            causal=causal, window=window, has_alibi=has_alibi,
+        )
+        if has_alibi:
+            slope2 = slopes_ref[0, h] * LOG2E
+            s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+
+        s2 = jnp.where(mask, s2, _MASK2)
+        m_prev = m_scr[...]
+        m_cur = jnp.max(s2, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        kv_rep = s2.shape[1] // m_next.shape[1]
+        m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
+        p = jnp.exp2(s2 - m_full)
+        p = jnp.where(mask, p, 0.0)
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        v = v_ref[0]
+        d_rep = acc_scr.shape[1] // alpha.shape[1]
+        alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
+        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        m = m_scr[...][:, 0:1]
+        l = l_scr[...][:, 0:1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(out_dtype)
+        lse_ref[0] = jnp.where(
+            l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
+        )
+
+
+def _varlen_recompute(
+    q, k, v, do, lse2, delta,
+    qseg, qpos, kseg, kpos, slopes_ref, h,
+    *, scale, causal, window, softcap, has_alibi,
+):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if softcap > 0.0:
+        t = jnp.tanh(s * (scale / softcap))
+        s2 = t * (softcap * LOG2E)
+    else:
+        t = None
+        s2 = s * (scale * LOG2E)
+    mask, rel = _tile_mask(
+        qseg, qpos, kseg, kpos, causal=causal, window=window, has_alibi=has_alibi
+    )
+    if has_alibi:
+        slope2 = slopes_ref[0, h] * LOG2E
+        s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+    p = jnp.exp2(s2 - lse2)
+    p = jnp.where(mask, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    if softcap > 0.0:
+        ds = ds * ((1.0 - t * t) * scale)
+    else:
+        ds = ds * scale
+    return p, ds
+
+
+def _varlen_dkv_kernel(
+    qmin_ref, qmax_ref,
+    *refs,
+    block_q: int, block_kv: int, num_q_blocks: int,
+    scale: float, causal: bool, window: Tuple[int, int],
+    softcap: float, has_alibi: bool,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    qseg_ref = refs[idx]; idx += 1
+    qpos_ref = refs[idx]; idx += 1
+    kseg_ref = refs[idx]; idx += 1
+    kpos_ref = refs[idx]; idx += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    dk_ref = refs[idx]; idx += 1
+    dv_ref = refs[idx]; idx += 1
+    dk_scr = refs[idx]; idx += 1
+    dv_scr = refs[idx]; idx += 1
+
+    h = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    should_run = jnp.logical_and(qi >= qmin_ref[ki], qi <= qmax_ref[ki])
+
+    @pl.when(should_run)
+    def _body():
+        p, ds = _varlen_recompute(
+            q_ref[0], k_ref[0], v_ref[0],
+            do_ref[0].astype(jnp.float32),
+            lse_ref[0] * LOG2E, delta_ref[0],
+            qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
+            slopes_ref, h,
+            scale=scale, causal=causal, window=window,
+            softcap=softcap, has_alibi=has_alibi,
+        )
+        dv_scr[...] += jax.lax.dot_general(
+            p, do_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...]
+        dv_ref[0] = dv_scr[...]
+
+
+def _varlen_dq_kernel(
+    kvmin_ref, kvmax_ref,
+    *refs,
+    block_q: int, block_kv: int, num_kv_blocks: int,
+    scale: float, causal: bool, window: Tuple[int, int],
+    softcap: float, has_alibi: bool, out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    qseg_ref = refs[idx]; idx += 1
+    qpos_ref = refs[idx]; idx += 1
+    kseg_ref = refs[idx]; idx += 1
+    kpos_ref = refs[idx]; idx += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    dq_ref = refs[idx]; idx += 1
+    dq_scr = refs[idx]; idx += 1
+
+    h = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    should_run = jnp.logical_and(ki >= kvmin_ref[qi], ki <= kvmax_ref[qi])
+
+    @pl.when(should_run)
+    def _body():
+        _, ds = _varlen_recompute(
+            q_ref[0], k_ref[0], v_ref[0],
+            do_ref[0].astype(jnp.float32),
+            lse_ref[0] * LOG2E, delta_ref[0],
+            qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
+            slopes_ref, h,
+            scale=scale, causal=causal, window=window,
+            softcap=softcap, has_alibi=has_alibi,
+        )
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers.
+# ---------------------------------------------------------------------------
+
+def _prep_packed(x, axis_block, d_pad):
+    # (total, h, d) -> (h, total_pad, d_pad)
+    x = x.transpose(1, 0, 2)
+    return pad_to_block(pad_to_block(x, 2, d_pad), 1, axis_block)
+
+
+def flash_attention_varlen_fwd(
+    q: jnp.ndarray,  # (total_q, h, d)
+    k: jnp.ndarray,  # (total_k, hk, d)
+    v: jnp.ndarray,
+    cu_seqlens_q: jnp.ndarray,
+    cu_seqlens_k: jnp.ndarray,
+    *,
+    seqused_k: Optional[jnp.ndarray] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q))."""
+    total_q, num_heads, head_dim = q.shape
+    total_k, num_heads_kv, _ = k.shape
+    group_size = num_heads // num_heads_kv
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = interpret_mode()
+    window = (int(window_size[0]), int(window_size[1]))
+    out_dtype = q.dtype
+
+    nqb = cdiv(total_q, block_q)
+    nkb = cdiv(total_k, block_kv)
+    d_pad = round_up(head_dim, NUM_LANES)
+
+    (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _) = make_varlen_metadata(
+        cu_seqlens_q, cu_seqlens_k, total_q, total_k,
+        seqused_k=seqused_k, block_q=block_q, block_kv=block_kv,
+        causal=causal, window=window,
+    )
+
+    qp = _prep_packed(q, block_q, d_pad)
+    kp = _prep_packed(k, block_kv, d_pad)
+    vp = _prep_packed(v, block_kv, d_pad)
+
+    def clamp_kv(h, qi, ki, kvmin_ref, kvmax_ref):
+        return jnp.clip(ki, kvmin_ref[qi], kvmax_ref[qi])
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+        pl.BlockSpec(
+            (1, block_kv, d_pad),
+            lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
+        ),
+        pl.BlockSpec(
+            (1, block_kv, d_pad),
+            lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
+        ),
+        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx: (qi, 0)),
+        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx: (qi, 0)),
+        pl.BlockSpec(
+            (block_kv, 1), lambda h, qi, ki, mn, mx: (clamp_kv(h, qi, ki, mn, mx), 0)
+        ),
+        pl.BlockSpec(
+            (block_kv, 1), lambda h, qi, ki, mn, mx: (clamp_kv(h, qi, ki, mn, mx), 0)
+        ),
+    ]
+    args = [qp, kp, vp, qseg, qpos, kseg, kpos]
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        assert slopes.ndim == 1, "varlen alibi supports per-head slopes"
+        slopes = slopes[None, :]
+        in_specs.append(
+            pl.BlockSpec(
+                slopes.shape, lambda h, qi, ki, mn, mx: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        args.append(slopes)
+
+    kernel = functools.partial(
+        _varlen_fwd_kernel,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
+        scale=float(softmax_scale), causal=causal, window=window,
+        softcap=float(softcap), group_size=group_size,
+        has_alibi=has_alibi, out_dtype=out_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_heads, nqb, nkb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((num_heads, nqb * block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvmin, kvmax, *args)
+
+    out = out[:, :total_q, :head_dim].transpose(1, 0, 2)
+    lse = lse[:, :total_q, 0]
+    return out, lse
+
+
+def flash_attention_varlen_bwd(
+    q, k, v, out, lse, do,
+    cu_seqlens_q, cu_seqlens_k,
+    *,
+    seqused_k: Optional[jnp.ndarray] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Packed varlen backward: returns (dq, dk, dv) in packed layout."""
+    total_q, num_heads, head_dim = q.shape
+    total_k, num_heads_kv, _ = k.shape
+    group_size = num_heads // num_heads_kv
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = interpret_mode()
+    window = (int(window_size[0]), int(window_size[1]))
+    out_dtype = q.dtype
+
+    nqb = cdiv(total_q, block_q)
+    nkb = cdiv(total_k, block_kv)
+    d_pad = round_up(head_dim, NUM_LANES)
+
+    (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax) = make_varlen_metadata(
+        cu_seqlens_q, cu_seqlens_k, total_q, total_k,
+        seqused_k=seqused_k, block_q=block_q, block_kv=block_kv,
+        causal=causal, window=window,
+    )
+
+    qp = _prep_packed(q, block_q, d_pad)
+    kp = _prep_packed(k, block_kv, d_pad)
+    vp = _prep_packed(v, block_kv, d_pad)
+    dop = _prep_packed(do, block_q, d_pad)
+    # lse: (h, total_q) -> (h, tqp, 1); delta likewise.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(1, 0)  # (h, total_q)
+    lsep = pad_to_block(lse, 1, block_q)[..., None]
+    deltap = pad_to_block(delta, 1, block_q)[..., None]
+
+    has_alibi = alibi_slopes is not None
+    slopes = None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)[None, :]
+
+    def specs_for(clamp_q, clamp_kv):
+        specs = [
+            pl.BlockSpec((1, block_q, d_pad),
+                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_kv, d_pad),
+                         lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_kv, d_pad),
+                         lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_q, d_pad),
+                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((block_q, 1),
+                         lambda h, i, j, a, b: (clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((block_q, 1),
+                         lambda h, i, j, a, b: (clamp_q(i, j, a, b), 0)),
+            pl.BlockSpec((block_kv, 1),
+                         lambda h, i, j, a, b: (clamp_kv(i, j, a, b), 0)),
+            pl.BlockSpec((block_kv, 1),
+                         lambda h, i, j, a, b: (clamp_kv(i, j, a, b), 0)),
+        ]
+        if has_alibi:
+            specs.append(
+                pl.BlockSpec(slopes.shape, lambda h, i, j, a, b: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+        return specs
+
+    base_args = [qp, kp, vp, dop, lsep, deltap, qseg, qpos, kseg, kpos]
+    if has_alibi:
+        base_args.append(slopes)
+
+    # ---- dK/dV: grid (h, kv, q) ----
+    dkv_kernel = functools.partial(
+        _varlen_dkv_kernel,
+        block_q=block_q, block_kv=block_kv, num_q_blocks=nqb,
+        scale=float(softmax_scale), causal=causal, window=window,
+        softcap=float(softcap), has_alibi=has_alibi,
+    )
+    dkv_specs = specs_for(
+        clamp_q=lambda ki, qi, mn, mx: jnp.clip(qi, mn[ki], mx[ki]),
+        clamp_kv=lambda ki, qi, mn, mx: ki,
+    )
+    dk_gh, dv_gh = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_heads, nkb, nqb),
+            in_specs=dkv_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
+                pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, d_pad), jnp.float32),
+                pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_heads, nkb * block_kv, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, nkb * block_kv, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qmin, qmax, *base_args)
+
+    dk_gh = dk_gh[:, :total_k, :head_dim]
+    dv_gh = dv_gh[:, :total_k, :head_dim]
+    if group_size > 1:
+        dk = dk_gh.reshape(num_heads_kv, group_size, total_k, head_dim).sum(1)
+        dv = dv_gh.reshape(num_heads_kv, group_size, total_k, head_dim).sum(1)
+    else:
+        dk, dv = dk_gh, dv_gh
+    dk = dk.transpose(1, 0, 2).astype(out_dtype)
+    dv = dv.transpose(1, 0, 2).astype(out_dtype)
+
+    # ---- dQ: grid (h, q, kv) ----
+    dq_kernel = functools.partial(
+        _varlen_dq_kernel,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
+        scale=float(softmax_scale), causal=causal, window=window,
+        softcap=float(softcap), has_alibi=has_alibi, out_dtype=out_dtype,
+    )
+    dq_specs = specs_for(
+        clamp_q=lambda qi, ki, mn, mx: qi,
+        clamp_kv=lambda qi, ki, mn, mx: jnp.clip(ki, mn[qi], mx[qi]),
+    )
+    (dq,) = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_heads, nqb, nkb),
+            in_specs=dq_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, a, b: (h, qi, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvmin, kvmax, *base_args)
+
+    dq = dq[:, :total_q, :head_dim].transpose(1, 0, 2)
+    return dq, dk, dv

@@ -1,0 +1,191 @@
+"""Varlen tests (reference tests/test_flash_attn.py::test_flash_attn_varlen_output
+:1172): pack a padded batch, run the packed kernel, unpack, and compare to
+the per-batch oracle under the relative-tolerance contract. Exercises fwd,
+bwd, GQA, cross-length (sq != sk), windows, seqused_k, and padding utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_varlen_func
+from flash_attn_tpu.utils.padding import pad_input, unpad_input
+from flash_attn_tpu.utils.testing import attention_ref
+
+
+def check(out, ref, pt, eps=1e-5, factor=2.0):
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    pt_err = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= factor * pt_err + eps, f"err={err} vs baseline={pt_err}"
+
+
+def make_varlen(key, lens_q, lens_k, h, hk, d, dtype=jnp.bfloat16):
+    b = len(lens_q)
+    sq, sk = max(lens_q), max(lens_k)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32).astype(dtype)
+    k = jax.random.normal(kk, (b, sk, hk, d), jnp.float32).astype(dtype)
+    v = jax.random.normal(kv, (b, sk, hk, d), jnp.float32).astype(dtype)
+    qmask = jnp.arange(sq)[None, :] < jnp.asarray(lens_q)[:, None]
+    kmask = jnp.arange(sk)[None, :] < jnp.asarray(lens_k)[:, None]
+    return q, k, v, qmask, kmask
+
+
+def pack_run_unpack(q, k, v, qmask, kmask, **kw):
+    b, sq = qmask.shape
+    q_p, qidx, cu_q, _, _ = unpad_input(q, qmask)
+    k_p, _, cu_k, _, _ = unpad_input(k, kmask)
+    v_p, _, _, _, _ = unpad_input(v, kmask)
+    out_p = flash_attn_varlen_func(q_p, k_p, v_p, cu_q, cu_k, **kw)
+    return pad_input(out_p, qidx, b, sq)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("hk,h", [(4, 4), (2, 8)])
+def test_varlen_output(causal, hk, h):
+    lens = [113, 64, 97]
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(0), lens, lens, h, hk, 64)
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=causal,
+                          block_q=128, block_kv=128)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal)
+    pt, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                          upcast=False, reorder_ops=True)
+    # Zero padded rows before comparing (padding garbage is unobservable).
+    out = jnp.where(qmask[:, :, None, None], out, 0.0)
+    check(out, ref, pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_cross_lengths(causal):
+    """sq != sk per sequence: bottom-right alignment must hold per-sequence."""
+    lens_q = [50, 37]
+    lens_k = [113, 71]
+    q, k, v, qmask, kmask = make_varlen(
+        jax.random.PRNGKey(1), lens_q, lens_k, 2, 2, 64
+    )
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=causal,
+                          block_q=128, block_kv=128)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal)
+    pt, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                          upcast=False, reorder_ops=True)
+    out = jnp.where(qmask[:, :, None, None], out, 0.0)
+    check(out, ref, pt)
+
+
+def test_varlen_window():
+    lens = [200, 150]
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(2), lens, lens, 2, 2, 64)
+    window = (32, 0)
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=True, window_size=window,
+                          block_q=128, block_kv=128)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=True, window_size=window)
+    pt, _ = attention_ref(q, k, v, qmask, kmask, causal=True, window_size=window,
+                          upcast=False, reorder_ops=True)
+    out = jnp.where(qmask[:, :, None, None], out, 0.0)
+    check(out, ref, pt)
+
+
+def test_varlen_seqused_k():
+    """seqused_k truncates visible keys per sequence (reference seqused_k,
+    vllm_flash_attn/flash_attn_interface.py:149)."""
+    lens = [128, 128]
+    used = jnp.array([100, 64], jnp.int32)
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(3), lens, lens, 2, 2, 64)
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=True, seqused_k=used,
+                          block_q=128, block_kv=128)
+    kmask_used = jnp.arange(128)[None, :] < used[:, None]
+    ref, _ = attention_ref(q, k, v, qmask, kmask_used, causal=True)
+    pt, _ = attention_ref(q, k, v, qmask, kmask_used, causal=True,
+                          upcast=False, reorder_ops=True)
+    out = jnp.where(qmask[:, :, None, None], out, 0.0)
+    check(out, ref, pt)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_bwd(causal):
+    lens = [113, 64]
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(4), lens, lens, 2, 2, 64)
+    g = jax.random.normal(jax.random.PRNGKey(5), q.shape, jnp.float32).astype(q.dtype)
+    g = jnp.where(qmask[:, :, None, None], g, 0.0)
+
+    def loss_kernel(q, k, v):
+        out = pack_run_unpack(q, k, v, qmask, kmask, causal=causal,
+                              block_q=128, block_kv=128)
+        out = jnp.where(qmask[:, :, None, None], out, 0.0)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v, upcast=True):
+        out, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                               upcast=upcast, reorder_ops=not upcast)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    grads = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    grads_pt = jax.grad(lambda a, b, c: loss_ref(a, b, c, upcast=False),
+                        argnums=(0, 1, 2))(q, k, v)
+    for name, a, r, p in zip(("dq", "dk", "dv"), grads, grads_ref, grads_pt):
+        # Padding-token grads are unobservable; zero them.
+        m = qmask if name == "dq" else kmask
+        a = jnp.where(m[:, :, None, None], a, 0.0)
+        r = jnp.where(m[:, :, None, None], r, 0.0)
+        p = jnp.where(m[:, :, None, None], p, 0.0)
+        err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        assert err <= 2.0 * base + 1e-4, f"{name}: err={err} base={base}"
+
+
+def test_varlen_gqa_bwd():
+    lens = [100, 60]
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(6), lens, lens, 4, 2, 64)
+    g = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.float32).astype(q.dtype)
+    g = jnp.where(qmask[:, :, None, None], g, 0.0)
+
+    def loss(q, k, v, fn):
+        out = fn(q, k, v)
+        out = jnp.where(qmask[:, :, None, None], out, 0.0)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    gk = jax.grad(
+        lambda q, k, v: loss(
+            q, k, v,
+            lambda a, b, c: pack_run_unpack(a, b, c, qmask, kmask, causal=True,
+                                            block_q=128, block_kv=128),
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: loss(
+            q, k, v, lambda a, b, c: attention_ref(a, b, c, qmask, kmask,
+                                                   causal=True)[0]
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gp = jax.grad(
+        lambda q, k, v: loss(
+            q, k, v,
+            lambda a, b, c: attention_ref(a, b, c, qmask, kmask, causal=True,
+                                          upcast=False, reorder_ops=True)[0],
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, r, p, m in zip(
+        ("dq", "dk", "dv"), gk, gr, gp, (qmask, kmask, kmask)
+    ):
+        a = jnp.where(m[:, :, None, None], a, 0.0)
+        r = jnp.where(m[:, :, None, None], r, 0.0)
+        p = jnp.where(m[:, :, None, None], p, 0.0)
+        err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        assert err <= 2.0 * base + 1e-4, f"{name}: err={err} base={base}"
+
+
+def test_pad_unpad_roundtrip():
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (3, 17, 4), jnp.float32)
+    lens = jnp.array([17, 5, 11])
+    mask = jnp.arange(17)[None, :] < lens[:, None]
+    packed, idx, cu, mx, seqlens = unpad_input(x, mask)
+    assert int(cu[-1]) == int(lens.sum())
+    assert int(mx) == 17
+    back = pad_input(packed[: int(cu[-1])], idx[: int(cu[-1])], 3, 17)
+    assert jnp.allclose(jnp.where(mask[:, :, None], x, 0.0), back)

@@ -1,0 +1,97 @@
+"""Transformer block (reference: flash_attn/modules/block.py:21 Block,
+:259 ParallelBlock).
+
+Pre/post-norm, fused dropout-add-norm semantics, fp32 residual stream, and
+the GPT-J/NeoX "parallel block" (attention and MLP on the same normalized
+input, single residual add). TP needs no separate class — sharding comes
+from parameter PartitionSpecs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flash_attn_tpu.modules.mha import MHA, InferenceParams
+from flash_attn_tpu.modules.mlp import GatedMlp, Mlp
+from flash_attn_tpu.ops.layer_norm import dropout_add_layer_norm
+
+
+class Block(nn.Module):
+    """Pre-norm (default) or post-norm block:
+      prenorm:  x' = x + drop(mixer(norm1(x))); x'' = x' + drop(mlp(norm2(x')))
+    with the residual stream optionally in fp32 (block.py:108 fused path).
+    """
+
+    dim: int
+    mixer: Callable[..., nn.Module]  # factory -> MHA-like module
+    mlp: Callable[..., nn.Module]    # factory -> Mlp-like module
+    norm_eps: float = 1e-5
+    prenorm: bool = True
+    resid_dropout1: float = 0.0
+    resid_dropout2: float = 0.0
+    residual_in_fp32: bool = True
+    rms_norm: bool = False
+    parallel_block: bool = False
+    parallel_block_tied_norm: bool = False
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.mixer_mod = self.mixer(name="mixer")
+        self.mlp_mod = self.mlp(name="mlp")
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        self.norm1 = norm_cls(epsilon=self.norm_eps, dtype=jnp.float32, name="norm1")
+        if not (self.parallel_block and self.parallel_block_tied_norm):
+            self.norm2 = norm_cls(epsilon=self.norm_eps, dtype=jnp.float32, name="norm2")
+        self.drop1 = nn.Dropout(self.resid_dropout1)
+        self.drop2 = nn.Dropout(self.resid_dropout2)
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        residual: Optional[jnp.ndarray] = None,
+        inference_params: Optional[InferenceParams] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        """prenorm: takes/returns (hidden_states, residual) with residual the
+        fp32 stream; postnorm: plain (hidden_states,). Mirrors block.py:108."""
+        if self.prenorm:
+            acc = jnp.float32 if self.residual_in_fp32 else hidden_states.dtype
+            hidden_states = self.drop1(hidden_states, deterministic=deterministic)
+            res = hidden_states.astype(acc) if residual is None else (
+                residual + hidden_states.astype(acc)
+            )
+            normed1 = self.norm1(res).astype(self.dtype)
+            if self.parallel_block:
+                normed2 = (
+                    normed1
+                    if self.parallel_block_tied_norm
+                    else self.norm2(res).astype(self.dtype)
+                )
+                attn_out = self.mixer_mod(
+                    normed1, inference_params=inference_params,
+                    deterministic=deterministic,
+                )
+                mlp_out = self.mlp_mod(normed2)
+                return attn_out + mlp_out, res
+            attn_out = self.mixer_mod(
+                normed1, inference_params=inference_params,
+                deterministic=deterministic,
+            )
+            attn_out = self.drop2(attn_out, deterministic=deterministic)
+            res = res + attn_out.astype(acc)
+            normed2 = self.norm2(res).astype(self.dtype)
+            mlp_out = self.mlp_mod(normed2)
+            return mlp_out, res
+        else:
+            attn_out = self.mixer_mod(
+                hidden_states, inference_params=inference_params,
+                deterministic=deterministic,
+            )
+            x = self.norm1(hidden_states + attn_out).astype(self.dtype)
+            mlp_out = self.mlp_mod(x)
+            return self.norm2(x + mlp_out).astype(self.dtype)

@@ -1,0 +1,201 @@
+"""Multi-head attention module (reference: flash_attn/modules/mha.py:373 MHA,
+:707 ParallelMHA).
+
+Differences by design (TPU-first):
+  * flax.linen instead of torch.nn; parameters are pytrees.
+  * Tensor parallelism is NOT a separate ParallelMHA class — the same module
+    runs sharded when its parameters carry PartitionSpecs from
+    flash_attn_tpu.parallel.sharding rules (Megatron column/row semantics:
+    Wqkv out-dim sharded, out_proj in-dim sharded; XLA GSPMD inserts the
+    collectives the reference issues by hand in ops/fused_dense.py:27-118).
+  * The decode fast path calls the native-layout KV-cache kernel
+    (flash_attn_with_kvcache analog) exactly like the reference's
+    _update_kv_cache + kvcache branch (mha.py:344,602).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flash_attn_tpu.flash_attn_interface import flash_attn_func
+from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+from flash_attn_tpu.layers.rotary import RotaryEmbedding
+from flash_attn_tpu.ops.rotary import apply_rotary_emb
+from flash_attn_tpu.runtime.kv_cache import update_kv_cache
+
+
+@dataclasses.dataclass
+class InferenceParams:
+    """KV-cache container for generation (reference
+    flash_attn/utils/generation.py:24). Caches are a dict
+    layer_idx -> (k_cache, v_cache) in native (b, hk, smax, d) layout."""
+
+    max_seqlen: int
+    max_batch_size: int
+    seqlen_offset: Any = 0  # int or (b,) int32
+    key_value_memory_dict: dict = dataclasses.field(default_factory=dict)
+    lengths_per_sample: Optional[jnp.ndarray] = None
+
+    def reset(self, max_seqlen, max_batch_size):
+        self.max_seqlen = max_seqlen
+        self.max_batch_size = max_batch_size
+        self.seqlen_offset = 0
+
+
+class MHA(nn.Module):
+    """Self/cross attention with fused QKV, rotary, GQA/MQA, sliding window,
+    ALiBi, softcap, and a KV-cache decode path."""
+
+    embed_dim: int
+    num_heads: int
+    num_heads_kv: Optional[int] = None
+    head_dim: Optional[int] = None  # default embed_dim // num_heads
+    cross_attn: bool = False
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    dropout: float = 0.0
+    softmax_scale: Optional[float] = None
+    causal: bool = False
+    window_size: Tuple[int, int] = (-1, -1)
+    softcap: float = 0.0
+    use_alibi: bool = False
+    rotary_emb_dim: int = 0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_interleaved: bool = False
+    dtype: Any = jnp.bfloat16
+    layer_idx: Optional[int] = None
+
+    def setup(self):
+        h = self.num_heads
+        hk = self.num_heads_kv if self.num_heads_kv is not None else h
+        assert h % hk == 0
+        d = (
+            self.head_dim
+            if self.head_dim is not None
+            else self.embed_dim // self.num_heads
+        )
+        self._h, self._hk, self._d = h, hk, d
+        qkv_dim = (h + 2 * hk) * d
+        if not self.cross_attn:
+            self.Wqkv = nn.Dense(
+                qkv_dim, use_bias=self.qkv_proj_bias, dtype=self.dtype,
+                name="Wqkv",
+            )
+        else:
+            self.Wq = nn.Dense(
+                h * d, use_bias=self.qkv_proj_bias, dtype=self.dtype, name="Wq"
+            )
+            self.Wkv = nn.Dense(
+                2 * hk * d, use_bias=self.qkv_proj_bias, dtype=self.dtype,
+                name="Wkv",
+            )
+        self.out_proj = nn.Dense(
+            self.embed_dim, use_bias=self.out_proj_bias, dtype=self.dtype,
+            name="out_proj",
+        )
+        if self.rotary_emb_dim > 0:
+            self.rotary = RotaryEmbedding(
+                self.rotary_emb_dim,
+                base=self.rotary_emb_base,
+                interleaved=self.rotary_emb_interleaved,
+            )
+        if self.use_alibi:
+            from flash_attn_tpu.kernels.common import default_alibi_slopes
+
+            self._alibi_slopes = default_alibi_slopes(h)
+        else:
+            self._alibi_slopes = None
+
+    def _split_qkv(self, qkv):
+        b, s, _ = qkv.shape
+        h, hk, d = self._h, self._hk, self._d
+        q = qkv[..., : h * d].reshape(b, s, h, d)
+        k = qkv[..., h * d : (h + hk) * d].reshape(b, s, hk, d)
+        v = qkv[..., (h + hk) * d :].reshape(b, s, hk, d)
+        return q, k, v
+
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (b, s, embed_dim)
+        x_kv: Optional[jnp.ndarray] = None,  # cross-attn source
+        inference_params: Optional[InferenceParams] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        b, s, _ = x.shape
+        h, hk, d = self._h, self._hk, self._d
+        if not self.cross_attn:
+            qkv = self.Wqkv(x)
+            q, k, v = self._split_qkv(qkv)
+        else:
+            q = self.Wq(x).reshape(b, s, h, d)
+            kv_src = x_kv if x_kv is not None else x
+            kv = self.Wkv(kv_src).reshape(b, kv_src.shape[1], 2, hk, d)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+
+        dropout_p = 0.0 if deterministic else self.dropout
+
+        if inference_params is None:
+            if self.rotary_emb_dim > 0:
+                cos, sin = self.rotary.cos_sin(s)
+                q = apply_rotary_emb(
+                    q, cos, sin, interleaved=self.rotary_emb_interleaved
+                )
+                k = apply_rotary_emb(
+                    k, cos, sin, interleaved=self.rotary_emb_interleaved
+                )
+            context = flash_attn_func(
+                q, k, v,
+                dropout_p=dropout_p,
+                softmax_scale=self.softmax_scale,
+                causal=self.causal,
+                window_size=self.window_size,
+                softcap=self.softcap,
+                alibi_slopes=self._alibi_slopes,
+            )
+        else:
+            context = self._decode_step(q, k, v, inference_params)
+
+        return self.out_proj(context.reshape(b, s, h * d))
+
+    def _decode_step(self, q, k, v, inference_params: InferenceParams):
+        """Prefill (seqlen_offset == 0 fills the cache) or incremental decode
+        against the layer's cache. Mirrors MHA._update_kv_cache + the
+        flash_attn_with_kvcache branch (modules/mha.py:344-705)."""
+        b, s = q.shape[0], q.shape[1]
+        layer = self.layer_idx if self.layer_idx is not None else 0
+        k_cache, v_cache = inference_params.key_value_memory_dict[layer]
+        offset = inference_params.seqlen_offset
+        if isinstance(offset, int):
+            offsets = jnp.full((b,), offset, jnp.int32)
+        else:
+            offsets = jnp.asarray(offset, jnp.int32)
+
+        if self.rotary_emb_dim > 0:
+            cos, sin = self.rotary.cos_sin(inference_params.max_seqlen)
+            q = apply_rotary_emb(
+                q, cos, sin, interleaved=self.rotary_emb_interleaved,
+                seqlen_offsets=offsets,
+            )
+            k = apply_rotary_emb(
+                k, cos, sin, interleaved=self.rotary_emb_interleaved,
+                seqlen_offsets=offsets,
+            )
+
+        k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offsets)
+        inference_params.key_value_memory_dict[layer] = (k_cache, v_cache)
+        total = offsets + s
+        out, _ = flash_attention_decode(
+            q, k_cache, v_cache, total,
+            alibi_slopes=self._alibi_slopes,
+            softmax_scale=self.softmax_scale,
+            causal=True,
+            window_left=self.window_size[0],
+            softcap=self.softcap,
+        )
+        return out

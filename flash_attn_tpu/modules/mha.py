@@ -80,20 +80,21 @@ class MHA(nn.Module):
             else self.embed_dim // self.num_heads
         )
         self._h, self._hk, self._d = h, hk, d
-        qkv_dim = (h + 2 * hk) * d
-        if not self.cross_attn:
-            self.Wqkv = nn.Dense(
-                qkv_dim, use_bias=self.qkv_proj_bias, dtype=self.dtype,
-                name="Wqkv",
-            )
-        else:
-            self.Wq = nn.Dense(
-                h * d, use_bias=self.qkv_proj_bias, dtype=self.dtype, name="Wq"
-            )
-            self.Wkv = nn.Dense(
-                2 * hk * d, use_bias=self.qkv_proj_bias, dtype=self.dtype,
-                name="Wkv",
-            )
+        # Separate q/k/v projections: the reference fuses Wqkv into one matmul
+        # (modules/mha.py:450) because torch launches are expensive; on TPU
+        # separate Dense layers shard cleanly on the head axis under GSPMD
+        # (a fused output axis would put the q|k|v boundary inside a TP
+        # shard), and XLA fuses the three matmuls' epilogues anyway.
+        # Checkpoint adapters split fused Wqkv weights on load.
+        self.Wq = nn.Dense(
+            h * d, use_bias=self.qkv_proj_bias, dtype=self.dtype, name="Wq"
+        )
+        self.Wk = nn.Dense(
+            hk * d, use_bias=self.qkv_proj_bias, dtype=self.dtype, name="Wk"
+        )
+        self.Wv = nn.Dense(
+            hk * d, use_bias=self.qkv_proj_bias, dtype=self.dtype, name="Wv"
+        )
         self.out_proj = nn.Dense(
             self.embed_dim, use_bias=self.out_proj_bias, dtype=self.dtype,
             name="out_proj",
@@ -111,14 +112,6 @@ class MHA(nn.Module):
         else:
             self._alibi_slopes = None
 
-    def _split_qkv(self, qkv):
-        b, s, _ = qkv.shape
-        h, hk, d = self._h, self._hk, self._d
-        q = qkv[..., : h * d].reshape(b, s, h, d)
-        k = qkv[..., h * d : (h + hk) * d].reshape(b, s, hk, d)
-        v = qkv[..., (h + hk) * d :].reshape(b, s, hk, d)
-        return q, k, v
-
     def __call__(
         self,
         x: jnp.ndarray,  # (b, s, embed_dim)
@@ -129,14 +122,11 @@ class MHA(nn.Module):
     ):
         b, s, _ = x.shape
         h, hk, d = self._h, self._hk, self._d
-        if not self.cross_attn:
-            qkv = self.Wqkv(x)
-            q, k, v = self._split_qkv(qkv)
-        else:
-            q = self.Wq(x).reshape(b, s, h, d)
-            kv_src = x_kv if x_kv is not None else x
-            kv = self.Wkv(kv_src).reshape(b, kv_src.shape[1], 2, hk, d)
-            k, v = kv[:, :, 0], kv[:, :, 1]
+        kv_src = x_kv if (self.cross_attn and x_kv is not None) else x
+        skv = kv_src.shape[1]
+        q = self.Wq(x).reshape(b, s, h, d)
+        k = self.Wk(kv_src).reshape(b, skv, hk, d)
+        v = self.Wv(kv_src).reshape(b, skv, hk, d)
 
         dropout_p = 0.0 if deterministic else self.dropout
 

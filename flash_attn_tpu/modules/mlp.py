@@ -71,9 +71,14 @@ class GatedMlp(nn.Module):
         hidden = (
             (hidden + self.multiple_of - 1) // self.multiple_of * self.multiple_of
         )
-        y = nn.Dense(
-            2 * hidden, use_bias=self.bias1, dtype=self.dtype, name="fc1"
+        # Separate gate/up projections (the reference fuses them into fc1,
+        # mlp.py:96) so the hidden axis shards cleanly under tensor
+        # parallelism; checkpoint adapters split fused fc1 weights on load.
+        gate = nn.Dense(
+            hidden, use_bias=self.bias1, dtype=self.dtype, name="fc1_gate"
         )(x)
-        gate, up = jnp.split(y, 2, axis=-1)
+        up = nn.Dense(
+            hidden, use_bias=self.bias1, dtype=self.dtype, name="fc1_up"
+        )(x)
         y = ACT2FN[self.activation](gate) * up
         return nn.Dense(out, use_bias=self.bias2, dtype=self.dtype, name="fc2")(y)

@@ -1,0 +1,112 @@
+"""Parallelism tests on the 8-device CPU mesh — the JAX answer to the
+reference's torchrun multi-GPU suites (tests/models/test_gpt_parallel.py:22,
+tests/modules/test_mha_parallel.py, tests/losses/test_cross_entropy_parallel.py):
+sharded forward/backward must match the single-device golden run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flash_attn_tpu.kernels.common import BlockSizes
+from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from flash_attn_tpu.parallel.context import ring_flash_attention
+from flash_attn_tpu.parallel.cross_entropy import vocab_parallel_cross_entropy
+from flash_attn_tpu.parallel.mesh import make_mesh
+from flash_attn_tpu.parallel.sharding import param_shardings, shard_params
+from flash_attn_tpu.losses.cross_entropy import cross_entropy_loss
+from flash_attn_tpu.utils.testing import attention_ref
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+CFG = GPTConfig(
+    vocab_size=128, n_positions=0, n_embd=128, n_layer=2, n_head=8, n_head_kv=4,
+    rotary_emb_fraction=1.0, rms_norm=True, activation_function="swiglu",
+    qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+    mlp_fc2_bias=False, tie_word_embeddings=False,
+)
+
+
+def _loss_fn(model, params, ids, labels):
+    logits = model.apply(params, ids)
+    return cross_entropy_loss(logits.astype(jnp.float32), labels)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 2), (1, 8)])
+def test_gpt_tp_matches_single_device(dp, tp):
+    """Sharded fwd/bwd vs golden replicated run (test_gpt_parallel.py:22)."""
+    model = GPTLMHeadModel(CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (4, 32), 0, CFG.vocab_size)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, CFG.vocab_size)
+    params = model.init(jax.random.PRNGKey(2), ids)
+
+    golden_loss, golden_grads = jax.value_and_grad(
+        lambda p: _loss_fn(model, p, ids, labels)
+    )(params)
+
+    mesh = make_mesh(data=dp, model=tp)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        sharded = shard_params(params, mesh)
+        ids_s = jax.device_put(ids, NamedSharding(mesh, P("data")))
+        labels_s = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        loss, grads = jax.jit(
+            jax.value_and_grad(lambda p: _loss_fn(model, p, ids_s, labels_s))
+        )(sharded)
+
+    assert abs(float(loss) - float(golden_loss)) < 2e-3, (loss, golden_loss)
+    flat_g = jax.tree_util.tree_leaves(grads)
+    flat_gold = jax.tree_util.tree_leaves(golden_grads)
+    for a, b in zip(flat_g, flat_gold):
+        err = jnp.abs(
+            jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)
+        ).max()
+        assert err < 5e-2, err
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(causal):
+    mesh = make_mesh(context=8)
+    b, h, s, d = 1, 2, 512, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    out, lse = ring_flash_attention(q, k, v, mesh, causal=causal)
+
+    qb, kb, vb = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    ref, _ = attention_ref(qb, kb, vb, causal=causal)
+    pt, _ = attention_ref(qb, kb, vb, causal=causal, upcast=False,
+                          reorder_ops=True)
+    out_b = out.transpose(0, 2, 1, 3)
+    err = jnp.abs(out_b.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= 2 * base + 1e-4, (err, base)
+
+
+def test_vocab_parallel_cross_entropy():
+    mesh = make_mesh(model=8)
+    tokens, vocab = 64, 256
+    logits = jax.random.normal(jax.random.PRNGKey(0), (tokens, vocab), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (tokens,), 0, vocab)
+    labels = labels.at[5].set(-100)
+    sharded_logits = jax.device_put(
+        logits, NamedSharding(mesh, P(None, "model"))
+    )
+    loss = vocab_parallel_cross_entropy(
+        sharded_logits, labels, mesh, label_smoothing=0.1, lse_square_scale=1e-4
+    )
+    ref = cross_entropy_loss(logits, labels, label_smoothing=0.1,
+                             lse_square_scale=1e-4)
+    assert abs(float(loss) - float(ref)) < 1e-5
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multi-chip dry run must compile and execute."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

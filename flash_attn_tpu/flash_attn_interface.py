@@ -48,6 +48,7 @@ class _Config:
     softcap: float
     dropout_p: float
     bias_grad: bool
+    has_descale: bool
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
 
@@ -76,6 +77,9 @@ def _core_fwd(tensors, config):
         sink=tensors.get("sink"),
         q_segment_ids=tensors.get("q_segment_ids"),
         kv_segment_ids=tensors.get("kv_segment_ids"),
+        q_descale=tensors.get("q_descale"),
+        k_descale=tensors.get("k_descale"),
+        v_descale=tensors.get("v_descale"),
         softmax_scale=config.softmax_scale,
         causal=config.causal,
         window_size=config.window_size,
@@ -96,6 +100,11 @@ def _core_fwd_vjp(tensors, config):
 def _core_bwd_vjp(config, residuals, cotangents):
     tensors, out, lse = residuals
     do, _dlse = cotangents
+    if config.has_descale:
+        raise NotImplementedError(
+            "backward through quantized (descaled) attention is not supported"
+            " — matches the reference (FP8 is forward-only)"
+        )
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         bias=tensors.get("bias"),
@@ -155,6 +164,9 @@ def flash_attn_func(
     sink_token_length: int = 0,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    q_descale: Optional[jnp.ndarray] = None,
+    k_descale: Optional[jnp.ndarray] = None,
+    v_descale: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     block_sizes: Optional[BlockSizes] = None,
@@ -187,6 +199,14 @@ def flash_attn_func(
     if q_segment_ids is not None:
         tensors["q_segment_ids"] = q_segment_ids
         tensors["kv_segment_ids"] = kv_segment_ids
+    has_descale = any(x is not None for x in (q_descale, k_descale, v_descale))
+    if has_descale:
+        for name, val in (
+            ("q_descale", q_descale), ("k_descale", k_descale),
+            ("v_descale", v_descale),
+        ):
+            if val is not None:
+                tensors[name] = jnp.asarray(val, jnp.float32)
     if dropout_p > 0.0:
         if dropout_seed is None:
             dropout_seed = jnp.zeros((), jnp.int32)
@@ -200,6 +220,7 @@ def flash_attn_func(
         softcap=float(softcap),
         dropout_p=float(dropout_p),
         bias_grad=bool(bias_grad),
+        has_descale=has_descale,
         block_sizes=block_sizes,
         interpret=interpret,
     )
@@ -275,6 +296,8 @@ def flash_attn_with_kvcache(
     *,
     sink: Optional[jnp.ndarray] = None,
     sink_token_length: int = 0,
+    k_scale: Optional[jnp.ndarray] = None,  # quantized-cache descales
+    v_scale: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -354,6 +377,8 @@ def flash_attn_with_kvcache(
         cache_leftpad=cache_leftpad,
         alibi_slopes=alibi_slopes,
         sink=sink,
+        k_scale=k_scale,
+        v_scale=v_scale,
         softmax_scale=softmax_scale,
         causal=causal or sq == 1,
         window_left=int(window_size[0]),

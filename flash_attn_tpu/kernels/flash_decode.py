@@ -74,13 +74,17 @@ def _decode_kernel(
     has_alibi: bool,
     alibi_batched: bool,
     has_sink: bool,
+    has_kv_scale: bool,
+    kv_scale_batched: bool,
     out_dtype,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
-    slopes_ref = sink_ref = None
+    slopes_ref = sink_ref = kvscale_ref = None
+    if has_kv_scale:
+        kvscale_ref = refs[idx]; idx += 1  # (2, b|1, hk) SMEM: k/v descales
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
     if has_sink:
@@ -124,14 +128,25 @@ def _decode_kernel(
     def _body():
         q = q_ref[0, 0]  # (rows, d)
         k = k_ref[0, 0]  # (block_kv, d)
+        if k.dtype.itemsize < 2:
+            # Quantized KV cache: upcast the K tile; its per-head descale
+            # folds into the softmax scale (in-kernel dequant path, maps
+            # fp8_kv_dequant, cute/interface.py:482-497).
+            k = k.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (rows, block_kv)
 
-        if softcap > 0.0:
-            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+        if has_kv_scale:
+            db = b if kv_scale_batched else 0
+            scale_dyn = scale * kvscale_ref[0, db, hk]
         else:
-            s2 = s * (scale * LOG2E)
+            scale_dyn = scale
+
+        if softcap > 0.0:
+            s2 = jnp.tanh(s * (scale_dyn / softcap)) * (softcap * LOG2E)
+        else:
+            s2 = s * (scale_dyn * LOG2E)
 
         # Row r holds query head (r % group) of new token (r // group); its
         # absolute key-position is pos_r = seqused - sq + r//group.
@@ -170,6 +185,8 @@ def _decode_kernel(
         m_scr[...] = m_next
 
         v = v_ref[0, 0]
+        if v.dtype.itemsize < 2:
+            v = v.astype(jnp.bfloat16)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
         acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
@@ -187,6 +204,9 @@ def _decode_kernel(
             sink2 = sink_ref[0] * LOG2E  # (rows, 1)
             l = l + jnp.exp2(sink2 - m)
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if has_kv_scale:
+            db = b if kv_scale_batched else 0
+            l_inv = l_inv * kvscale_ref[1, db, hk]
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse_ref[0, 0] = jnp.where(
             l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
@@ -204,6 +224,8 @@ def flash_attention_decode(
     cache_leftpad: Optional[jnp.ndarray] = None,  # (b,) int32
     alibi_slopes: Optional[jnp.ndarray] = None,
     sink: Optional[jnp.ndarray] = None,  # (h,)
+    k_scale: Optional[jnp.ndarray] = None,  # (hk,) or (b, hk) cache descale
+    v_scale: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
     window_left: int = -1,
@@ -240,13 +262,13 @@ def flash_attention_decode(
         softmax_scale = head_dim**-0.5
     if interpret is None:
         interpret = interpret_mode()
-    out_dtype = q.dtype
+    out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
 
     d_pad = round_up(head_dim, NUM_LANES)
     # PackGQA fold: (b, sq, hk, g, d) -> (b, hk, sq*g, d).
     qr = q.reshape(batch, sq, num_heads_kv, group, head_dim)
     qr = qr.transpose(0, 2, 1, 3, 4).reshape(batch, num_heads_kv, sq * group, head_dim)
-    rows = round_up(sq * group, 16 if qr.dtype.itemsize == 2 else 8)
+    rows = round_up(sq * group, {2: 16, 1: 32}.get(qr.dtype.itemsize, 8))
     qr = pad_to_block(pad_to_block(qr, 3, d_pad), 2, rows)
     k_cache = pad_to_block(k_cache, 3, d_pad)
     v_cache = pad_to_block(v_cache, 3, d_pad)
@@ -287,6 +309,31 @@ def flash_attention_decode(
         pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
     ]
     args = [qr, k_cache, v_cache]
+
+    has_kv_scale = k_scale is not None or v_scale is not None
+    kv_scale_batched = False
+    if has_kv_scale:
+        def norm_scale(x):
+            if x is None:
+                x = jnp.ones((1, num_heads_kv), jnp.float32)
+            x = jnp.asarray(x, jnp.float32)
+            return x[None, :] if x.ndim == 1 else x
+
+        ks, vs = norm_scale(k_scale), norm_scale(v_scale)
+        kv_scale_batched = ks.shape[0] > 1 or vs.shape[0] > 1
+        db = batch if kv_scale_batched else 1
+        scale_arr = jnp.stack([
+            jnp.broadcast_to(ks, (db, num_heads_kv)),
+            jnp.broadcast_to(vs, (db, num_heads_kv)),
+        ])
+        in_specs.append(
+            pl.BlockSpec(
+                scale_arr.shape,
+                lambda b, hk, ki, s, lp, bi, tb: (0, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        args.append(scale_arr)
 
     has_alibi = alibi_slopes is not None
     alibi_batched = False
@@ -341,6 +388,8 @@ def flash_attention_decode(
         has_alibi=has_alibi,
         alibi_batched=alibi_batched,
         has_sink=has_sink,
+        has_kv_scale=has_kv_scale,
+        kv_scale_batched=kv_scale_batched,
         out_dtype=out_dtype,
     )
 

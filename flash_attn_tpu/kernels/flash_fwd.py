@@ -108,6 +108,8 @@ def _fwd_kernel(
     alibi_batched: bool,
     has_sink: bool,
     has_segments: bool,
+    has_descale: bool,
+    descale_batched: bool,
     out_dtype,
 ):
     # Unpack refs in canonical order.
@@ -121,6 +123,9 @@ def _fwd_kernel(
     seed_ref = None
     qseg_ref = None
     kseg_ref = None
+    descale_ref = None
+    if has_descale:
+        descale_ref = refs[idx]; idx += 1  # (3, b|1, hk) SMEM: q/k/v descales
     if has_bias:
         bias_ref = refs[idx]; idx += 1
     if has_alibi:
@@ -176,14 +181,36 @@ def _fwd_kernel(
     def _compute(with_mask: bool):
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_kv, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_kv)
+        # Quantized inputs (fp8/int8): the per-(batch, head) descales are
+        # scalars, so dot(q_quant, k_quant) * q_descale * k_descale is exact
+        # dequantization folded into the softmax scale — no per-element
+        # multiplies (maps hopper FP8 descale params,
+        # hopper/flash_api_torch_lib.cpp:275-277). int8 inputs ride the
+        # int8 MXU path with an int32 accumulator.
+        if q.dtype == jnp.int8 and k.dtype == jnp.int8:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            qc = q if q.dtype.itemsize >= 2 else q.astype(jnp.bfloat16)
+            kc = k if k.dtype.itemsize >= 2 else k.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qc, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, block_kv)
+
+        if has_descale:
+            db = b if descale_batched else 0
+            scale_dyn = scale * descale_ref[0, db, h // group_size] \
+                * descale_ref[1, db, h // group_size]
+        else:
+            scale_dyn = scale
 
         if softcap > 0.0:
-            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+            s2 = jnp.tanh(s * (scale_dyn / softcap)) * (softcap * LOG2E)
         else:
-            s2 = s * (scale * LOG2E)
+            s2 = s * (scale_dyn * LOG2E)
 
         if has_alibi:
             slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
@@ -245,6 +272,10 @@ def _fwd_kernel(
             p = jnp.where(keep, p, 0.0)
 
         v = v_ref[0, 0]  # (block_kv, d)
+        if v.dtype.itemsize < 2:
+            # Quantized V: upcast the tile; its descale is folded into the
+            # finalize normalizer (fp8_kv_dequant, cute/interface.py:482-497).
+            v = v.astype(jnp.bfloat16)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
         acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
@@ -299,6 +330,9 @@ def _fwd_kernel(
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         if dropout_p > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - dropout_p))
+        if has_descale:
+            db = b if descale_batched else 0
+            l_inv = l_inv * descale_ref[2, db, h // group_size]
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse = jnp.where(
             l == 0.0,
@@ -318,6 +352,9 @@ def flash_attention_fwd(
     sink: Optional[jnp.ndarray] = None,  # (h,) learnable attention sink
     q_segment_ids: Optional[jnp.ndarray] = None,  # (b, seqlen_q) int32
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (b, seqlen_k) int32
+    q_descale: Optional[jnp.ndarray] = None,  # (b, hk) or (hk,) fp32
+    k_descale: Optional[jnp.ndarray] = None,
+    v_descale: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
@@ -347,7 +384,8 @@ def flash_attention_fwd(
     block_q = min(block_sizes.block_q, round_up(seqlen_q, NUM_LANES))
     block_kv = min(block_sizes.block_kv, round_up(seqlen_k, NUM_LANES))
 
-    out_dtype = q.dtype
+    # Quantized inputs produce bf16 outputs (reference FP8 fwd returns fp16).
+    out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
 
     # Pad to tile boundaries; masking inside the kernel keeps semantics.
     d_pad = round_up(head_dim, NUM_LANES)
@@ -388,6 +426,28 @@ def flash_attention_fwd(
         ),
     ]
     args = [qp, kp, vp]
+
+    has_descale = any(
+        x is not None for x in (q_descale, k_descale, v_descale)
+    )
+    descale_batched = False
+    if has_descale:
+        def norm_descale(x):
+            if x is None:
+                x = jnp.ones((1, num_heads_kv), jnp.float32)
+            x = jnp.asarray(x, jnp.float32)
+            return x[None, :] if x.ndim == 1 else x
+
+        ds = [norm_descale(x) for x in (q_descale, k_descale, v_descale)]
+        descale_batched = any(d.shape[0] > 1 for d in ds)
+        db = batch if descale_batched else 1
+        ds = [jnp.broadcast_to(d, (db, num_heads_kv)) for d in ds]
+        descale_arr = jnp.stack(ds)  # (3, b|1, hk)
+        in_specs.append(
+            pl.BlockSpec(descale_arr.shape, lambda b, h, qi, ki: (0, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(descale_arr)
 
     has_bias = bias is not None
     if has_bias:
@@ -480,6 +540,8 @@ def flash_attention_fwd(
         alibi_batched=alibi_batched,
         has_sink=has_sink,
         has_segments=has_segments,
+        has_descale=has_descale,
+        descale_batched=descale_batched,
         out_dtype=out_dtype,
     )
 

@@ -103,3 +103,38 @@ def allocate_paged_kv_cache(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     shape = (num_pages, num_heads_kv, page_size, head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def quantize_kv(
+    k: jnp.ndarray,  # (..., hk, s, d) or any layout with head axis given
+    v: jnp.ndarray,
+    dtype=jnp.int8,
+    head_axis: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-kv-head symmetric quantization of a KV cache.
+
+    Returns (k_q, v_q, k_scale, v_scale) where scales have shape (hk,) and
+    dequantization is `x_q * scale` — the contract the decode kernel's
+    in-kernel dequant expects (maps vLLM's fp8 KV quant ops tested in
+    tests/cute/test_flash_attn_fp8_kv_cache.py:57-100).
+    """
+    axes = tuple(i for i in range(k.ndim) if i != head_axis)
+
+    if dtype == jnp.int8:
+        qmax = 127.0
+    else:
+        qmax = float(jnp.finfo(dtype).max)
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes)
+        scale = jnp.maximum(amax / qmax, 1e-8)
+        shape = [1] * x.ndim
+        shape[head_axis] = -1
+        xq = x.astype(jnp.float32) / scale.reshape(shape)
+        if dtype == jnp.int8:
+            xq = jnp.clip(jnp.round(xq), -127, 127)
+        return xq.astype(dtype), scale
+
+    k_q, k_scale = quant(k)
+    v_q, v_scale = quant(v)
+    return k_q, v_q, k_scale, v_scale

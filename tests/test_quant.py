@@ -1,0 +1,100 @@
+"""Quantized attention tests (reference: tests/cute/test_flash_attn_fp8_output.py,
+test_flash_attn_fp8_kv_cache.py:57-186, hopper FP8 descale params).
+
+Contract: quantized-kernel output must be within 2x of a quantized-*eager*
+baseline's error vs the fp32 oracle (the reference's FP8 tolerance scheme)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_attn_tpu import flash_attn_func, flash_attn_with_kvcache
+from flash_attn_tpu.runtime.kv_cache import quantize_kv
+from flash_attn_tpu.utils.testing import attention_ref
+
+FP8 = jnp.float8_e4m3fn
+
+
+def quantize_per_head(x, dtype, qmax):
+    # x: (b, s, h, d) -> per (b, h) scale
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 3))
+    scale = jnp.maximum(amax / qmax, 1e-8)  # (b, h)
+    xq = x.astype(jnp.float32) / scale[:, None, :, None]
+    if dtype == jnp.int8:
+        xq = jnp.clip(jnp.round(xq), -127, 127)
+    return xq.astype(dtype), scale
+
+
+@pytest.mark.parametrize("dtype,qmax", [(jnp.int8, 127.0), (FP8, 448.0)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_quantized_qkv_fwd(dtype, qmax, causal):
+    b, s, h, d = 1, 256, 2, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+
+    q_q, q_s = quantize_per_head(q, dtype, qmax)
+    k_q, k_s = quantize_per_head(k, dtype, qmax)
+    v_q, v_s = quantize_per_head(v, dtype, qmax)
+
+    out = flash_attn_func(
+        q_q, k_q, v_q, causal=causal,
+        q_descale=q_s, k_descale=k_s, v_descale=v_s,
+    )
+    assert out.dtype == jnp.bfloat16
+
+    ref, _ = attention_ref(q, k, v, causal=causal)
+    # Quantized-eager baseline: dequantize then run low-precision eager.
+    qd = (q_q.astype(jnp.float32) * q_s[:, None, :, None]).astype(jnp.bfloat16)
+    kd = (k_q.astype(jnp.float32) * k_s[:, None, :, None]).astype(jnp.bfloat16)
+    vd = (v_q.astype(jnp.float32) * v_s[:, None, :, None]).astype(jnp.bfloat16)
+    pt, _ = attention_ref(qd, kd, vd, causal=causal, upcast=False,
+                          reorder_ops=True)
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= 2 * base + 1e-3, (err, base)
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, FP8])
+def test_quantized_kv_cache_decode(dtype):
+    """bf16 Q x quantized KV cache with in-kernel dequant (the
+    fp8_kv_dequant serving path, cute/interface.py:482-497)."""
+    b, smax, h, d = 2, 512, 4, 64
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, 1, h, d), jnp.float32).astype(jnp.bfloat16)
+    kc = jax.random.normal(kk, (b, smax, h, d), jnp.float32).astype(jnp.bfloat16)
+    vc = jax.random.normal(kv, (b, smax, h, d), jnp.float32).astype(jnp.bfloat16)
+    seqlens = jnp.array([389, 233], jnp.int32)
+
+    # Quantize in native layout (b, hk, s, d).
+    kcn = kc.transpose(0, 2, 1, 3)
+    vcn = vc.transpose(0, 2, 1, 3)
+    k_q, v_q, k_s, v_s = quantize_kv(kcn, vcn, dtype=dtype, head_axis=1)
+
+    out = flash_attn_with_kvcache(
+        q, k_q, v_q, cache_seqlens=seqlens, causal=True,
+        k_scale=k_s, v_scale=v_s, layout="bhsd",
+    )
+
+    kpm = jnp.arange(smax)[None, :] < seqlens[:, None]
+    ref, _ = attention_ref(q, kc, vc, key_padding_mask=kpm)
+    # Baseline: dequantized eager.
+    kd = (k_q.astype(jnp.float32) * k_s[None, :, None, None]).transpose(0, 2, 1, 3)
+    vd = (v_q.astype(jnp.float32) * v_s[None, :, None, None]).transpose(0, 2, 1, 3)
+    pt, _ = attention_ref(q, kd.astype(jnp.bfloat16), vd.astype(jnp.bfloat16),
+                          key_padding_mask=kpm, upcast=False, reorder_ops=True)
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= 2 * base + 1e-3, (err, base)
+
+
+def test_quantize_kv_roundtrip():
+    k = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64, 32), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 32), jnp.float32)
+    k_q, v_q, k_s, v_s = quantize_kv(k, v, dtype=jnp.int8, head_axis=1)
+    k_back = k_q.astype(jnp.float32) * k_s[None, :, None, None]
+    rel = jnp.abs(k_back - k).max() / jnp.abs(k).max()
+    assert rel < 0.02  # int8 per-head quantization error bound

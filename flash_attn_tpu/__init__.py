@@ -15,6 +15,7 @@ from flash_attn_tpu.flash_attn_interface import (
     flash_attn_varlen_kvpacked_func,
     flash_attn_varlen_qkvpacked_func,
     flash_attn_with_kvcache,
+    sparse_attn_func,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_with_kvcache",
+    "sparse_attn_func",
 ]

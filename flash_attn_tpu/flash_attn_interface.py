@@ -49,6 +49,8 @@ class _Config:
     dropout_p: float
     bias_grad: bool
     has_descale: bool
+    score_mod: Optional[object]
+    mask_mod: Optional[object]
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
 
@@ -87,6 +89,8 @@ def _core_fwd(tensors, config):
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
+        score_mod=config.score_mod,
+        mask_mod=config.mask_mod,
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )
@@ -104,6 +108,10 @@ def _core_bwd_vjp(config, residuals, cotangents):
         raise NotImplementedError(
             "backward through quantized (descaled) attention is not supported"
             " — matches the reference (FP8 is forward-only)"
+        )
+    if config.score_mod is not None or config.mask_mod is not None:
+        raise NotImplementedError(
+            "backward through score_mod/mask_mod not yet implemented"
         )
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
@@ -167,6 +175,8 @@ def flash_attn_func(
     q_descale: Optional[jnp.ndarray] = None,
     k_descale: Optional[jnp.ndarray] = None,
     v_descale: Optional[jnp.ndarray] = None,
+    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx) -> scores
+    mask_mod=None,   # callable(b, h, q_idx, kv_idx) -> bool keep-mask
     dropout_seed: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     block_sizes: Optional[BlockSizes] = None,
@@ -221,6 +231,8 @@ def flash_attn_func(
         dropout_p=float(dropout_p),
         bias_grad=bool(bias_grad),
         has_descale=has_descale,
+        score_mod=score_mod,
+        mask_mod=mask_mod,
         block_sizes=block_sizes,
         interpret=interpret,
     )
@@ -581,3 +593,47 @@ def flash_attn_varlen_kvpacked_func(
         window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
         **kwargs,
     )
+
+
+def sparse_attn_func(
+    q,  # (b, sq, h, d)
+    k,  # (b, sk, hk, d)
+    v,
+    block_count,   # (b, h, cdiv(sq, 64))
+    block_offset,  # (b, h, nqb, NNZ_S)
+    column_count,  # (b, h, nqb)
+    column_index,  # (b, h, nqb, NNZ_V)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    *,
+    return_softmax_lse: bool = False,
+    layout: str = "bshd",
+    interpret: Optional[bool] = None,
+):
+    """Vertical-and-slash sparse attention (reference
+    vllm_flash_attn/flash_attn_interface.py:313 `sparse_attn_func`,
+    csrc/flash_attn/flash_api_sparse.cpp:166). Forward-only, like the
+    reference build. Metadata semantics per MInference (arXiv 2407.02490)
+    Appendix C.4.2 with BLOCK_M = BLOCK_N = 64."""
+    del deterministic, return_attn_probs
+    if dropout_p > 0.0:
+        raise NotImplementedError("sparse attention does not support dropout")
+    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
+
+    if layout == "bshd":
+        q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    else:
+        q_, k_, v_ = q, k, v
+    out, lse = flash_attention_sparse_fwd(
+        q_, k_, v_, block_count, block_offset, column_count, column_index,
+        alibi_slopes=alibi_slopes, softmax_scale=softmax_scale,
+        causal=causal, softcap=softcap, interpret=interpret,
+    )
+    if layout == "bshd":
+        out = out.transpose(0, 2, 1, 3)
+    return (out, lse) if return_softmax_lse else out

@@ -463,6 +463,8 @@ def flash_attention_bwd(
     bkv_dq = block_sizes.block_kv_dq
 
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v.shape[3]  # may differ from head_dim (MLA / hdimdiff)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
     out_dtype = q.dtype
 
     # delta = rowsum(dO * O) in fp32 (preprocess kernel equivalent).
@@ -489,8 +491,8 @@ def flash_attention_bwd(
         """in_specs + args for q,k,v,do,lse,delta and the optional extras."""
         qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
         kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
-        vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
-        dop = pad_to_block(pad_to_block(do, 3, d_pad), 2, block_q)
+        vp = pad_to_block(pad_to_block(v, 3, dv_pad), 2, block_kv)
+        dop = pad_to_block(pad_to_block(do, 3, dv_pad), 2, block_q)
         lsep = pad_to_block(lse, 2, block_q)[..., None]  # (b,h,sqp,1)
         deltap = pad_to_block(delta, 2, block_q)[..., None]
         specs = [
@@ -498,9 +500,9 @@ def flash_attention_bwd(
                          lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
             pl.BlockSpec((1, 1, block_kv, d_pad),
                          lambda b, h, i, j: (b, h // group_size, clamp_kv(i, j), 0)),
-            pl.BlockSpec((1, 1, block_kv, d_pad),
+            pl.BlockSpec((1, 1, block_kv, dv_pad),
                          lambda b, h, i, j: (b, h // group_size, clamp_kv(i, j), 0)),
-            pl.BlockSpec((1, 1, block_q, d_pad),
+            pl.BlockSpec((1, 1, block_q, dv_pad),
                          lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
             pl.BlockSpec((1, 1, block_q, 1),
                          lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
@@ -585,15 +587,15 @@ def flash_attention_bwd(
         in_specs=specs,
         out_specs=[
             pl.BlockSpec((1, 1, bkv_kv, d_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bkv_kv, d_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, bkv_kv, dv_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, skp, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((batch, num_heads, skp, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, skp, dv_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bkv_kv, d_pad), jnp.float32),
-            pltpu.VMEM((bkv_kv, d_pad), jnp.float32),
+            pltpu.VMEM((bkv_kv, dv_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -603,13 +605,13 @@ def flash_attention_bwd(
 
     # Reduce GQA groups: (b, h, sk, d) -> (b, hk, sk, d).
     dk_gh = dk_gh[:, :, :seqlen_k, :head_dim]
-    dv_gh = dv_gh[:, :, :seqlen_k, :head_dim]
+    dv_gh = dv_gh[:, :, :seqlen_k, :head_dim_v]
     if group_size > 1:
         dk = dk_gh.reshape(
             batch, num_heads_kv, group_size, seqlen_k, head_dim
         ).sum(axis=2)
         dv = dv_gh.reshape(
-            batch, num_heads_kv, group_size, seqlen_k, head_dim
+            batch, num_heads_kv, group_size, seqlen_k, head_dim_v
         ).sum(axis=2)
     else:
         dk, dv = dk_gh, dv_gh

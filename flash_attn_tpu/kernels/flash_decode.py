@@ -265,13 +265,16 @@ def flash_attention_decode(
     out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
 
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v_cache.shape[3]  # may differ from head_dim (MLA decode,
+    # hopper/benchmark_mla_decode.py: d_qk=576 latent+rope, d_v=512)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
     # PackGQA fold: (b, sq, hk, g, d) -> (b, hk, sq*g, d).
     qr = q.reshape(batch, sq, num_heads_kv, group, head_dim)
     qr = qr.transpose(0, 2, 1, 3, 4).reshape(batch, num_heads_kv, sq * group, head_dim)
     rows = round_up(sq * group, {2: 16, 1: 32}.get(qr.dtype.itemsize, 8))
     qr = pad_to_block(pad_to_block(qr, 3, d_pad), 2, rows)
     k_cache = pad_to_block(k_cache, 3, d_pad)
-    v_cache = pad_to_block(v_cache, 3, d_pad)
+    v_cache = pad_to_block(v_cache, 3, dv_pad)
 
     seqlens = jnp.asarray(cache_seqlens, jnp.int32)
     has_leftpad = cache_leftpad is not None
@@ -306,7 +309,7 @@ def flash_attention_decode(
             lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0),
         ),
         pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
-        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_kv, dv_pad), kv_index),
     ]
     args = [qr, k_cache, v_cache]
 
@@ -399,7 +402,7 @@ def flash_attention_decode(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, 1, rows, d_pad), lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0)
+                (1, 1, rows, dv_pad), lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0)
             ),
             pl.BlockSpec(
                 (1, 1, rows, 1), lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0)
@@ -408,7 +411,7 @@ def flash_attention_decode(
         scratch_shapes=[
             pltpu.VMEM((rows, NUM_LANES), jnp.float32),
             pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, d_pad), jnp.float32),
+            pltpu.VMEM((rows, dv_pad), jnp.float32),
         ],
     )
 
@@ -416,7 +419,7 @@ def flash_attention_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, dv_pad), out_dtype),
             jax.ShapeDtypeStruct((batch, num_heads_kv, rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -426,9 +429,9 @@ def flash_attention_decode(
     )(seqlens, leftpad, bidx, table, *args)
 
     # Unfold PackGQA: (b, hk, rows, d) -> (b, sq, h, d).
-    out = out[:, :, : sq * group, :head_dim]
-    out = out.reshape(batch, num_heads_kv, sq, group, head_dim)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(batch, sq, num_heads, head_dim)
+    out = out[:, :, : sq * group, :head_dim_v]
+    out = out.reshape(batch, num_heads_kv, sq, group, head_dim_v)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(batch, sq, num_heads, head_dim_v)
     lse = lse[:, :, : sq * group, 0].reshape(batch, num_heads_kv, sq, group)
     lse = lse.transpose(0, 1, 3, 2).reshape(batch, num_heads, sq)
     return out, lse

@@ -110,7 +110,9 @@ def _fwd_kernel(
     has_segments: bool,
     has_descale: bool,
     descale_batched: bool,
-    out_dtype,
+    score_mod=None,
+    mask_mod=None,
+    out_dtype=None,
 ):
     # Unpack refs in canonical order.
     idx = 0
@@ -174,6 +176,7 @@ def _fwd_kernel(
         causal
         or is_local(window)
         or has_segments
+        or (mask_mod is not None)
         or (seqlen_k % block_kv != 0)
         or (seqlen_q % block_q != 0)
     )
@@ -208,9 +211,19 @@ def _fwd_kernel(
             scale_dyn = scale
 
         if softcap > 0.0:
-            s2 = jnp.tanh(s * (scale_dyn / softcap)) * (softcap * LOG2E)
+            s_nat = jnp.tanh(s * (scale_dyn / softcap)) * softcap
         else:
-            s2 = s * (scale_dyn * LOG2E)
+            s_nat = s * scale_dyn
+        if score_mod is not None:
+            # FA4-style programmable attention: a traced callable inlined
+            # into the kernel at trace time (cute/interface.py:363-427
+            # score_mod; trivial in Pallas — mods are just JAX functions).
+            sm_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + qi * block_q
+            sm_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + ki * block_kv
+            s_nat = score_mod(s_nat, b, h, sm_rows, sm_cols).astype(jnp.float32)
+        s2 = s_nat * LOG2E
 
         if has_alibi:
             slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
@@ -242,6 +255,9 @@ def _fwd_kernel(
                 qseg = qseg_ref[0, :, 0]  # (block_q,)
                 kseg = kseg_ref[0, :, 0]  # (block_kv,)
                 mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
+            if mask_mod is not None:
+                # flex-attention mask_mod (cute/mask.py:21-49 shim).
+                mask = jnp.logical_and(mask, mask_mod(b, h, rows, cols))
             m_in = jnp.where(mask, s2, _MASK2)
         else:
             mask = None
@@ -305,7 +321,7 @@ def _fwd_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
-        if has_segments:
+        if has_segments or mask_mod is not None:
             interior = False
         if seqlen_q % block_q != 0:
             # Padded q rows are sliced off afterwards; no masking needed
@@ -362,6 +378,8 @@ def flash_attention_fwd(
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx) -> scores
+    mask_mod=None,   # callable(b, h, q_idx, kv_idx) -> bool keep-mask
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -389,9 +407,12 @@ def flash_attention_fwd(
 
     # Pad to tile boundaries; masking inside the kernel keeps semantics.
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v.shape[3]  # may differ from head_dim (MLA / hdimdiff,
+    # hopper/generate_kernels.py hdim 64->512, 192->128 variants)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
     qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
     kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
-    vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
+    vp = pad_to_block(pad_to_block(v, 3, dv_pad), 2, block_kv)
     sq_pad, sk_pad = qp.shape[2], kp.shape[2]
     num_q_blocks = sq_pad // block_q
     num_kv_blocks = sk_pad // block_kv
@@ -421,7 +442,7 @@ def flash_attention_fwd(
             lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
         ),
         pl.BlockSpec(
-            (1, 1, block_kv, d_pad),
+            (1, 1, block_kv, dv_pad),
             lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
         ),
     ]
@@ -542,23 +563,25 @@ def flash_attention_fwd(
         has_segments=has_segments,
         has_descale=has_descale,
         descale_batched=descale_batched,
+        score_mod=score_mod,
+        mask_mod=mask_mod,
         out_dtype=out_dtype,
     )
 
     # LSE carries a trailing singleton lane dim: TPU block shapes must have
     # their last two dims either tile-aligned or equal to the array dims.
     out_shape = [
-        jax.ShapeDtypeStruct((batch, num_heads, sq_pad, d_pad), out_dtype),
+        jax.ShapeDtypeStruct((batch, num_heads, sq_pad, dv_pad), out_dtype),
         jax.ShapeDtypeStruct((batch, num_heads, sq_pad, 1), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, dv_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
     ]
     scratch_shapes = [
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # running max (base-2)
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # running sum
-        pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        pltpu.VMEM((block_q, dv_pad), jnp.float32),  # output accumulator
     ]
 
     flops_per_block = 4 * block_q * block_kv * d_pad
@@ -582,6 +605,6 @@ def flash_attention_fwd(
         interpret=interpret,
     )(*args)
 
-    out = out[:, :, :seqlen_q, :head_dim]
+    out = out[:, :, :seqlen_q, :head_dim_v]
     lse = lse[:, :, :seqlen_q, 0]
     return out, lse

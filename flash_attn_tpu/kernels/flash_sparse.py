@@ -1,0 +1,337 @@
+"""Vertical-and-slash sparse attention (MInference, arXiv 2407.02490).
+
+TPU-native replacement for the reference sparse path
+(csrc/flash_attn/flash_api_sparse.cpp:166 `mha_fwd_sparse`,
+csrc/flash_attn/src/flash_fwd_sparse_kernel.h; exposed as
+vllm_flash_attn/flash_attn_interface.py:313 `sparse_attn_func`).
+
+Semantics (per (batch, head, q-block-of-64) metadata, forward-only like the
+reference):
+  * block_offset[:block_count] — element offsets of 64-wide "slash" KV tiles
+  * column_index[:column_count] — individual "vertical" KV column indices
+  * attended set = union of the two (disjointness is assumed upstream; the
+    reference's own test partitions seqlen_k between them,
+    tests/test_vllm_flash_attn.py:387-433)
+
+TPU design: the reference metadata granularity (64) is finer than a TPU
+lane tile (128), so the host planner lowers BOTH patterns into one int8
+column-membership bitmap per (b, h, q-block) plus the list of 128-wide KV
+tiles that contain any attended column. The kernel runs one uniform loop
+over that prefetched tile list — skipped tiles' DMAs are elided by
+index-map clamping, and each visited tile masks scores with its bitmap row
+(one int8 tile load + compare). No gather ops anywhere.
+The bitmap costs one int8 per (b, h, q-block, key) — fine at benchmark
+scales; a per-column-DMA variant is the planned path for >100k contexts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    NUM_LANES,
+    cdiv,
+    interpret_mode,
+    pad_to_block,
+    round_up,
+)
+
+_MASK2 = DEFAULT_MASK_VALUE
+
+
+def _plan_sparse(
+    block_count, block_offset, column_count, column_index,
+    *, num_kv_blocks, block_kv, meta_block_n,
+):
+    """Lower slash+vertical metadata to (tile_list, tile_count, bitmap).
+
+    tile_list: (b, h, nqb, T) int32 kv-tile indices (active-first).
+    tile_count: (b, h, nqb) int32.
+    bitmap: (rows_pad, skp) int8 column membership, rows flat over (b,h,qb).
+    """
+    b, h, nqb, nnz_s = block_offset.shape
+    nnz_v = column_index.shape[-1]
+    block_count = jnp.asarray(block_count, jnp.int32)
+    block_offset = jnp.asarray(block_offset, jnp.int32)
+    column_count = jnp.asarray(column_count, jnp.int32)
+    column_index = jnp.asarray(column_index, jnp.int32)
+
+    rows = b * h * nqb
+    skp = num_kv_blocks * block_kv
+    n64 = skp // meta_block_n
+
+    s_valid = jnp.arange(nnz_s)[None, None, None] < block_count[..., None]
+    v_valid = jnp.arange(nnz_v)[None, None, None] < column_count[..., None]
+
+    # Vertical columns -> bitmap scatter (OOB entries dropped).
+    flat_cols = jnp.where(
+        v_valid, column_index, skp
+    ).reshape(rows, nnz_v)
+    bitmap = jnp.zeros((rows, skp + 1), jnp.int8)
+    if nnz_v > 0:
+        bitmap = bitmap.at[
+            jnp.arange(rows)[:, None], flat_cols
+        ].set(1, mode="drop")
+    bitmap = bitmap[:, :skp]
+
+    # Slash tiles (meta_block_n wide) -> fill their column ranges.
+    if nnz_s > 0:
+        s64 = jnp.where(
+            s_valid, block_offset // meta_block_n, n64
+        ).reshape(rows, nnz_s)
+        slash64 = jnp.zeros((rows, n64 + 1), jnp.int8)
+        slash64 = slash64.at[
+            jnp.arange(rows)[:, None], s64
+        ].set(1, mode="drop")
+        slash_cols = jnp.repeat(slash64[:, :n64], meta_block_n, axis=1)
+        bitmap = jnp.maximum(bitmap, slash_cols)
+
+    # Active 128-wide kv tiles + fixed-size compaction (active-first order).
+    active = bitmap.reshape(rows, num_kv_blocks, block_kv).max(axis=2)
+    t_max = max(1, min(num_kv_blocks, nnz_s + nnz_v))
+    order = jnp.argsort(-active.astype(jnp.int32), axis=1, stable=True)
+    tile_list = order[:, :t_max].astype(jnp.int32)
+    tile_count = active.astype(jnp.int32).sum(axis=1)
+
+    rows_pad = round_up(rows, 32)
+    if rows_pad != rows:
+        bitmap = jnp.pad(bitmap, ((0, rows_pad - rows), (0, 0)))
+    return (
+        tile_list.reshape(b, h, nqb, t_max),
+        tile_count.reshape(b, h, nqb),
+        bitmap,
+    )
+
+
+def _sparse_fwd_kernel(
+    tile_ref, count_ref,  # scalar prefetch
+    *refs,
+    seqlen_q: int, seqlen_k: int,
+    block_q: int, block_kv: int, num_tiles: int, nqb: int,
+    scale: float, causal: bool, softcap: float,
+    group_size: int, has_alibi: bool, alibi_batched: bool,
+    out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    bm_ref = refs[idx]; idx += 1  # (32, block_kv) int8 bitmap rows
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    m_scr = refs[idx]; idx += 1
+    l_scr = refs[idx]; idx += 1
+    acc_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ti = pl.program_id(3)
+
+    @pl.when(ti == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _MASK2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    ki = tile_ref[b, h, qi, ti]
+
+    @pl.when(ti < count_ref[b, h, qi])
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if softcap > 0.0:
+            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+        else:
+            s2 = s * (scale * LOG2E)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+
+        if has_alibi:
+            slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
+            rel = jnp.abs(
+                (cols - rows - (seqlen_k - seqlen_q)).astype(jnp.float32)
+            )
+            s2 = s2 - slope2 * rel
+
+        mask = jnp.logical_and(cols < seqlen_k, rows < seqlen_q)
+        if causal:
+            mask = jnp.logical_and(mask, cols <= rows + (seqlen_k - seqlen_q))
+        # Column membership from the bitmap row of this (b, h, qi). Mosaic
+        # cannot prove alignment of a dynamic sublane index, so select the
+        # row with a vectorized reduce instead of a dynamic slice.
+        row_id = (b * pl.num_programs(1) + h) * nqb + qi
+        bm_tile = bm_ref[...]  # (32, block_kv) int8
+        row_sel = jax.lax.broadcasted_iota(jnp.int32, bm_tile.shape, 0) \
+            == (row_id % 32)
+        bm = jnp.max(
+            jnp.where(row_sel, bm_tile, jnp.int8(0)).astype(jnp.int32), axis=0
+        )
+        mask = jnp.logical_and(mask, (bm > 0)[None, :])
+
+        s2 = jnp.where(mask, s2, _MASK2)
+        m_prev = m_scr[...]
+        m_cur = jnp.max(s2, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        kv_rep = s2.shape[1] // m_next.shape[1]
+        m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
+        p = jnp.exp2(s2 - m_full)
+        p = jnp.where(mask, p, 0.0)
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        v = v_ref[0, 0]
+        d_rep = acc_scr.shape[1] // alpha.shape[1]
+        alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
+        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ti == num_tiles - 1)
+    def _finalize():
+        m = m_scr[...][:, 0:1]
+        l = l_scr[...][:, 0:1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+        lse_ref[0, 0] = jnp.where(
+            l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
+        )
+
+
+def flash_attention_sparse_fwd(
+    q: jnp.ndarray,  # (b, h, sq, d) kernel-native layout
+    k: jnp.ndarray,  # (b, hk, sk, d)
+    v: jnp.ndarray,
+    block_count: jnp.ndarray,   # (b, h, cdiv(sq, meta_block_m))
+    block_offset: jnp.ndarray,  # (b, h, nqb, NNZ_S) element offsets
+    column_count: jnp.ndarray,  # (b, h, nqb)
+    column_index: jnp.ndarray,  # (b, h, nqb, NNZ_V)
+    *,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    meta_block_m: int = 64,  # reference BLOCK_M (flash_api_sparse.cpp)
+    meta_block_n: int = 64,  # reference BLOCK_N (slash tile width)
+    interpret: Optional[bool] = None,
+):
+    """Vertical-and-slash sparse forward. Returns (out, lse)."""
+    batch, num_heads, seqlen_q, head_dim = q.shape
+    _, num_heads_kv, seqlen_k, _ = k.shape
+    group_size = num_heads // num_heads_kv
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = interpret_mode()
+    out_dtype = q.dtype
+
+    block_q = meta_block_m  # q tiling must match the metadata granularity
+    block_kv = NUM_LANES
+    nqb = cdiv(seqlen_q, block_q)
+    nkb = cdiv(seqlen_k, block_kv)
+    assert block_count.shape[2] == nqb, (block_count.shape, nqb)
+
+    d_pad = round_up(head_dim, NUM_LANES)
+    qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
+    kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
+    vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
+
+    tile_list, tile_count, bitmap = _plan_sparse(
+        block_count, block_offset, column_count, column_index,
+        num_kv_blocks=nkb, block_kv=block_kv, meta_block_n=meta_block_n,
+    )
+    num_tiles = tile_list.shape[-1]
+
+    def kv_index(b, h, qi, ti, tref, cref):
+        t = jnp.minimum(ti, jnp.maximum(cref[b, h, qi] - 1, 0))
+        return (b, h // group_size, tref[b, h, qi, t], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d_pad),
+                     lambda b, h, qi, ti, tref, cref: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec(
+            (32, block_kv),
+            lambda b, h, qi, ti, tref, cref: (
+                ((b * num_heads + h) * nqb + qi) // 32,
+                kv_index(b, h, qi, ti, tref, cref)[2],
+            ),
+        ),
+    ]
+    args = [qp, kp, vp, bitmap]
+
+    has_alibi = alibi_slopes is not None
+    alibi_batched = False
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = slopes[None, :]
+        alibi_batched = slopes.shape[0] > 1
+        in_specs.append(
+            pl.BlockSpec(slopes.shape,
+                         lambda b, h, qi, ti, tref, cref: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(slopes)
+
+    kernel = functools.partial(
+        _sparse_fwd_kernel,
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+        block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb,
+        scale=float(softmax_scale), causal=causal, softcap=float(softcap),
+        group_size=group_size, has_alibi=has_alibi,
+        alibi_batched=alibi_batched, out_dtype=out_dtype,
+    )
+
+    sq_pad = nqb * block_q
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_heads, nqb, num_tiles),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, qi, ti, tref, cref: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, qi, ti, tref, cref: (b, h, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, sq_pad, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, sq_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_list, tile_count, *args)
+
+    out = out[:, :, :seqlen_q, :head_dim]
+    lse = lse[:, :, :seqlen_q, 0]
+    return out, lse

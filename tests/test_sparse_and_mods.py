@@ -1,0 +1,180 @@
+"""Sparse attention + programmable attention tests.
+
+Sparse mirrors the reference construction (tests/test_vllm_flash_attn.py:387
+test_sparse_attention): partition seqlen_k into NNZ_S slash tiles + the rest
+as vertical columns — the union covers everything, so the sparse kernel must
+equal dense attention. A second test uses a genuinely sparse random pattern
+against a masked-oracle.
+
+score_mod/mask_mod mirror the FA4 flex-attention conformance pattern
+(tests/cute/test_mask_mod.py): each mod defined twice — kernel-side and
+oracle-side (as a bias/mask) — and cross-checked."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func, sparse_attn_func
+from flash_attn_tpu.utils.testing import attention_ref
+
+
+def check(out, ref, pt, eps=1e-5, factor=2.0):
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    pt_err = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= factor * pt_err + eps, f"err={err} vs baseline={pt_err}"
+
+
+def make_qkv(key, b, sq, sk, h, hk, d, dtype=jnp.bfloat16):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32).astype(dtype)
+    k = jax.random.normal(kk, (b, sk, hk, d), jnp.float32).astype(dtype)
+    v = jax.random.normal(kv, (b, sk, hk, d), jnp.float32).astype(dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("nnz_s", [0, 1, 3, 7])
+@pytest.mark.parametrize("sq,sk", [(65, 65), (129, 129), (128, 512)])
+def test_sparse_covers_dense(sq, sk, nnz_s):
+    """Slash tiles + verticals partition all of seqlen_k => equals dense."""
+    if nnz_s * 64 > sk:
+        pytest.skip("too many slash tiles for this seqlen")
+    b, h, d = 1, 2, 128
+    q, k, v = make_qkv(jax.random.PRNGKey(0), b, sq, sk, h, h, d)
+    nqb = (sq + 63) // 64
+    nnz_v = sk - nnz_s * 64
+    block_count = jnp.full((b, h, nqb), nnz_s, jnp.int32)
+    block_offset = jnp.broadcast_to(
+        jnp.arange(nnz_s, dtype=jnp.int32) * 64, (b, h, nqb, nnz_s)
+    )
+    column_count = jnp.full((b, h, nqb), nnz_v, jnp.int32)
+    column_index = jnp.broadcast_to(
+        nnz_s * 64 + jnp.arange(max(nnz_v, 1), dtype=jnp.int32),
+        (b, h, nqb, max(nnz_v, 1)),
+    )
+    out, lse = sparse_attn_func(
+        q, k, v, block_count, block_offset, column_count, column_index,
+        return_softmax_lse=True,
+    )
+    ref, _ = attention_ref(q, k, v)
+    pt, _ = attention_ref(q, k, v, upcast=False, reorder_ops=True)
+    check(out, ref, pt)
+    # LSE parity with the dense kernel.
+    _, lse_d, _ = flash_attn_func(q, k, v, return_attn_probs=True)
+    assert jnp.abs(lse - lse_d).max() < 2e-2
+
+
+def test_sparse_random_pattern_vs_masked_oracle():
+    b, h, sq, sk, d = 1, 2, 128, 384, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(1), b, sq, sk, h, h, d)
+    nqb = sq // 64
+    rng = np.random.RandomState(0)
+    nnz_s, nnz_v = 2, 37
+    block_offset = np.zeros((b, h, nqb, nnz_s), np.int32)
+    column_index = np.zeros((b, h, nqb, nnz_v), np.int32)
+    keep = np.zeros((b, h, sq, sk), bool)
+    for bi in range(b):
+        for hi in range(h):
+            for qb in range(nqb):
+                blocks = rng.choice(sk // 64, nnz_s, replace=False) * 64
+                block_offset[bi, hi, qb] = np.sort(blocks)
+                taken = set()
+                for off in blocks:
+                    for c in range(off, off + 64):
+                        taken.add(c)
+                avail = [c for c in range(sk) if c not in taken]
+                cols = np.sort(rng.choice(avail, nnz_v, replace=False))
+                column_index[bi, hi, qb] = cols
+                rows = slice(qb * 64, (qb + 1) * 64)
+                for off in blocks:
+                    keep[bi, hi, rows, off : off + 64] = True
+                keep[bi, hi, rows, cols] = True
+    out = sparse_attn_func(
+        q, k, v,
+        jnp.full((b, h, nqb), nnz_s, jnp.int32), jnp.asarray(block_offset),
+        jnp.full((b, h, nqb), nnz_v, jnp.int32), jnp.asarray(column_index),
+    )
+    bias = jnp.where(jnp.asarray(keep), 0.0, -jnp.inf)
+    ref, _ = attention_ref(q, k, v, attn_bias=bias)
+    pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
+                          reorder_ops=True)
+    check(out, ref, pt)
+
+
+def test_sparse_causal():
+    b, h, s, d = 1, 2, 192, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(2), b, s, s, h, h, d)
+    nqb = (s + 63) // 64
+    # All columns vertical => sparse+causal == dense causal.
+    block_count = jnp.zeros((b, h, nqb), jnp.int32)
+    block_offset = jnp.zeros((b, h, nqb, 1), jnp.int32)
+    column_count = jnp.full((b, h, nqb), s, jnp.int32)
+    column_index = jnp.broadcast_to(
+        jnp.arange(s, dtype=jnp.int32), (b, h, nqb, s)
+    )
+    out = sparse_attn_func(
+        q, k, v, block_count, block_offset, column_count, column_index,
+        causal=True,
+    )
+    ref, _ = attention_ref(q, k, v, causal=True)
+    pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
+    check(out, ref, pt)
+
+
+# ---------------------------------------------------------------------------
+# score_mod / mask_mod (FA4 programmable attention parity)
+# ---------------------------------------------------------------------------
+
+def test_score_mod_relative_bias():
+    """score_mod adding a relative-position bias == oracle with that bias."""
+    b, h, s, d = 1, 2, 130, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(3), b, s, s, h, h, d)
+
+    def score_mod(scores, bi, hi, q_idx, kv_idx):
+        return scores - 0.01 * jnp.abs(q_idx - kv_idx).astype(jnp.float32)
+
+    out = flash_attn_func(q, k, v, score_mod=score_mod)
+    rel = -0.01 * jnp.abs(
+        jnp.arange(s)[:, None] - jnp.arange(s)[None, :]
+    ).astype(jnp.float32)
+    ref, _ = attention_ref(q, k, v, attn_bias=rel[None, None])
+    pt, _ = attention_ref(q, k, v, attn_bias=rel[None, None], upcast=False,
+                          reorder_ops=True)
+    check(out, ref, pt)
+
+
+def test_score_mod_head_dependent():
+    b, h, s, d = 1, 4, 128, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(4), b, s, s, h, h, d)
+
+    def score_mod(scores, bi, hi, q_idx, kv_idx):
+        return scores * (1.0 + 0.1 * hi.astype(jnp.float32))
+
+    out = flash_attn_func(q, k, v, score_mod=score_mod)
+    outs = []
+    for hi in range(h):
+        scale = (d ** -0.5) * (1.0 + 0.1 * hi)
+        o, _ = attention_ref(
+            q[:, :, hi : hi + 1], k[:, :, hi : hi + 1], v[:, :, hi : hi + 1],
+            softmax_scale=scale,
+        )
+        outs.append(o)
+    ref = jnp.concatenate(outs, axis=2)
+    assert jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max() < 3e-2
+
+
+def test_mask_mod_doc_mask():
+    """Document-block mask via mask_mod == segment-id masking."""
+    b, h, s, d = 1, 2, 256, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(5), b, s, s, h, h, d)
+    boundary = 100
+
+    def mask_mod(bi, hi, q_idx, kv_idx):
+        return (q_idx < boundary) == (kv_idx < boundary)
+
+    out = flash_attn_func(q, k, v, causal=True, mask_mod=mask_mod)
+    seg = (jnp.arange(s) >= boundary).astype(jnp.int32)[None]
+    out_ref = flash_attn_func(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+    )
+    assert jnp.array_equal(out, out_ref)

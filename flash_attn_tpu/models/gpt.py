@@ -59,6 +59,9 @@ class GPTConfig:
     tie_word_embeddings: bool = True
     residual_in_fp32: bool = True
     pad_vocab_size_multiple: int = 1
+    # Added to every position id before the learned-position lookup (OPT
+    # bakes a +2 offset into its table, reference models/opt.py).
+    position_offset: int = 0
     dtype: Any = jnp.bfloat16
 
     @property
@@ -162,13 +165,21 @@ class GPTModel(nn.Module):
         deterministic: bool = True,
     ):
         c = self.config
-        if position_ids is None and inference_params is not None and c.n_positions > 0:
-            offset = inference_params.seqlen_offset
+        if position_ids is None and c.n_positions > 0:
+            if inference_params is not None:
+                offset = inference_params.seqlen_offset
+            else:
+                offset = 0
+            base = c.position_offset
             if isinstance(offset, int):
-                position_ids = offset + jnp.arange(input_ids.shape[1])[None, :]
+                position_ids = (
+                    base + offset + jnp.arange(input_ids.shape[1])[None, :]
+                )
             else:
                 position_ids = (
-                    jnp.asarray(offset)[:, None] + jnp.arange(input_ids.shape[1])[None, :]
+                    base
+                    + jnp.asarray(offset)[:, None]
+                    + jnp.arange(input_ids.shape[1])[None, :]
                 )
         hidden = self.embeddings(input_ids, position_ids)
         if c.prenorm:

@@ -56,6 +56,7 @@ class Block(nn.Module):
         inference_params: Optional[InferenceParams] = None,
         *,
         deterministic: bool = True,
+        mixer_kwargs: Optional[dict] = None,
     ):
         """prenorm: takes/returns (hidden_states, residual) with residual the
         fp32 stream; postnorm: plain (hidden_states,). Mirrors block.py:108."""
@@ -74,13 +75,13 @@ class Block(nn.Module):
                 )
                 attn_out = self.mixer_mod(
                     normed1, inference_params=inference_params,
-                    deterministic=deterministic,
+                    deterministic=deterministic, **(mixer_kwargs or {}),
                 )
                 mlp_out = self.mlp_mod(normed2)
                 return attn_out + mlp_out, res
             attn_out = self.mixer_mod(
                 normed1, inference_params=inference_params,
-                deterministic=deterministic,
+                deterministic=deterministic, **(mixer_kwargs or {}),
             )
             attn_out = self.drop2(attn_out, deterministic=deterministic)
             res = res + attn_out.astype(acc)
@@ -90,7 +91,7 @@ class Block(nn.Module):
         else:
             attn_out = self.mixer_mod(
                 hidden_states, inference_params=inference_params,
-                deterministic=deterministic,
+                deterministic=deterministic, **(mixer_kwargs or {}),
             )
             x = self.norm1(hidden_states + attn_out).astype(self.dtype)
             mlp_out = self.mlp_mod(x)

@@ -118,6 +118,7 @@ class MHA(nn.Module):
         x_kv: Optional[jnp.ndarray] = None,  # cross-attn source
         inference_params: Optional[InferenceParams] = None,
         *,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (b, skv) bool
         deterministic: bool = True,
     ):
         b, s, _ = x.shape
@@ -139,6 +140,19 @@ class MHA(nn.Module):
                 k = apply_rotary_emb(
                     k, cos, sin, interleaved=self.rotary_emb_interleaved
                 )
+            seg_kw = {}
+            if key_padding_mask is not None:
+                # Padding tokens as mismatching segment ids: fully-masked q
+                # rows produce zeros (the reference's unpad-everywhere BERT
+                # path achieves the same effect, models/bert.py:340).
+                seg_kw = dict(
+                    q_segment_ids=jnp.where(
+                        key_padding_mask[:, : x.shape[1]], 0, -1
+                    ).astype(jnp.int32),
+                    kv_segment_ids=jnp.where(
+                        key_padding_mask, 0, -2
+                    ).astype(jnp.int32),
+                )
             context = flash_attn_func(
                 q, k, v,
                 dropout_p=dropout_p,
@@ -147,6 +161,7 @@ class MHA(nn.Module):
                 window_size=self.window_size,
                 softcap=self.softcap,
                 alibi_slopes=self._alibi_slopes,
+                **seg_kw,
             )
         else:
             context = self._decode_step(q, k, v, inference_params)

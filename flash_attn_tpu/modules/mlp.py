@@ -67,10 +67,14 @@ class GatedMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         out = self.out_features or self.in_features
-        hidden = self.hidden_features or int(8 * self.in_features / 3)
-        hidden = (
-            (hidden + self.multiple_of - 1) // self.multiple_of * self.multiple_of
-        )
+        if self.hidden_features is not None:
+            hidden = self.hidden_features
+        else:
+            hidden = int(8 * self.in_features / 3)
+            hidden = (
+                (hidden + self.multiple_of - 1)
+                // self.multiple_of * self.multiple_of
+            )
         # Separate gate/up projections (the reference fuses them into fc1,
         # mlp.py:96) so the hidden axis shards cleanly under tensor
         # parallelism; checkpoint adapters split fused fc1 weights on load.

@@ -177,8 +177,15 @@ def _decode_kernel(
         m_cur = jnp.max(s2, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
-        kv_rep = s2.shape[1] // m_next.shape[1]
-        m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
+        if s2.shape[1] >= m_next.shape[1]:
+            kv_rep = s2.shape[1] // m_next.shape[1]
+            m_full = (
+                pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
+            )
+        else:
+            # Small pages (block_kv < lane width): the stats stay
+            # lane-replicated at full width; slice for the score tile.
+            m_full = m_next[:, : s2.shape[1]]
         p = jnp.exp2(s2 - m_full)
         p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)

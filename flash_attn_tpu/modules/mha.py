@@ -33,13 +33,16 @@ from flash_attn_tpu.runtime.kv_cache import update_kv_cache
 class InferenceParams:
     """KV-cache container for generation (reference
     flash_attn/utils/generation.py:24). Caches are a dict
-    layer_idx -> (k_cache, v_cache) in native (b, hk, smax, d) layout."""
+    layer_idx -> (k_cache, v_cache), either contiguous in native
+    (b, hk, smax, d) layout or paged (npages, hk, page, d) when
+    `block_table` is set (reference paged path, hopper/paged_kv.h)."""
 
     max_seqlen: int
     max_batch_size: int
     seqlen_offset: Any = 0  # int or (b,) int32
     key_value_memory_dict: dict = dataclasses.field(default_factory=dict)
     lengths_per_sample: Optional[jnp.ndarray] = None
+    block_table: Optional[jnp.ndarray] = None  # (b, max_pages) int32
 
     def reset(self, max_seqlen, max_batch_size):
         self.max_seqlen = max_seqlen
@@ -192,11 +195,20 @@ class MHA(nn.Module):
                 seqlen_offsets=offsets,
             )
 
-        k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offsets)
+        table = inference_params.block_table
+        if table is not None:
+            from flash_attn_tpu.runtime.kv_cache import update_paged_kv_cache
+
+            k_cache, v_cache = update_paged_kv_cache(
+                k_cache, v_cache, k, v, offsets, table
+            )
+        else:
+            k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offsets)
         inference_params.key_value_memory_dict[layer] = (k_cache, v_cache)
         total = offsets + s
         out, _ = flash_attention_decode(
             q, k_cache, v_cache, total,
+            block_table=table,
             alibi_slopes=self._alibi_slopes,
             softmax_scale=self.softmax_scale,
             causal=True,

@@ -1,0 +1,228 @@
+"""Serving engine: continuous batching over paged KV caches.
+
+This layer does not exist in the reference (vLLM provides it on top of L4,
+vllm_flash_attn/flash_attn_interface.py:84-86); the TPU framework must ship
+its own (SURVEY.md §7 stage 9 / BASELINE north star). Architecture:
+
+  host                                device (jitted, static shapes)
+  ----                                -------------------------------
+  C++ scheduler (csrc/scheduler.cpp)  prefill_step: (1, chunk) tokens ->
+    admission, page allocation,         paged-append into the cache pools
+    chunked prefill ordering,         decode_step: (max_batch, 1) tokens ->
+    decode batch assembly               paged attention over block tables,
+  engine loop (this file): moves        sample next token
+    int32 metadata host<->device,
+    streams finished tokens
+
+Two compiled programs total (the CUDA-graph-cache analog,
+flash_attn/utils/generation.py:618 — XLA jit replaces capture/replay).
+
+Position accounting: the scheduler is fed `len(prompt) - 1` as the prompt
+length — prefill appends prompt[:-1] to the cache, and decode always feeds
+the newest known token (prompt[-1] first, then each sample), so the cache
+length always equals the scheduler's position counter. Chunked prefill
+writes full fixed-size chunks; garbage tail positions stay invisible because
+attention masks by true cache lengths, and each later token overwrites its
+slot before becoming visible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.modules.mha import InferenceParams
+from flash_attn_tpu.runtime.kv_cache import allocate_paged_kv_cache
+from flash_attn_tpu.runtime.scheduler import make_scheduler
+from flash_attn_tpu.runtime.generation import sample_tokens
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_batch_size: int = 8
+    page_size: int = 128
+    num_pages: int = 512
+    max_pages_per_seq: int = 32
+    prefill_chunk: int = 256
+    max_seqlen: int = 4096
+    top_k: int = 1
+    top_p: float = 0.0
+    temperature: float = 1.0
+    eos_token_id: Optional[int] = None
+    prefer_native_scheduler: bool = True
+
+
+@dataclasses.dataclass
+class RequestOutput:
+    request_id: int
+    prompt: List[int]
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+class LLMEngine:
+    """Continuous-batching engine for GPTLMHeadModel-compatible flax models."""
+
+    def __init__(self, model, params, config: EngineConfig,
+                 rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.config = config
+        c = model.config
+        hk = c.n_head_kv if c.n_head_kv is not None else c.n_head
+        d = c.head_dim if c.head_dim is not None else c.n_embd // c.n_head
+        # One extra "trash" page absorbs writes from padded chunk tails and
+        # padded decode slots (block-table entries of -1 are redirected to it).
+        self._trash_page = config.num_pages
+        self.caches = {
+            i: allocate_paged_kv_cache(
+                config.num_pages + 1, config.page_size, hk, d, c.dtype
+            )
+            for i in range(c.n_layer)
+        }
+        self.sched = make_scheduler(
+            config.num_pages, config.page_size, config.max_batch_size,
+            config.max_pages_per_seq, config.prefill_chunk,
+            prefer_native=config.prefer_native_scheduler,
+        )
+        self.outputs: Dict[int, RequestOutput] = {}
+        self._prompts: Dict[int, List[int]] = {}
+        self._max_new: Dict[int, int] = {}
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(0,))
+        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(0,))
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _apply(self, caches, tokens, offsets, block_tables):
+        ip = InferenceParams(
+            max_seqlen=self.config.max_seqlen,
+            max_batch_size=tokens.shape[0],
+            seqlen_offset=offsets,
+            key_value_memory_dict=dict(caches),
+            block_table=block_tables,
+        )
+        logits = self.model.apply(
+            self.params, tokens, inference_params=ip, num_last_tokens=1
+        )
+        return logits.astype(jnp.float32), ip.key_value_memory_dict
+
+    def _prefill_impl(self, caches, tokens, offset, block_table):
+        # Appends the chunk into the cache pools; logits are discarded (the
+        # last prompt token is fed through decode instead).
+        _, caches = self._apply(caches, tokens, offset, block_table)
+        return caches
+
+    def _decode_impl(self, caches, tokens, offsets, block_tables, rng):
+        logits, caches = self._apply(caches, tokens, offsets, block_tables)
+        nxt = sample_tokens(
+            logits[:, -1], rng,
+            top_k=self.config.top_k, top_p=self.config.top_p,
+            temperature=self.config.temperature,
+        )
+        return nxt, caches
+
+    # -- public API ---------------------------------------------------------
+
+    def add_request(self, request_id: int, prompt_tokens: List[int],
+                    max_new_tokens: int):
+        assert len(prompt_tokens) >= 1
+        rc = self.sched.add_request(
+            request_id, len(prompt_tokens) - 1, max_new_tokens
+        )
+        if rc != 0:
+            raise ValueError(f"request rejected (code {rc})")
+        self._prompts[request_id] = list(prompt_tokens)
+        self._max_new[request_id] = max_new_tokens
+        self.outputs[request_id] = RequestOutput(
+            request_id, list(prompt_tokens)
+        )
+
+    def step(self) -> List[RequestOutput]:
+        """Run one engine step; returns outputs updated this step."""
+        batch = self.sched.next_batch()
+        cfg = self.config
+        touched: List[RequestOutput] = []
+        if batch.kind == 0:
+            return touched
+
+        if batch.kind == 1:  # one prefill chunk
+            rid = int(batch.request_ids[0])
+            pos = int(batch.positions[0])
+            ln = int(batch.chunk_lens[0])
+            prompt = self._prompts[rid]
+            chunk = prompt[pos : pos + ln]
+            chunk = chunk + [0] * (cfg.prefill_chunk - len(chunk))
+            table = np.where(
+                batch.block_tables[:1] < 0, self._trash_page,
+                batch.block_tables[:1],
+            )
+            self.caches = self._prefill_fn(
+                self.caches,
+                jnp.asarray([chunk], jnp.int32),
+                jnp.asarray([pos], jnp.int32),
+                jnp.asarray(table, jnp.int32),
+            )
+            self.sched.report([rid], [0], [0])
+            touched.append(self.outputs[rid])
+            return touched
+
+        # decode batch
+        n = len(batch.request_ids)
+        mb = cfg.max_batch_size
+        tokens = np.zeros((mb, 1), np.int32)
+        for i, rid in enumerate(batch.request_ids):
+            out = self.outputs[int(rid)]
+            tokens[i, 0] = (
+                out.tokens[-1] if out.tokens else self._prompts[int(rid)][-1]
+            )
+        offsets = np.zeros(mb, np.int32)
+        offsets[:n] = batch.positions
+        tables = np.full((mb, cfg.max_pages_per_seq), self._trash_page,
+                         np.int32)
+        tables[:n] = np.where(batch.block_tables < 0, self._trash_page,
+                              batch.block_tables)
+        self._rng, k = jax.random.split(self._rng)
+        nxt, self.caches = self._decode_fn(
+            self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
+            jnp.asarray(tables), k,
+        )
+        nxt = np.asarray(nxt)
+        produced, done = [], []
+        for i, rid in enumerate(batch.request_ids):
+            rid = int(rid)
+            out = self.outputs[rid]
+            tok = int(nxt[i])
+            out.tokens.append(tok)
+            fin = (
+                cfg.eos_token_id is not None and tok == cfg.eos_token_id
+            ) or len(out.tokens) >= self._max_new[rid]
+            out.finished = fin
+            produced.append(1)
+            done.append(1 if fin else 0)
+            touched.append(out)
+        self.sched.report(list(map(int, batch.request_ids)), produced, done)
+        return touched
+
+    def run_to_completion(self, max_steps: int = 100000):
+        steps = 0
+        while self.sched.num_active() > 0 or any(
+            self.sched.request_state(rid) in (0, 1) for rid in self.outputs
+        ):
+            self.step()
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("engine did not converge")
+        return self.outputs
+
+    def generate(self, prompts: List[List[int]], max_new_tokens: int):
+        """Batch convenience wrapper; returns generated token lists."""
+        base = max(self.outputs.keys(), default=-1) + 1
+        for i, p in enumerate(prompts):
+            self.add_request(base + i, p, max_new_tokens)
+        self.run_to_completion()
+        return [self.outputs[base + i].tokens for i in range(len(prompts))]

@@ -1,0 +1,278 @@
+"""Continuous-batching scheduler: ctypes binding of the native C++ scheduler
+(csrc/scheduler.cpp) plus a pure-Python twin implementing the identical
+policy (used as fallback and for differential testing).
+
+Maps the planning role of the reference's GPU-side prepare-scheduler
+(hopper/flash_prepare_scheduler.cu:43) into the host runtime: page
+allocation, admission, LPT-style prefill ordering, decode-batch assembly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "csrc", "scheduler.cpp")
+_SO = os.path.join(_REPO_ROOT, "csrc", "build", "libscheduler.so")
+
+WAITING, PREFILLING, RUNNING, DONE = 0, 1, 2, 3
+
+
+def _build_native() -> Optional[ctypes.CDLL]:
+    try:
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            os.makedirs(os.path.dirname(_SO), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.sched_create.restype = ctypes.c_void_p
+        lib.sched_create.argtypes = [ctypes.c_int] * 5
+        lib.sched_destroy.argtypes = [ctypes.c_void_p]
+        lib.sched_add_request.restype = ctypes.c_int
+        lib.sched_add_request.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 3
+        lib.sched_next_batch.restype = ctypes.c_int
+        lib.sched_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
+        ] + [np.ctypeslib.ndpointer(np.int32)] * 5
+        lib.sched_report.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+        ]
+        lib.sched_num_free_pages.restype = ctypes.c_int
+        lib.sched_num_free_pages.argtypes = [ctypes.c_void_p]
+        lib.sched_request_state.restype = ctypes.c_int
+        lib.sched_request_state.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.sched_num_active.restype = ctypes.c_int
+        lib.sched_num_active.argtypes = [ctypes.c_void_p]
+        return lib
+    except Exception:
+        return None
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _build_native()
+        _LIB_TRIED = True
+    return _LIB
+
+
+@dataclass
+class Batch:
+    kind: int  # 0 idle, 1 prefill, 2 decode
+    request_ids: np.ndarray   # (n,)
+    positions: np.ndarray     # (n,) start position of these tokens
+    chunk_lens: np.ndarray    # (n,)
+    cache_seqlens: np.ndarray  # (n,)
+    block_tables: np.ndarray  # (n, max_pages_per_seq)
+
+
+class NativeScheduler:
+    """ctypes wrapper over csrc/scheduler.cpp."""
+
+    def __init__(self, num_pages, page_size, max_batch, max_pages_per_seq,
+                 chunk_size):
+        self._lib = _lib()
+        if self._lib is None:
+            raise RuntimeError("native scheduler unavailable")
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq
+        self._h = self._lib.sched_create(
+            num_pages, page_size, max_batch, max_pages_per_seq, chunk_size
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sched_destroy(self._h)
+            self._h = None
+
+    def add_request(self, request_id: int, prompt_len: int,
+                    max_new_tokens: int) -> int:
+        return self._lib.sched_add_request(
+            self._h, request_id, prompt_len, max_new_tokens
+        )
+
+    def next_batch(self) -> Batch:
+        mb, mp = self.max_batch, self.max_pages_per_seq
+        kind = ctypes.c_int(0)
+        ids = np.zeros(mb, np.int32)
+        pos = np.zeros(mb, np.int32)
+        lens = np.zeros(mb, np.int32)
+        tables = np.zeros(mb * mp, np.int32)
+        seql = np.zeros(mb, np.int32)
+        n = self._lib.sched_next_batch(
+            self._h, ctypes.byref(kind), ids, pos, lens, tables, seql
+        )
+        return Batch(kind.value, ids[:n], pos[:n], lens[:n], seql[:n],
+                     tables.reshape(mb, mp)[:n])
+
+    def report(self, request_ids, produced, done):
+        ids = np.ascontiguousarray(request_ids, np.int32)
+        self._lib.sched_report(
+            self._h, len(ids), ids,
+            np.ascontiguousarray(produced, np.int32),
+            np.ascontiguousarray(done, np.int32),
+        )
+
+    def num_free_pages(self) -> int:
+        return self._lib.sched_num_free_pages(self._h)
+
+    def request_state(self, req_id: int) -> int:
+        return self._lib.sched_request_state(self._h, req_id)
+
+    def num_active(self) -> int:
+        return self._lib.sched_num_active(self._h)
+
+
+@dataclass
+class _PyRequest:
+    id: int
+    prompt_len: int
+    max_new_tokens: int
+    prefilled: int = 0
+    generated: int = 0
+    state: int = WAITING
+    pages: List[int] = field(default_factory=list)
+
+
+class PyScheduler:
+    """Pure-Python twin of the native scheduler — same policy, used as
+    fallback and for differential tests."""
+
+    def __init__(self, num_pages, page_size, max_batch, max_pages_per_seq,
+                 chunk_size):
+        self.page_size = page_size
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq
+        self.chunk_size = chunk_size
+        self.free_pages = list(range(num_pages - 1, -1, -1))
+        self.requests: Dict[int, _PyRequest] = {}
+        self.waiting: deque = deque()
+        self.active: List[int] = []
+
+    def _pages_needed(self, tokens):
+        return -(-tokens // self.page_size)
+
+    def _ensure(self, r: _PyRequest, upto):
+        need = self._pages_needed(upto)
+        if need > self.max_pages_per_seq:
+            return False
+        while len(r.pages) < need:
+            if not self.free_pages:
+                return False
+            r.pages.append(self.free_pages.pop())
+        return True
+
+    def add_request(self, request_id, prompt_len, max_new_tokens) -> int:
+        if request_id in self.requests:
+            return -1
+        if self._pages_needed(prompt_len + max_new_tokens) > self.max_pages_per_seq:
+            return -2
+        self.requests[request_id] = _PyRequest(
+            request_id, prompt_len, max_new_tokens
+        )
+        self.waiting.append(request_id)
+        return 0
+
+    def next_batch(self) -> Batch:
+        while self.waiting:
+            r = self.requests[self.waiting[0]]
+            if not self._ensure(r, min(r.prompt_len, self.chunk_size)):
+                break
+            r.state = PREFILLING if r.prompt_len > 0 else RUNNING
+            self.active.append(r.id)
+            self.waiting.popleft()
+
+        def emit(entries):
+            n = len(entries)
+            ids = np.array([e[0].id for e in entries], np.int32)
+            pos = np.array([e[1] for e in entries], np.int32)
+            lens = np.array([e[2] for e in entries], np.int32)
+            tables = np.full((n, self.max_pages_per_seq), -1, np.int32)
+            for i, (r, _, _) in enumerate(entries):
+                tables[i, : len(r.pages)] = r.pages
+            return ids, pos, lens, tables
+
+        prefilling = [
+            self.requests[i] for i in self.active
+            if self.requests[i].state == PREFILLING
+        ]
+        prefilling.sort(key=lambda r: (r.prompt_len - r.prefilled, r.id))
+        for r in prefilling:
+            ln = min(self.chunk_size, r.prompt_len - r.prefilled)
+            if not self._ensure(r, r.prefilled + ln):
+                continue
+            entries = [(r, r.prefilled, ln)]
+            ids, pos, lens, tables = emit(entries)
+            r.prefilled += ln
+            if r.prefilled >= r.prompt_len:
+                r.state = RUNNING
+            return Batch(1, ids, pos, lens, pos.copy(), tables)
+
+        entries = []
+        for i in self.active:
+            if len(entries) >= self.max_batch:
+                break
+            r = self.requests[i]
+            if r.state != RUNNING:
+                continue
+            total = r.prompt_len + r.generated
+            if not self._ensure(r, total + 1):
+                continue
+            entries.append((r, total, 1))
+        if entries:
+            ids, pos, lens, tables = emit(entries)
+            return Batch(2, ids, pos, lens, pos.copy(), tables)
+        return Batch(0, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                     np.zeros(0, np.int32), np.zeros(0, np.int32),
+                     np.zeros((0, self.max_pages_per_seq), np.int32))
+
+    def report(self, request_ids, produced, done):
+        for rid, p, d in zip(request_ids, produced, done):
+            r = self.requests.get(int(rid))
+            if r is None:
+                continue
+            r.generated += int(p)
+            if (d or r.generated >= r.max_new_tokens) and r.state != DONE:
+                r.state = DONE
+                self.free_pages.extend(r.pages)
+                r.pages = []
+                self.active.remove(r.id)
+
+    def num_free_pages(self):
+        return len(self.free_pages)
+
+    def request_state(self, req_id):
+        r = self.requests.get(req_id)
+        return -1 if r is None else r.state
+
+    def num_active(self):
+        return len(self.active)
+
+
+def make_scheduler(num_pages, page_size, max_batch, max_pages_per_seq,
+                   chunk_size, prefer_native: bool = True):
+    if prefer_native and _lib() is not None:
+        return NativeScheduler(num_pages, page_size, max_batch,
+                               max_pages_per_seq, chunk_size)
+    return PyScheduler(num_pages, page_size, max_batch, max_pages_per_seq,
+                       chunk_size)

@@ -1,0 +1,128 @@
+"""Serving engine + scheduler tests: native C++ vs Python scheduler
+differential test, and engine-vs-generate parity (continuous batching must
+reproduce the plain autoregressive decode exactly under greedy sampling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
+from flash_attn_tpu.runtime.scheduler import (
+    NativeScheduler,
+    PyScheduler,
+    _lib,
+)
+
+CFG = GPTConfig(
+    vocab_size=97, n_positions=0, n_embd=64, n_layer=2, n_head=4, n_head_kv=2,
+    rotary_emb_fraction=1.0, rms_norm=True, activation_function="swiglu",
+    qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+    mlp_fc2_bias=False, tie_word_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GPTLMHeadModel(CFG)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return model, params
+
+
+def test_native_scheduler_builds():
+    assert _lib() is not None, "C++ scheduler failed to build"
+
+
+def drive(sched, workload, max_steps=500):
+    """Run a synthetic workload, recording every scheduling decision."""
+    trace = []
+    added = 0
+    for step in range(max_steps):
+        while added < len(workload) and workload[added][0] <= step:
+            _, rid, plen, mnew = workload[added]
+            sched.add_request(rid, plen, mnew)
+            added += 1
+        b = sched.next_batch()
+        trace.append(
+            (b.kind, b.request_ids.tolist(), b.positions.tolist(),
+             b.chunk_lens.tolist(), b.block_tables.tolist())
+        )
+        if b.kind == 0:
+            if added == len(workload) and sched.num_active() == 0:
+                break
+            continue
+        ids = b.request_ids.tolist()
+        if b.kind == 1:
+            sched.report(ids, [0] * len(ids), [0] * len(ids))
+        else:
+            # finish probabilistically-deterministically: every 7th token
+            done = [1 if (rid + len(trace)) % 7 == 0 else 0 for rid in ids]
+            sched.report(ids, [1] * len(ids), done)
+    trace.append(("free", sched.num_free_pages()))
+    return trace
+
+
+def test_scheduler_differential():
+    """C++ and Python schedulers must take identical decisions."""
+    rng = np.random.RandomState(0)
+    workload = []
+    for i in range(12):
+        workload.append(
+            (int(rng.randint(0, 20)), i, int(rng.randint(1, 600)),
+             int(rng.randint(1, 30)))
+        )
+    workload.sort(key=lambda w: w[0])
+    args = dict(num_pages=64, page_size=64, max_batch=4,
+                max_pages_per_seq=16, chunk_size=128)
+    if _lib() is None:
+        pytest.skip("native scheduler unavailable")
+    t_native = drive(NativeScheduler(**args), workload)
+    t_py = drive(PyScheduler(**args), workload)
+    assert t_native == t_py
+
+
+def test_scheduler_page_accounting():
+    s = PyScheduler(num_pages=8, page_size=16, max_batch=2,
+                    max_pages_per_seq=4, chunk_size=32)
+    s.add_request(0, 40, 5)  # needs 3 pages for prompt
+    b = s.next_batch()
+    assert b.kind == 1 and b.chunk_lens[0] == 32
+    s.report([0], [0], [0])
+    b = s.next_batch()
+    assert b.kind == 1 and b.chunk_lens[0] == 8
+    s.report([0], [0], [0])
+    for _ in range(5):
+        b = s.next_batch()
+        assert b.kind == 2
+        s.report([0], [1], [0])
+    b = s.next_batch()
+    assert b.kind == 0  # max_new reached -> done, pages freed
+    assert s.num_free_pages() == 8
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_engine_matches_generate(model_and_params, native):
+    """Greedy continuous batching == greedy model.generate, even with
+    staggered prompt lengths forcing chunked prefill + mixed batches."""
+    model, params = model_and_params
+    rng = np.random.RandomState(1)
+    prompts = [
+        rng.randint(0, CFG.vocab_size, n).tolist() for n in (45, 17, 70)
+    ]
+    max_new = 8
+    engine = LLMEngine(
+        model, params,
+        EngineConfig(max_batch_size=4, page_size=16, num_pages=64,
+                     max_pages_per_seq=16, prefill_chunk=32, max_seqlen=256,
+                     prefer_native_scheduler=native),
+    )
+    got = engine.generate(prompts, max_new)
+
+    for p, tokens in zip(prompts, got):
+        ref = model.generate(
+            params, jnp.asarray([p], jnp.int32), len(p) + max_new
+        )
+        ref_tokens = np.asarray(ref)[0, len(p):].tolist()
+        assert tokens == ref_tokens, (tokens, ref_tokens)

@@ -1,0 +1,119 @@
+"""Benchmark helpers (reference: flash_attn/utils/benchmark.py:8-258
+benchmark_forward/backward/combined/all, pytorch_profiler, benchmark_memory).
+
+TPU-specific methodology: remote runtimes dedupe identical dispatches and
+block_until_ready can return before device completion, so K iterations are
+chained inside one jit (each feeding its output forward) and wall time is
+the slope between two K values — constant overhead cancels.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _chain(fn, primal, args, iters):
+    @jax.jit
+    def chained(x, *rest):
+        def body(carry, _):
+            out = fn(carry, *rest)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out.astype(carry.dtype).reshape(carry.shape), ()
+
+        final, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(final.astype(jnp.float32))
+
+    return chained
+
+
+def _time_chained(fn, primal, args, iters, trials=3):
+    chained = _chain(fn, primal, args, iters)
+    chained(primal, *args).block_until_ready()
+    best = float("inf")
+    for t in range(trials):
+        p2 = primal + jnp.asarray(t + 1, primal.dtype) * jnp.asarray(
+            1e-3, primal.dtype
+        )
+        t0 = time.perf_counter()
+        float(chained(p2, *args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def benchmark_forward(
+    fn: Callable,
+    primal: jnp.ndarray,
+    *args,
+    iters_lo: int = 4,
+    iters_hi: int = 16,
+    trials: int = 3,
+) -> float:
+    """Seconds per call of fn(primal, *args). fn's first output must have
+    primal's shape (it is fed back to defeat dispatch dedup)."""
+    t_lo = _time_chained(fn, primal, args, iters_lo, trials)
+    t_hi = _time_chained(fn, primal, args, iters_hi, trials)
+    return max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-9)
+
+
+def benchmark_backward(fn, primal, *args, **kw) -> float:
+    """Seconds per backward (vjp) call."""
+
+    def bwd(x, *rest):
+        out, vjp = jax.vjp(lambda x_: fn(x_, *rest), x)
+        (dx,) = vjp(jnp.ones_like(out))
+        return dx
+
+    return benchmark_forward(bwd, primal, *args, **kw)
+
+
+def benchmark_combined(fn, primal, *args, **kw) -> float:
+    """Seconds per forward+backward."""
+
+    def fwdbwd(x, *rest):
+        def loss(x_):
+            return jnp.sum(fn(x_, *rest).astype(jnp.float32))
+
+        _, g = jax.value_and_grad(loss)(x)
+        return g
+
+    return benchmark_forward(fwdbwd, primal, *args, **kw)
+
+
+def attention_tflops(
+    b: int, s_q: int, s_k: int, h: int, d: int, *, causal: bool,
+    mode: str = "fwd",
+) -> float:
+    """TFLOP count per call with the reference's formula
+    (benchmarks/benchmark_flash_attention.py:28-31):
+    fwd = 4*b*s_q*s_k*h*d (/2 if causal); bwd = 2.5x; fwd+bwd = 3.5x."""
+    f = 4 * b * s_q * s_k * h * d / (2 if causal else 1)
+    return f * {"fwd": 1.0, "bwd": 2.5, "fwd_bwd": 3.5}[mode] / 1e12
+
+
+def benchmark_memory(fn, *args) -> Optional[float]:
+    """Peak device memory in GB for one call (maps benchmark_memory :258)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        stats = compiled.memory_analysis()
+        total = (
+            stats.temp_size_in_bytes
+            + stats.argument_size_in_bytes
+            + stats.output_size_in_bytes
+        )
+        return total / 1e9
+    except Exception:
+        return None
+
+
+def profile_trace(fn, *args, trace_dir: str = "/tmp/jax-trace"):
+    """jax.profiler wrapper (maps pytorch_profiler :202)."""
+    fn(*args)  # compile outside the trace
+    with jax.profiler.trace(trace_dir):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return trace_dir

@@ -1,0 +1,181 @@
+"""vLLM-wrapper compatibility surface (reference: vllm_flash_attn/
+flash_attn_interface.py — version dispatch :40-82, flash_attn_varlen_func
+with block_table/seqused_k/scheduler_metadata :136-307,
+get_scheduler_metadata :94, sparse funcs :313,388).
+
+"For vLLM we only care about flash_attn_varlen_func and
+flash_attn_with_kvcache" (vllm_flash_attn/flash_attn_interface.py:84-86) —
+this module provides both with the vLLM calling convention, plus the
+scheduler-metadata hook. `fa_version` is accepted and ignored: the kernel
+generations it selects between are a GPU artifact; there is one TPU kernel
+family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.flash_attn_interface import (
+    flash_attn_with_kvcache,
+    sparse_attn_func,
+)
+from flash_attn_tpu.flash_attn_interface import (
+    flash_attn_varlen_func as _varlen_packed,
+)
+from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+
+__all__ = [
+    "flash_attn_varlen_func",
+    "flash_attn_with_kvcache",
+    "get_scheduler_metadata",
+    "sparse_attn_func",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerMetadata:
+    """Opaque scheduler plan (reference: the int32 tensor produced by
+    mha_fwd_get_scheduler_metadata, hopper/flash_api.cpp:584). On TPU the
+    split/tile planning happens at trace time from static shapes, so this
+    records the validated call signature; passing it back into
+    flash_attn_varlen_func asserts the shapes it was built for."""
+
+    batch_size: int
+    max_seqlen_q: int
+    max_seqlen_k: int
+    num_heads_q: int
+    num_heads_kv: int
+    headdim: int
+    causal: bool
+
+
+def get_scheduler_metadata(
+    batch_size: int,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    num_heads_q: int,
+    num_heads_kv: int,
+    headdim: int,
+    cache_seqlens=None,
+    qkv_dtype=jnp.bfloat16,
+    headdim_v: Optional[int] = None,
+    cu_seqlens_q=None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    has_softcap: bool = False,
+    num_splits: int = 0,
+    **_unused,
+) -> SchedulerMetadata:
+    """API-parity analog of the reference's GPU-side prepare-scheduler
+    (vllm_flash_attn/flash_attn_interface.py:94). The actual block planning
+    runs at trace time (see kernels/flash_varlen.py make_varlen_metadata);
+    this returns a signature record used for validation."""
+    del cache_seqlens, qkv_dtype, headdim_v, cu_seqlens_q, window_size
+    del has_softcap, num_splits
+    return SchedulerMetadata(
+        batch_size, max_seqlen_q, max_seqlen_k,
+        num_heads_q, num_heads_kv, headdim, causal,
+    )
+
+
+def flash_attn_varlen_func(
+    q,                 # (total_q, h, d) packed
+    k,                 # paged: (npages, page, hk, d); else (total_k, hk, d)
+    v,
+    max_seqlen_q: Optional[int] = None,
+    cu_seqlens_q=None,
+    max_seqlen_k: Optional[int] = None,
+    cu_seqlens_k=None,
+    seqused_k=None,    # (nseq,) per-sequence visible KV (vLLM always sets)
+    q_v=None,
+    dropout_p: float = 0.0,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softmax_scale: Optional[float] = None,
+    alibi_slopes=None,
+    block_table=None,  # (nseq, max_pages) -> paged chunked-prefill path
+    softcap: float = 0.0,
+    return_softmax_lse: bool = False,
+    out=None,
+    scheduler_metadata: Optional[SchedulerMetadata] = None,
+    fa_version: int = 0,        # accepted for parity; one TPU kernel family
+    q_descale=None, k_descale=None, v_descale=None,
+    num_splits: int = 0,
+    s_aux=None,        # attention sinks (reference s_aux, hopper FA3)
+    **kwargs,
+):
+    """vLLM's varlen entry (vllm_flash_attn/flash_attn_interface.py:136).
+
+    Two modes:
+      * block_table=None: packed varlen attention (kernels/flash_varlen.py).
+      * block_table given: chunked prefill / decode against a paged KV
+        cache. Each sequence's q tokens are right-aligned into a
+        (nseq, max_seqlen_q) window so the decode kernel's
+        `pos = seqused - sq + i` bottom-right indexing lines up; left-pad
+        rows are fully masked and dropped on repack.
+    """
+    del dropout_p, out, fa_version, num_splits, q_v
+    if scheduler_metadata is not None and block_table is not None:
+        assert scheduler_metadata.num_heads_q == q.shape[-2]
+
+    if block_table is None:
+        out, lse = _varlen_packed(
+            q, k, v, cu_seqlens_q, cu_seqlens_k,
+            max_seqlen_q, max_seqlen_k,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap,
+            alibi_slopes=alibi_slopes, seqused_k=seqused_k,
+            return_attn_probs=True,
+        )[:2]
+        return (out, lse) if return_softmax_lse else out
+
+    assert cu_seqlens_q is not None and seqused_k is not None
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    seqused_k = jnp.asarray(seqused_k, jnp.int32)
+    nseq = cu_q.shape[0] - 1
+    total_q, num_heads, head_dim = q.shape
+    if max_seqlen_q is None:
+        raise ValueError("max_seqlen_q required with block_table")
+    sq = int(max_seqlen_q)
+
+    # Right-align each sequence's q tokens into (nseq, sq).
+    lens = cu_q[1:] - cu_q[:-1]  # (nseq,)
+    row = jnp.arange(sq, dtype=jnp.int32)[None, :]
+    src = cu_q[:-1, None] + row - (sq - lens[:, None])  # packed index
+    valid = row >= (sq - lens[:, None])
+    src_safe = jnp.clip(src, 0, max(total_q - 1, 0))
+    q_pad = jnp.take(q, src_safe.reshape(-1), axis=0).reshape(
+        nseq, sq, num_heads, head_dim
+    )
+
+    kc = k.transpose(0, 2, 1, 3)  # (npages, hk, page, d)
+    vc = v.transpose(0, 2, 1, 3)
+    out_pad, lse_pad = flash_attention_decode(
+        q_pad, kc, vc, seqused_k,
+        block_table=jnp.asarray(block_table, jnp.int32),
+        alibi_slopes=alibi_slopes,
+        sink=s_aux,
+        k_scale=k_descale,
+        v_scale=v_descale,
+        softmax_scale=softmax_scale,
+        causal=True,  # vLLM's serving path is always causal
+        window_left=int(window_size[0]),
+        softcap=softcap,
+    )
+    if q_descale is not None:
+        raise NotImplementedError("q_descale on the paged varlen path")
+
+    # Repack to (total_q, h, d).
+    flat_out = out_pad.reshape(nseq * sq, num_heads, -1)
+    flat_lse = lse_pad.transpose(0, 2, 1).reshape(nseq * sq, num_heads)
+    dst = jnp.where(valid, src, total_q).reshape(-1)  # OOB -> dropped
+    out = jnp.zeros((total_q + 1, num_heads, flat_out.shape[-1]), q.dtype)
+    out = out.at[dst].set(flat_out)[:total_q]
+    lse_p = jnp.zeros((total_q + 1, num_heads), jnp.float32)
+    lse_p = lse_p.at[dst].set(flat_lse)[:total_q]
+    lse = lse_p.T  # (h, total_q) reference lse layout
+    return (out, lse) if return_softmax_lse else out

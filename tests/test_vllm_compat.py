@@ -1,0 +1,127 @@
+"""vLLM-compat surface tests, porting the reference's serving test
+(tests/test_vllm_flash_attn.py: test_flash_attn_varlen_func with paged KV +
+chunked prefill vs ref_paged_attn)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.vllm_compat import (
+    flash_attn_varlen_func,
+    get_scheduler_metadata,
+)
+
+
+def ref_paged_attn(query, key_cache, value_cache, query_lens, kv_lens,
+                   block_tables, scale, sliding_window=None, soft_cap=None):
+    """Port of the reference oracle (tests/test_vllm_flash_attn.py ref_paged_attn)."""
+    num_seqs = len(query_lens)
+    block_tables = np.asarray(block_tables)
+    _, page, num_kv_heads, head_size = key_cache.shape
+    outputs = []
+    start = 0
+    for i in range(num_seqs):
+        qlen, klen = int(query_lens[i]), int(kv_lens[i])
+        q = np.asarray(query[start : start + qlen], np.float32)
+        npages = (klen + page - 1) // page
+        k = np.asarray(key_cache, np.float32)[block_tables[i, :npages]]
+        k = k.reshape(-1, num_kv_heads, head_size)[:klen]
+        v = np.asarray(value_cache, np.float32)[block_tables[i, :npages]]
+        v = v.reshape(-1, num_kv_heads, head_size)[:klen]
+        g = q.shape[1] // num_kv_heads
+        k = np.repeat(k, g, axis=1)
+        v = np.repeat(v, g, axis=1)
+        s = np.einsum("qhd,khd->hqk", q, k) * scale
+        if soft_cap:
+            s = np.tanh(s / soft_cap) * soft_cap
+        # bottom-right causal
+        qi = np.arange(qlen)[:, None]
+        ki = np.arange(klen)[None, :]
+        mask = ki > qi + (klen - qlen)
+        if sliding_window is not None:
+            mask |= ki < qi + (klen - qlen) - sliding_window + 1
+        s = np.where(mask[None], -np.inf, s)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        outputs.append(np.einsum("hqk,khd->qhd", p, v))
+        start += qlen
+    return np.concatenate(outputs)
+
+
+@pytest.mark.parametrize("seq_lens", [
+    [(1, 132), (5, 18)],                 # decode-ish
+    [(100, 180), (17, 463), (30, 57)],   # chunked prefill mixes
+])
+@pytest.mark.parametrize("sliding_window", [None, 64])
+@pytest.mark.parametrize("soft_cap", [None, 30.0])
+def test_varlen_paged_vs_ref(seq_lens, sliding_window, soft_cap):
+    page = 128
+    h, hk, d = 8, 2, 64
+    query_lens = [q for q, _ in seq_lens]
+    kv_lens = [k for _, k in seq_lens]
+    nseq = len(seq_lens)
+    total_q = sum(query_lens)
+    max_klen = max(kv_lens)
+    max_pages = (max_klen + page - 1) // page
+    total_pages = nseq * max_pages + 1
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(total_q, h, d).astype(np.float32)
+    key_cache = rng.randn(total_pages, page, hk, d).astype(np.float32)
+    value_cache = rng.randn(total_pages, page, hk, d).astype(np.float32)
+    block_tables = rng.permutation(total_pages - 1)[: nseq * max_pages]
+    block_tables = (block_tables + 1).reshape(nseq, max_pages).astype(np.int32)
+
+    cu_q = np.concatenate([[0], np.cumsum(query_lens)]).astype(np.int32)
+    scale = d**-0.5
+
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb = jnp.asarray(key_cache, jnp.bfloat16)
+    vb = jnp.asarray(value_cache, jnp.bfloat16)
+    out, lse = flash_attn_varlen_func(
+        qb, kb, vb,
+        max_seqlen_q=max(query_lens),
+        cu_seqlens_q=jnp.asarray(cu_q),
+        max_seqlen_k=max_klen,
+        seqused_k=jnp.asarray(kv_lens, jnp.int32),
+        causal=True,
+        window_size=(sliding_window - 1, 0) if sliding_window else (-1, -1),
+        softcap=soft_cap if soft_cap else 0.0,
+        block_table=jnp.asarray(block_tables),
+        softmax_scale=scale,
+        return_softmax_lse=True,
+    )
+    ref = ref_paged_attn(
+        np.asarray(qb, np.float32),
+        np.asarray(kb, np.float32), np.asarray(vb, np.float32),
+        query_lens, kv_lens, block_tables, scale,
+        sliding_window=sliding_window, soft_cap=soft_cap,
+    )
+    err = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert err < 2.5e-2, err
+    assert lse.shape == (h, total_q)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_scheduler_metadata_roundtrip():
+    md = get_scheduler_metadata(
+        batch_size=2, max_seqlen_q=1, max_seqlen_k=1024, num_heads_q=8,
+        num_heads_kv=2, headdim=64, causal=True,
+    )
+    assert md.num_heads_q == 8
+
+    # Passing it through the varlen call validates head count.
+    page, h, hk, d = 128, 8, 2, 64
+    q = jnp.zeros((2, h, d), jnp.bfloat16)
+    kc = jnp.zeros((4, page, hk, d), jnp.bfloat16)
+    out = flash_attn_varlen_func(
+        q, kc, kc,
+        max_seqlen_q=1,
+        cu_seqlens_q=jnp.asarray([0, 1, 2], jnp.int32),
+        seqused_k=jnp.asarray([100, 50], jnp.int32),
+        causal=True,
+        block_table=jnp.asarray([[0, 1], [2, 3]], jnp.int32),
+        scheduler_metadata=md,
+    )
+    assert out.shape == (2, h, d)

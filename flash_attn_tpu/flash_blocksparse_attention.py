@@ -1,0 +1,62 @@
+"""Legacy fixed-blockmask blocksparse attention (reference:
+flash_attn/flash_blocksparse_attention.py:15 FlashBlocksparseMHA,
+flash_blocksparse_attn_interface.py:7 flash_blocksparse_attn_func,
+:185 convert_blockmask).
+
+Implemented on the vertical-and-slash sparse kernel by expressing the fixed
+(q_blocks, k_blocks) boolean blockmask as per-q-block slash tile lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
+
+
+def convert_blockmask(blockmask: jnp.ndarray, block_size: int = 64):
+    """(nqb, nkb) bool -> (block_count, block_offset) slash metadata."""
+    nqb, nkb = blockmask.shape
+    bm = jnp.asarray(blockmask, bool)
+    counts = bm.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~bm, axis=1, stable=True).astype(jnp.int32)
+    offsets = order * block_size  # element offsets; invalid entries unused
+    return counts, offsets
+
+
+def flash_blocksparse_attn_func(
+    q: jnp.ndarray,  # (b, s, h, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    blockmask: jnp.ndarray,  # (s//block, s//block) bool keep-mask
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    *,
+    block_size: int = 64,
+    interpret: Optional[bool] = None,
+):
+    """Fixed blockmask flash attention. The mask is shared across batch and
+    heads (the legacy Triton kernel's contract)."""
+    if dropout_p > 0.0:
+        raise NotImplementedError("blocksparse dropout not implemented")
+    b, sq, h, d = q.shape
+    counts, offsets = convert_blockmask(blockmask, block_size)
+    nqb = blockmask.shape[0]
+    nnz = offsets.shape[1]
+    block_count = jnp.broadcast_to(counts[None, None], (b, h, nqb))
+    block_offset = jnp.broadcast_to(offsets[None, None], (b, h, nqb, nnz))
+    column_count = jnp.zeros((b, h, nqb), jnp.int32)
+    column_index = jnp.zeros((b, h, nqb, 1), jnp.int32)
+    out, lse = flash_attention_sparse_fwd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        block_count, block_offset, column_count, column_index,
+        softmax_scale=softmax_scale, causal=causal,
+        meta_block_m=block_size, meta_block_n=block_size,
+        interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3)

@@ -124,8 +124,23 @@ def _decode_kernel(
             should_run, ki * block_kv < leftpad + sink_token_length
         )
 
-    @pl.when(should_run)
-    def _body():
+    # Interior tiles (strictly inside every row's visible range) skip all
+    # masking work; only boundary tiles (the last block, a window's first
+    # block, leftpad/sink edges) pay for iota+select — the decode analog of
+    # the fwd kernel's masking_steps specialization.
+    vis_hi = (seqused - sq) if causal else seqused  # min over rows
+    interior = (ki + 1) * block_kv <= vis_hi
+    if has_leftpad or sink_token_length > 0:
+        interior = jnp.logical_and(
+            interior, ki * block_kv >= leftpad + sink_token_length
+        )
+    if window_left >= 0:
+        # Fully inside the window for the most restrictive (first) row.
+        interior = jnp.logical_and(
+            interior, ki * block_kv >= seqused - sq - window_left
+        )
+
+    def _compute(with_mask):
         q = q_ref[0, 0]  # (rows, d)
         k = k_ref[0, 0]  # (block_kv, d)
         if k.dtype.itemsize < 2:
@@ -148,30 +163,35 @@ def _decode_kernel(
         else:
             s2 = s * (scale_dyn * LOG2E)
 
-        # Row r holds query head (r % group) of new token (r // group); its
-        # absolute key-position is pos_r = seqused - sq + r//group.
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        pos_r = seqused - sq + r_ids // group
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+        if has_alibi or with_mask:
+            # Row r holds query head (r % group) of new token (r // group);
+            # its absolute key-position is pos_r = seqused - sq + r//group.
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            pos_r = seqused - sq + r_ids // group
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ki * block_kv
+            )
 
         if has_alibi:
             slope2 = slopes_ref[b if alibi_batched else 0, hk] * LOG2E
             rel = jnp.abs((cols - pos_r).astype(jnp.float32))
             s2 = s2 - slope2 * rel
 
-        mask = cols < seqused
-        if causal:
-            mask = jnp.logical_and(mask, cols <= pos_r)
-        if has_leftpad:
-            mask = jnp.logical_and(mask, cols >= leftpad)
-        if window_left >= 0:
-            in_window = cols >= pos_r - window_left
-            if sink_token_length > 0:
-                in_window = jnp.logical_or(
-                    in_window, cols < leftpad + sink_token_length
-                )
-            mask = jnp.logical_and(mask, in_window)
-        s2 = jnp.where(mask, s2, _MASK2)
+        if with_mask:
+            mask = cols < seqused
+            if causal:
+                mask = jnp.logical_and(mask, cols <= pos_r)
+            if has_leftpad:
+                mask = jnp.logical_and(mask, cols >= leftpad)
+            if window_left >= 0:
+                in_window = cols >= pos_r - window_left
+                if sink_token_length > 0:
+                    in_window = jnp.logical_or(
+                        in_window, cols < leftpad + sink_token_length
+                    )
+                mask = jnp.logical_and(mask, in_window)
+            s2 = jnp.where(mask, s2, _MASK2)
 
         m_prev = m_scr[...]
         m_cur = jnp.max(s2, axis=1, keepdims=True)
@@ -187,7 +207,8 @@ def _decode_kernel(
             # lane-replicated at full width; slice for the score tile.
             m_full = m_next[:, : s2.shape[1]]
         p = jnp.exp2(s2 - m_full)
-        p = jnp.where(mask, p, 0.0)
+        if with_mask:
+            p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
@@ -200,6 +221,14 @@ def _decode_kernel(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    @pl.when(jnp.logical_and(should_run, interior))
+    def _body_interior():
+        _compute(with_mask=False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(interior)))
+    def _body_edge():
+        _compute(with_mask=True)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():

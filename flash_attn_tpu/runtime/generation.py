@@ -236,3 +236,114 @@ def sample_speculative(
         final[:, None], tokens,
     )
     return tokens, num_accepted
+
+
+def decode_speculative(
+    input_ids: jnp.ndarray,  # (1, prompt) — like the reference, batch 1
+    target_apply: Callable,  # make_apply_fn-style step for the target model
+    target_caches: Dict,
+    draft_apply: Callable,
+    draft_caches: Dict,
+    max_new_tokens: int,
+    *,
+    gamma: int = 4,          # reference speculative_lookahead
+    top_k: int = 1,
+    temperature: float = 1.0,
+    eos_token_id: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+) -> GenerationOutput:
+    """Speculative decoding (reference decode_speculative, generation.py:269
+    — which also asserts batch_size == 1): the draft proposes `gamma` tokens
+    autoregressively, the target verifies them in ONE chunked forward, and
+    rejection sampling (sample_speculative) keeps a prefix + one corrected/
+    bonus token. Greedy mode (top_k=1) accepts exact argmax matches, so the
+    output equals the target's own greedy decode.
+
+    Cache trick: all gamma+1 proposed tokens are appended to both caches
+    every round; rejected suffix KV becomes stale but invisible (offsets
+    track the committed length, and later appends overwrite the slots before
+    they re-enter the visible range) — no cache rollback needed.
+    """
+    assert input_ids.shape[0] == 1
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, prompt_len = input_ids.shape
+    greedy = top_k == 1
+
+    # Prefill both models on prompt[:-1]; feed the last prompt token through
+    # the first verify round.
+    z = jnp.zeros((1,), jnp.int32)
+    if prompt_len > 1:
+        _, target_caches = target_apply(input_ids[:, :-1], target_caches, z, 1)
+        _, draft_caches = draft_apply(input_ids[:, :-1], draft_caches, z, 1)
+
+    committed = []  # generated tokens
+    last = input_ids[:, -1:]  # (1, 1) newest committed token
+    offset = prompt_len - 1   # tokens in both caches
+
+    while len(committed) < max_new_tokens:
+        g = min(gamma, max_new_tokens - len(committed))
+        # --- draft proposes g tokens autoregressively ---
+        d_off = jnp.full((1,), offset, jnp.int32)
+        cur = last
+        draft_tokens = []
+        draft_probs = []
+        dc = draft_caches
+        for i in range(g):
+            logits, dc = draft_apply(cur, dc, d_off + i, 1)
+            probs = jax.nn.softmax(
+                logits[:, -1] / (temperature if not greedy else 1.0), -1
+            )
+            rng, k = jax.random.split(rng)
+            tok = (
+                jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                if greedy else
+                sample_tokens(logits[:, -1], k, top_k=top_k,
+                              temperature=temperature)
+            )
+            draft_tokens.append(tok)
+            draft_probs.append(probs)
+            cur = tok[:, None]
+        draft_tokens = jnp.stack(draft_tokens, 1)  # (1, g)
+        draft_probs = jnp.stack(draft_probs, 1)    # (1, g, vocab)
+
+        # --- target verifies the chunk [last, d_1..d_g] in one forward ---
+        chunk = jnp.concatenate([last, draft_tokens], axis=1)  # (1, g+1)
+        t_off = jnp.full((1,), offset, jnp.int32)
+        t_logits, target_caches = target_apply(
+            chunk, target_caches, t_off, g + 1
+        )
+        target_probs = jax.nn.softmax(
+            t_logits / (temperature if not greedy else 1.0), -1
+        )  # (1, g+1, vocab)
+
+        if greedy:
+            t_argmax = jnp.argmax(t_logits, -1).astype(jnp.int32)  # (1, g+1)
+            agree = (draft_tokens == t_argmax[:, :g]).astype(jnp.int32)
+            n_acc = int(jnp.cumprod(agree, -1).sum())
+            toks = [int(draft_tokens[0, i]) for i in range(n_acc)]
+            toks.append(int(t_argmax[0, n_acc]))  # bonus / correction
+        else:
+            rng, k = jax.random.split(rng)
+            tokens, n_acc_arr = sample_speculative(
+                target_probs, draft_probs, draft_tokens, k
+            )
+            n_acc = int(n_acc_arr[0])
+            toks = [int(tokens[0, i]) for i in range(n_acc + 1)]
+
+        # --- commit; draft cache catches up on the accepted chunk ---
+        ncommit = len(toks)
+        # Draft already holds KV for draft_tokens (appended during
+        # proposing); its visible length is just reset via offset.
+        committed.extend(toks)
+        offset += ncommit
+        last = jnp.asarray([[committed[-1]]], jnp.int32)
+        if eos_token_id is not None and eos_token_id in toks:
+            committed = committed[: committed.index(eos_token_id) + 1]
+            break
+
+    committed = committed[:max_new_tokens]
+    seqs = jnp.concatenate(
+        [input_ids, jnp.asarray([committed], jnp.int32)], axis=1
+    )
+    return GenerationOutput(sequences=seqs)

@@ -178,3 +178,25 @@ def test_mask_mod_doc_mask():
         q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
     )
     assert jnp.array_equal(out, out_ref)
+
+
+def test_legacy_blocksparse():
+    """Legacy fixed-blockmask API (flash_blocksparse_attn_interface.py:7)."""
+    from flash_attn_tpu.flash_blocksparse_attention import (
+        flash_blocksparse_attn_func,
+    )
+
+    b, h, s, d, blk = 1, 2, 256, 64, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(9), b, s, s, h, h, d)
+    nb = s // blk
+    rng = np.random.RandomState(0)
+    blockmask = jnp.asarray(rng.rand(nb, nb) > 0.4)
+    # Ensure no fully-empty rows (softmax undefined otherwise).
+    blockmask = blockmask.at[:, 0].set(True)
+    out = flash_blocksparse_attn_func(q, k, v, blockmask)
+    dense_mask = jnp.repeat(jnp.repeat(blockmask, blk, 0), blk, 1)
+    bias = jnp.where(dense_mask, 0.0, -jnp.inf)[None, None]
+    ref, _ = attention_ref(q, k, v, attn_bias=bias)
+    pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
+                          reorder_ops=True)
+    check(out, ref, pt)

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# CI entry (reference: tools/ci/build_sif.sh + run_fa4_ci.py — theirs builds
+# an Apptainer GPU image; ours is a plain host script since the TPU runtime
+# needs no container): full test suite on the virtual CPU mesh, multichip
+# dry run, then quick benchmarks if a TPU is attached.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== unit tests (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== multichip dry run =="
+python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+"
+
+echo "== TPU benchmarks (skipped if no TPU) =="
+python - <<'EOF'
+import jax
+if jax.default_backend() == "tpu":
+    import subprocess, sys
+    subprocess.run([sys.executable, "bench.py"], check=True)
+    subprocess.run([sys.executable, "benchmarks/benchmark_flash_attention.py",
+                    "--quick"], check=True)
+else:
+    print("no TPU attached; benchmarks skipped")
+EOF
+echo "CI OK"

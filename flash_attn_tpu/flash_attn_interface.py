@@ -145,6 +145,17 @@ def _core_bwd_vjp(config, residuals, cotangents):
             grads[name] = dv
         elif name == "bias" and dbias is not None:
             grads[name] = dbias
+        elif name == "sink":
+            # The sink adds exp(sink_h)/Z_r to each row's normalizer, so
+            # dL/dsink_h = -sum_{b,r} delta_{bhr} * exp(sink_h - lse_{bhr})
+            # with delta = rowsum(dO*O). The q/k/v grads need no change:
+            # p = exp(s - lse) already reflects the sink through the lse.
+            delta = jnp.sum(
+                do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+            )  # (b, h, sq)
+            w = jnp.exp(val[None, :, None].astype(jnp.float32) - lse)
+            w = jnp.where(jnp.isfinite(lse), w, 0.0)
+            grads[name] = -(delta * w).sum(axis=(0, 2)).astype(val.dtype)
         else:
             grads[name] = _zero_cotangent(val)
     return (grads,)
@@ -421,6 +432,7 @@ class _VarlenConfig:
     causal: bool
     window_size: Tuple[int, int]
     softcap: float
+    dropout_p: float
     block_q: int
     block_kv: int
     interpret: Optional[bool]
@@ -443,6 +455,8 @@ def _varlen_fwd(tensors, config):
         causal=config.causal,
         window_size=config.window_size,
         softcap=config.softcap,
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
         block_q=config.block_q,
         block_kv=config.block_kv,
         interpret=config.interpret,
@@ -468,6 +482,8 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         causal=config.causal,
         window_size=config.window_size,
         softcap=config.softcap,
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
         block_q=config.block_q,
         block_kv=config.block_kv,
         interpret=config.interpret,
@@ -506,6 +522,7 @@ def flash_attn_varlen_func(
     return_attn_probs: bool = False,
     *,
     seqused_k: Optional[jnp.ndarray] = None,
+    dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     block_kv: int = 256,
     interpret: Optional[bool] = None,
@@ -516,12 +533,10 @@ def flash_attn_varlen_func(
 
     Tensors are packed along one token axis; cu_seqlens give sequence
     boundaries. Bottom-right-aligned causal masking per sequence, seqused_k
-    truncation, GQA, sliding windows, softcap, and ALiBi are supported.
-    Dropout in the varlen path is not yet implemented (raises).
+    truncation, GQA, sliding windows, softcap, ALiBi, and dropout are
+    supported.
     """
     del max_seqlen_q, max_seqlen_k, deterministic
-    if dropout_p > 0.0:
-        raise NotImplementedError("varlen dropout not yet implemented on TPU")
     tensors = {
         "q": q, "k": k, "v": v,
         "cu_seqlens_q": jnp.asarray(cu_seqlens_q, jnp.int32),
@@ -531,11 +546,16 @@ def flash_attn_varlen_func(
         tensors["seqused_k"] = jnp.asarray(seqused_k, jnp.int32)
     if alibi_slopes is not None:
         tensors["alibi_slopes"] = jnp.asarray(alibi_slopes, jnp.float32)
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        tensors["dropout_seed"] = jnp.asarray(dropout_seed, jnp.int32)
     config = _VarlenConfig(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal),
         window_size=tuple(int(w) for w in window_size),
         softcap=float(softcap),
+        dropout_p=float(dropout_p),
         block_q=int(block_q),
         block_kv=int(block_kv),
         interpret=interpret,

@@ -180,7 +180,7 @@ def _varlen_fwd_kernel(
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    softcap: float, group_size: int,
+    softcap: float, dropout_p: float, group_size: int,
     has_alibi: bool, out_dtype,
 ):
     idx = 0
@@ -191,9 +191,11 @@ def _varlen_fwd_kernel(
     qpos_ref = refs[idx]; idx += 1
     kseg_ref = refs[idx]; idx += 1
     kpos_ref = refs[idx]; idx += 1
-    slopes_ref = None
+    slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     m_scr = refs[idx]; idx += 1
@@ -247,6 +249,14 @@ def _varlen_fwd_kernel(
         p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
+        if dropout_p > 0.0:
+            from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
+
+            keep = _dropout_keep_mask(
+                seed_ref, 0, h, qi * block_q, ki * block_kv, p.shape,
+                1.0 - dropout_p,
+            )
+            p = jnp.where(keep, p, 0.0)
         v = v_ref[0]
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
@@ -260,6 +270,8 @@ def _varlen_fwd_kernel(
         m = m_scr[...][:, 0:1]
         l = l_scr[...][:, 0:1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if dropout_p > 0.0:
+            l_inv = l_inv * (1.0 / (1.0 - dropout_p))
         o_ref[0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse_ref[0] = jnp.where(
             l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
@@ -270,6 +282,7 @@ def _varlen_recompute(
     q, k, v, do, lse2, delta,
     qseg, qpos, kseg, kpos, slopes_ref, h,
     *, scale, causal, window, softcap, has_alibi,
+    dropout_p=0.0, seed_ref=None, qi=0, ki=0, block_q=0, block_kv=0,
 ):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -288,15 +301,28 @@ def _varlen_recompute(
         s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
     p = jnp.exp2(s2 - lse2)
     p = jnp.where(mask, p, 0.0)
+    if dropout_p > 0.0:
+        from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
+
+        keep = _dropout_keep_mask(
+            seed_ref, 0, h, qi * block_q, ki * block_kv, p.shape,
+            1.0 - dropout_p,
+        )
+        inv = 1.0 / (1.0 - dropout_p)
+        p_drop = jnp.where(keep, p, 0.0) * inv
+    else:
+        p_drop = p
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
     ds = p * (dp - delta)
     if softcap > 0.0:
         ds = ds * ((1.0 - t * t) * scale)
     else:
         ds = ds * scale
-    return p, ds
+    return p_drop, ds
 
 
 def _varlen_dkv_kernel(
@@ -304,7 +330,7 @@ def _varlen_dkv_kernel(
     *refs,
     block_q: int, block_kv: int, num_q_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    softcap: float, has_alibi: bool,
+    softcap: float, dropout_p: float, has_alibi: bool,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -317,9 +343,11 @@ def _varlen_dkv_kernel(
     qpos_ref = refs[idx]; idx += 1
     kseg_ref = refs[idx]; idx += 1
     kpos_ref = refs[idx]; idx += 1
-    slopes_ref = None
+    slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     dk_ref = refs[idx]; idx += 1
     dv_ref = refs[idx]; idx += 1
     dk_scr = refs[idx]; idx += 1
@@ -346,6 +374,8 @@ def _varlen_dkv_kernel(
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
             softcap=softcap, has_alibi=has_alibi,
+            dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
+            block_q=block_q, block_kv=block_kv,
         )
         dv_scr[...] += jax.lax.dot_general(
             p, do_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -367,7 +397,7 @@ def _varlen_dq_kernel(
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    softcap: float, has_alibi: bool, out_dtype,
+    softcap: float, dropout_p: float, has_alibi: bool, out_dtype,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -380,9 +410,11 @@ def _varlen_dq_kernel(
     qpos_ref = refs[idx]; idx += 1
     kseg_ref = refs[idx]; idx += 1
     kpos_ref = refs[idx]; idx += 1
-    slopes_ref = None
+    slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
     dq_scr = refs[idx]; idx += 1
 
@@ -406,6 +438,8 @@ def _varlen_dq_kernel(
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
             softcap=softcap, has_alibi=has_alibi,
+            dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
+            block_q=block_q, block_kv=block_kv,
         )
         dq_scr[...] += jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -440,6 +474,8 @@ def flash_attention_varlen_fwd(
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     block_kv: int = 256,
     interpret: Optional[bool] = None,
@@ -506,11 +542,22 @@ def flash_attention_varlen_fwd(
         )
         args.append(slopes)
 
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda h, qi, ki, mn, mx: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(seed_arr)
+
     kernel = functools.partial(
         _varlen_fwd_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
         scale=float(softmax_scale), causal=causal, window=window,
-        softcap=float(softcap), group_size=group_size,
+        softcap=float(softcap), dropout_p=float(dropout_p),
+        group_size=group_size,
         has_alibi=has_alibi, out_dtype=out_dtype,
     )
 
@@ -557,6 +604,8 @@ def flash_attention_varlen_bwd(
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     block_kv: int = 256,
     interpret: Optional[bool] = None,
@@ -625,18 +674,28 @@ def flash_attention_varlen_bwd(
                 pl.BlockSpec(slopes.shape, lambda h, i, j, a, b: (0, 0),
                              memory_space=pltpu.SMEM)
             )
+        if dropout_p > 0.0:
+            specs.append(
+                pl.BlockSpec((1, 1), lambda h, i, j, a, b: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
         return specs
 
     base_args = [qp, kp, vp, dop, lsep, deltap, qseg, qpos, kseg, kpos]
     if has_alibi:
         base_args.append(slopes)
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        base_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
 
     # ---- dK/dV: grid (h, kv, q) ----
     dkv_kernel = functools.partial(
         _varlen_dkv_kernel,
         block_q=block_q, block_kv=block_kv, num_q_blocks=nqb,
         scale=float(softmax_scale), causal=causal, window=window,
-        softcap=float(softcap), has_alibi=has_alibi,
+        softcap=float(softcap), dropout_p=float(dropout_p),
+        has_alibi=has_alibi,
     )
     dkv_specs = specs_for(
         clamp_q=lambda ki, qi, mn, mx: jnp.clip(qi, mn[ki], mx[ki]),
@@ -682,7 +741,8 @@ def flash_attention_varlen_bwd(
         _varlen_dq_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
         scale=float(softmax_scale), causal=causal, window=window,
-        softcap=float(softcap), has_alibi=has_alibi, out_dtype=out_dtype,
+        softcap=float(softcap), dropout_p=float(dropout_p),
+        has_alibi=has_alibi, out_dtype=out_dtype,
     )
     dq_specs = specs_for(
         clamp_q=lambda qi, ki, mn, mx: qi,

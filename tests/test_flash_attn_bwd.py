@@ -186,3 +186,32 @@ def test_bwd_dropout():
     assert jnp.abs(
         dv0.astype(jnp.float32).mean() - dv_nd.astype(jnp.float32).mean()
     ) < 0.05
+
+
+def test_bwd_sink_grads():
+    """Gradients with a learnable attention sink: dq/dk/dv fall out of the
+    standard formulas (lse already includes the sink) and dsink is an
+    analytic reduction — all checked against autodiff through the oracle."""
+    from flash_attn_tpu.utils.testing import attention_ref as _ref
+
+    b, h, s, d = 1, 2, 150, 64
+    q, k, v, g = make_qkv(jax.random.PRNGKey(20), b, s, s, h, h, d)
+    sink = jax.random.normal(jax.random.PRNGKey(21), (h,), jnp.float32)
+
+    def loss_kernel(q, k, v, sink):
+        out = flash_attn_func(q, k, v, causal=True, sink=sink, block_sizes=BS)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v, sink, upcast=True):
+        out, _ = _ref(q, k, v, causal=True, learnable_sink=sink,
+                      upcast=upcast, reorder_ops=not upcast)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    ga = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    gp = jax.grad(lambda *a: loss_ref(*a, upcast=False),
+                  argnums=(0, 1, 2, 3))(q, k, v, sink)
+    for name, a, r, p in zip(("dq", "dk", "dv", "dsink"), ga, gr, gp):
+        err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        assert err <= 2.0 * base + 2e-3, (name, err, base)

@@ -189,3 +189,41 @@ def test_pad_unpad_roundtrip():
     assert int(mx) == 17
     back = pad_input(packed[: int(cu[-1])], idx[: int(cu[-1])], 3, 17)
     assert jnp.allclose(jnp.where(mask[:, :, None], x, 0.0), back)
+
+
+def test_varlen_dropout():
+    """Varlen dropout: deterministic for a fixed seed, differs across seeds,
+    fwd/bwd mask parity implied by deterministic grads."""
+    lens = [100, 60]
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(7), lens, lens, 2, 2, 64)
+    kw = dict(causal=True, dropout_p=0.2, block_q=128, block_kv=128)
+    out_a = pack_run_unpack(q, k, v, qmask, kmask,
+                            dropout_seed=jnp.int32(5), **kw)
+    out_b = pack_run_unpack(q, k, v, qmask, kmask,
+                            dropout_seed=jnp.int32(5), **kw)
+    out_c = pack_run_unpack(q, k, v, qmask, kmask,
+                            dropout_seed=jnp.int32(6), **kw)
+    assert jnp.array_equal(out_a, out_b)
+    assert not jnp.array_equal(out_a, out_c)
+
+    g = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32
+                          ).astype(q.dtype)
+
+    def loss(q, k, v):
+        out = pack_run_unpack(q, k, v, qmask, kmask,
+                              dropout_seed=jnp.int32(5), **kw)
+        out = jnp.where(qmask[:, :, None, None], out, 0.0)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.array_equal(a, b)
+    # Mean-preserving vs no-dropout gradients (loose unbiasedness bound).
+    g_nd = jax.grad(lambda q, k, v: jnp.sum(jnp.where(
+        qmask[:, :, None, None],
+        pack_run_unpack(q, k, v, qmask, kmask, causal=True,
+                        block_q=128, block_kv=128), 0.0
+    ).astype(jnp.float32) * g.astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(g1[2].astype(jnp.float32).mean())
+               - float(g_nd[2].astype(jnp.float32).mean())) < 0.05

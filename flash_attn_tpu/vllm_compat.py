@@ -179,3 +179,84 @@ def flash_attn_varlen_func(
     lse_p = lse_p.at[dst].set(flat_lse)[:total_q]
     lse = lse_p.T  # (h, total_q) reference lse layout
     return (out, lse) if return_softmax_lse else out
+
+
+def sparse_attn_varlen_func(
+    q,  # (total_q, h, d) packed
+    k,  # (total_k, hk, d)
+    v,
+    block_count,   # (nseq, h, cdiv(max_seqlen_q, 64)) per-seq metadata
+    block_offset,  # (nseq, h, nqb, NNZ_S) offsets into each seq's own keys
+    column_count,
+    column_index,
+    cu_seqlens_q=None,
+    cu_seqlens_k=None,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    *,
+    return_softmax_lse: bool = False,
+    out=None,
+):
+    """Varlen vertical-and-slash sparse attention (reference
+    vllm_flash_attn/flash_attn_interface.py:388 `sparse_attn_varlen_func`,
+    csrc/flash_attn/flash_api_sparse.cpp:337 mha_varlen_fwd_sparse).
+
+    Metadata indices are relative to each sequence's own keys, so the packed
+    batch is unpacked to a left-aligned padded layout, the dense sparse
+    kernel runs per batch entry, and outputs are repacked. Per-sequence
+    bottom-right causal alignment is not expressible in the dense sparse
+    kernel's global mask yet, so causal=True raises (the MInference usage is
+    non-causal metadata that already encodes the pattern).
+    """
+    del dropout_p, deterministic, return_attn_probs, out
+    if causal:
+        raise NotImplementedError(
+            "sparse varlen with causal=True: encode causality in the "
+            "metadata (MInference does) or use flash_attn_varlen_func"
+        )
+    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
+
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    nseq = cu_q.shape[0] - 1
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    sq, sk = int(max_seqlen_q), int(max_seqlen_k)
+
+    def unpack(x, cu, smax, total):
+        lens = cu[1:] - cu[:-1]
+        row = jnp.arange(smax, dtype=jnp.int32)[None, :]
+        src = cu[:-1, None] + row
+        valid = row < lens[:, None]
+        safe = jnp.clip(src, 0, max(total - 1, 0))
+        xp = jnp.take(x, safe.reshape(-1), axis=0).reshape(
+            nseq, smax, *x.shape[1:]
+        )
+        xp = jnp.where(valid[:, :, None, None], xp, 0)
+        return xp, src, valid
+
+    qp, qsrc, qvalid = unpack(q, cu_q, sq, total_q)
+    kp, _, _ = unpack(k, cu_k, sk, total_k)
+    vp, _, _ = unpack(v, cu_k, sk, total_k)
+
+    out_p, lse_p = flash_attention_sparse_fwd(
+        qp.transpose(0, 2, 1, 3), kp.transpose(0, 2, 1, 3),
+        vp.transpose(0, 2, 1, 3),
+        block_count, block_offset, column_count, column_index,
+        alibi_slopes=alibi_slopes, softmax_scale=softmax_scale,
+        causal=False, softcap=softcap,
+    )
+    # Repack (b, h, sq, d) -> (total_q, h, d); (b, h, sq) -> (h, total_q).
+    flat_out = out_p.transpose(0, 2, 1, 3).reshape(nseq * sq, h, d)
+    flat_lse = lse_p.transpose(0, 2, 1).reshape(nseq * sq, h)
+    dst = jnp.where(qvalid, qsrc, total_q).reshape(-1)
+    outp = jnp.zeros((total_q + 1, h, d), q.dtype).at[dst].set(flat_out)[:total_q]
+    lse = jnp.zeros((total_q + 1, h), jnp.float32).at[dst].set(flat_lse)[:total_q].T
+    return (outp, lse) if return_softmax_lse else outp

@@ -125,3 +125,49 @@ def test_scheduler_metadata_roundtrip():
         scheduler_metadata=md,
     )
     assert out.shape == (2, h, d)
+
+
+def test_sparse_attn_varlen():
+    """Port of the reference test_sparse_attention_varlen construction:
+    per-sequence metadata covering all of each sequence's keys => equals
+    dense varlen attention."""
+    from flash_attn_tpu.vllm_compat import sparse_attn_varlen_func
+    from flash_attn_tpu import flash_attn_varlen_func as dense_varlen
+
+    seq_lens = [(100, 132), (64, 200)]
+    h, d = 2, 64
+    q_lens = [a for a, _ in seq_lens]
+    k_lens = [b for _, b in seq_lens]
+    nseq = len(seq_lens)
+    total_q, total_k = sum(q_lens), sum(k_lens)
+    sq, sk = max(q_lens), max(k_lens)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(total_q, h, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(total_k, h, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(total_k, h, d), jnp.bfloat16)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(k_lens)]), jnp.int32)
+
+    nqb = (sq + 63) // 64
+    nnz_s = 1
+    # Slash tile [0, 64) + verticals for the rest, per sequence.
+    block_count = jnp.full((nseq, h, nqb), nnz_s, jnp.int32)
+    block_offset = jnp.zeros((nseq, h, nqb, nnz_s), jnp.int32)
+    nnz_v = sk - 64
+    column_count = jnp.asarray(
+        np.broadcast_to(
+            (np.array(k_lens) - 64)[:, None, None], (nseq, h, nqb)
+        ).copy(), jnp.int32,
+    )
+    column_index = jnp.broadcast_to(
+        64 + jnp.arange(nnz_v, dtype=jnp.int32), (nseq, h, nqb, nnz_v)
+    )
+
+    out, lse = sparse_attn_varlen_func(
+        q, k, v, block_count, block_offset, column_count, column_index,
+        cu_q, cu_k, sq, sk, return_softmax_lse=True,
+    )
+    ref = dense_varlen(q, k, v, cu_q, cu_k, causal=False)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert err < 2.5e-2, err
+    assert lse.shape == (h, total_q)

@@ -190,3 +190,24 @@ def test_flash_attn_dropout_statistics():
         out_a.astype(jnp.float32).mean() - out0.astype(jnp.float32).mean()
     )
     assert diff < 0.05
+
+
+@pytest.mark.parametrize("d", [32, 59, 111, 160, 256])
+def test_flash_attn_headdim_sweep(d):
+    """Reference sweeps head dims 32..256 incl. odd 59/111
+    (tests/test_flash_attn.py:586 parametrization)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(30 + d), 1, 130, 146, 2, 2, d)
+    out, _ = run_fwd(q, k, v, causal=True)
+    ref, _ = attention_ref(q, k, v, causal=True)
+    pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
+    check(out, ref, pt)
+
+
+@pytest.mark.parametrize("sq,sk", [(1, 147), (3, 1024), (1025, 1025), (8, 8)])
+def test_flash_attn_seqlen_sweep(sq, sk):
+    """Off-tile seqlens incl. 1025 and tiny (reference :586 sweep)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(40), 1, sq, sk, 2, 2, 64)
+    out, _ = run_fwd(q, k, v, causal=True)
+    ref, _ = attention_ref(q, k, v, causal=True)
+    pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
+    check(out, ref, pt)

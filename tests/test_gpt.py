@@ -129,3 +129,20 @@ def test_sample_speculative_rejection():
     )
     assert int(num_acc[0]) == 0
     assert int(tokens[0, 0]) == 0  # corrected sample from target
+
+
+def test_mha_cross_attention():
+    """Cross-attention MHA (reference modules/mha.py cross_attn path):
+    kv from a different source sequence."""
+    from flash_attn_tpu.modules.mha import MHA
+
+    mha = MHA(embed_dim=64, num_heads=4, cross_attn=True, causal=False,
+              dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 64))
+    x_kv = jax.random.normal(jax.random.PRNGKey(1), (2, 23, 64))
+    params = mha.init(jax.random.PRNGKey(2), x, x_kv)
+    out = mha.apply(params, x, x_kv)
+    assert out.shape == (2, 10, 64)
+    # Changing kv changes the output; changing kv length works.
+    out2 = mha.apply(params, x, x_kv + 1.0)
+    assert not jnp.allclose(out, out2)

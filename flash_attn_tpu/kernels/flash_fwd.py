@@ -110,6 +110,9 @@ def _fwd_kernel(
     has_segments: bool,
     has_descale: bool,
     descale_batched: bool,
+    cp_world_size: int = 1,
+    cp_rank: int = 0,
+    cp_tot_seqlen_k: int = 0,
     score_mod=None,
     mask_mod=None,
     out_dtype=None,
@@ -159,12 +162,20 @@ def _fwd_kernel(
     min_kv_blk, max_kv_blk = make_causal_window_bounds(
         seqlen_q=seqlen_q,
         seqlen_k=seqlen_k,
-        window=window,
+        # Round-robin CP interleaves absolute columns across ranks, so
+        # local-unit block bounds do not apply; fall back to full range
+        # (element masking stays exact).
+        window=window if cp_world_size == 1 else (-1, -1),
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
     )
-    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
+    if cp_world_size > 1:
+        should_run = jnp.bool_(True)
+    else:
+        should_run = jnp.logical_and(
+            ki >= min_kv_blk(qi), ki <= max_kv_blk(qi)
+        )
     # Sink tokens re-enable the first blocks even outside the window.
     if sink_token_length > 0:
         should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
@@ -177,6 +188,7 @@ def _fwd_kernel(
         or is_local(window)
         or has_segments
         or (mask_mod is not None)
+        or (cp_world_size > 1)
         or (seqlen_k % block_kv != 0)
         or (seqlen_q % block_q != 0)
     )
@@ -242,6 +254,13 @@ def _fwd_kernel(
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
             mask = cols < seqlen_k
             offset = seqlen_k - seqlen_q
+            if cp_world_size > 1:
+                # Context parallelism, round-robin KV sharding: this rank
+                # holds keys with absolute index local*W + rank
+                # (hopper/mask.h:103-105); causal/window align against the
+                # TOTAL key length across ranks (hopper/seqlen.h:59).
+                cols = cols * cp_world_size + cp_rank
+                offset = cp_tot_seqlen_k - seqlen_q
             left, right = window
             if causal or right >= 0:
                 r = 0 if causal and right < 0 else right
@@ -314,8 +333,16 @@ def _fwd_kernel(
         col_lo = ki * block_kv
         col_hi = col_lo + block_kv - 1
         offset = seqlen_k - seqlen_q
+        if cp_world_size > 1:
+            col_lo = col_lo * cp_world_size + cp_rank
+            col_hi = col_hi * cp_world_size + cp_rank
+            offset = cp_tot_seqlen_k - seqlen_q
+            # col_hi < seqlen_k check below is in LOCAL units; replace.
         left, right = window
-        interior = col_hi < seqlen_k
+        interior = (
+            col_hi < seqlen_k if cp_world_size == 1
+            else (ki + 1) * block_kv <= seqlen_k
+        )
         if causal or right >= 0:
             r = 0 if causal and right < 0 else right
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
@@ -380,6 +407,9 @@ def flash_attention_fwd(
     dropout_seed: Optional[jnp.ndarray] = None,
     score_mod=None,  # callable(scores, b, h, q_idx, kv_idx) -> scores
     mask_mod=None,   # callable(b, h, q_idx, kv_idx) -> bool keep-mask
+    cp_world_size: int = 1,  # round-robin context parallelism (FA3 CP args)
+    cp_rank: int = 0,
+    cp_tot_seqlen_k: Optional[int] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -417,10 +447,12 @@ def flash_attention_fwd(
     num_q_blocks = sq_pad // block_q
     num_kv_blocks = sk_pad // block_kv
 
+    if cp_tot_seqlen_k is None:
+        cp_tot_seqlen_k = seqlen_k * cp_world_size
     min_kv_blk, max_kv_blk = make_causal_window_bounds(
         seqlen_q=seqlen_q,
         seqlen_k=seqlen_k,
-        window=window,
+        window=window if cp_world_size == 1 else (-1, -1),
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
@@ -563,6 +595,9 @@ def flash_attention_fwd(
         has_segments=has_segments,
         has_descale=has_descale,
         descale_batched=descale_batched,
+        cp_world_size=int(cp_world_size),
+        cp_rank=int(cp_rank),
+        cp_tot_seqlen_k=int(cp_tot_seqlen_k),
         score_mod=score_mod,
         mask_mod=mask_mod,
         out_dtype=out_dtype,

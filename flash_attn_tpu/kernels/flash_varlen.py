@@ -61,6 +61,9 @@ def make_varlen_metadata(
     block_kv: int,
     causal: bool,
     window: Tuple[int, int],
+    cp_world_size: int = 1,
+    cp_rank: int = 0,
+    cp_tot_seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) totals
 ):
     """Returns (qseg, qpos_adj, kseg, kpos, kvmin, kvmax, qmin, qmax).
 
@@ -85,6 +88,15 @@ def make_varlen_metadata(
     used_k = (
         jnp.asarray(seqused_k, jnp.int32) if seqused_k is not None else sk_len
     )
+    if cp_world_size > 1:
+        # Round-robin CP (hopper/mask.h:103, seqlen.h:59): this rank's local
+        # key i has absolute index i*W + rank; per-sequence totals come from
+        # cp_tot_seqused_k and bound how many local keys are live.
+        tot_k = (
+            jnp.asarray(cp_tot_seqused_k, jnp.int32)
+            if cp_tot_seqused_k is not None else used_k * cp_world_size
+        )
+        used_k = (tot_k - cp_rank + cp_world_size - 1) // cp_world_size
 
     qidx = jnp.arange(tqp, dtype=jnp.int32)
     kidx = jnp.arange(tkp, dtype=jnp.int32)
@@ -100,7 +112,11 @@ def make_varlen_metadata(
     kpos = kidx - cu_k[kseg_c]
     # seqused_k: keys at pos >= used are invisible.
     kseg = jnp.where(kpos < used_k[kseg_c], kseg, -2)
-    offset = used_k - sq_len  # bottom-right alignment per sequence
+    if cp_world_size > 1:
+        kpos = kpos * cp_world_size + cp_rank  # absolute key positions
+        offset = tot_k - sq_len
+    else:
+        offset = used_k - sq_len  # bottom-right alignment per sequence
     qpos_adj = qpos + offset[qseg_c]
 
     # ---- per-q-block kv bounds ----
@@ -150,6 +166,11 @@ def make_varlen_metadata(
     qmin = jnp.clip(qmin_g // block_q, 0, nqb - 1)
     qmin = jnp.minimum(qmin, qmax)
 
+    if cp_world_size > 1:
+        kvmin = jnp.zeros_like(kvmin)
+        kvmax = jnp.full_like(kvmax, nkb - 1)
+        qmin = jnp.zeros_like(qmin)
+        qmax = jnp.full_like(qmax, nqb - 1)
     return (
         qseg[:, None], qpos_adj[:, None], kseg[:, None], kpos[:, None],
         kvmin, kvmax, qmin, qmax,
@@ -476,6 +497,9 @@ def flash_attention_varlen_fwd(
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    cp_world_size: int = 1,
+    cp_rank: int = 0,
+    cp_tot_seqused_k: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     block_kv: int = 256,
     interpret: Optional[bool] = None,
@@ -499,6 +523,8 @@ def flash_attention_varlen_fwd(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
         seqused_k=seqused_k, block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
+        cp_world_size=cp_world_size, cp_rank=cp_rank,
+        cp_tot_seqused_k=cp_tot_seqused_k,
     )
 
     qp = _prep_packed(q, block_q, d_pad)

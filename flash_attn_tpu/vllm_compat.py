@@ -106,6 +106,9 @@ def flash_attn_varlen_func(
     q_descale=None, k_descale=None, v_descale=None,
     num_splits: int = 0,
     s_aux=None,        # attention sinks (reference s_aux, hopper FA3)
+    cp_world_size: int = 1,   # context parallelism (reference
+    cp_rank: int = 0,         #  vllm_flash_attn/flash_attn_interface.py:166)
+    cp_tot_seqused_k=None,
     **kwargs,
 ):
     """vLLM's varlen entry (vllm_flash_attn/flash_attn_interface.py:136).
@@ -123,6 +126,20 @@ def flash_attn_varlen_func(
         assert scheduler_metadata.num_heads_q == q.shape[-2]
 
     if block_table is None:
+        if cp_world_size > 1:
+            from flash_attn_tpu.kernels.flash_varlen import (
+                flash_attention_varlen_fwd,
+            )
+
+            out, lse = flash_attention_varlen_fwd(
+                q, k, v, cu_seqlens_q, cu_seqlens_k,
+                seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+                softmax_scale=softmax_scale, causal=causal,
+                window_size=window_size, softcap=softcap,
+                cp_world_size=cp_world_size, cp_rank=cp_rank,
+                cp_tot_seqused_k=cp_tot_seqused_k,
+            )
+            return (out, lse) if return_softmax_lse else out
         out, lse = _varlen_packed(
             q, k, v, cu_seqlens_q, cu_seqlens_k,
             max_seqlen_q, max_seqlen_k,

@@ -110,3 +110,35 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_round_robin_cp_matches_reference_contract():
+    """The reference's kernel-level CP: KV round-robin sharded across ranks,
+    each rank masks with abs_k_idx = local*W + rank (hopper/mask.h:103-105),
+    caller LSE-merges partials (the vLLM CP usage). Two simulated ranks must
+    reproduce full causal attention after the combine."""
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+    from flash_attn_tpu.kernels.flash_decode import combine_partials
+
+    b, h, s, d, W = 1, 2, 256, 64, 2
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    parts = []
+    for rank in range(W):
+        k_r = k[:, :, rank::W]  # round-robin shard
+        v_r = v[:, :, rank::W]
+        o_r, lse_r = flash_attention_fwd(
+            q, k_r, v_r, causal=True,
+            cp_world_size=W, cp_rank=rank, cp_tot_seqlen_k=s,
+        )
+        parts.append((o_r.astype(jnp.float32), lse_r))
+    o, lse = combine_partials(
+        jnp.stack([p[0] for p in parts]), jnp.stack([p[1] for p in parts])
+    )
+    full, lse_full = flash_attention_fwd(q, k, v, causal=True)
+    assert jnp.abs(o - full.astype(jnp.float32)).max() < 2e-2
+    assert jnp.abs(lse - lse_full).max() < 1e-3

@@ -171,3 +171,54 @@ def test_sparse_attn_varlen():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
     assert err < 2.5e-2, err
     assert lse.shape == (h, total_q)
+
+
+def test_varlen_cp_round_robin():
+    """CP args on the vLLM varlen path (reference flash_attn_interface.py:166):
+    two ranks over round-robin KV shards, LSE-merged, equal full varlen."""
+    from flash_attn_tpu.vllm_compat import flash_attn_varlen_func
+    from flash_attn_tpu.kernels.flash_decode import combine_partials
+
+    lens_q = [60, 100]
+    lens_k = [128, 200]  # even so the round-robin split is exact
+    h, d, W = 2, 64, 2
+    total_q, total_k = sum(lens_q), sum(lens_k)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(total_q, h, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(total_k, h, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(total_k, h, d), jnp.bfloat16)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(lens_k)]), jnp.int32)
+
+    full, lse_full = flash_attn_varlen_func(
+        q, k, v, cu_seqlens_q=cu_q, cu_seqlens_k=cu_k, causal=True,
+        return_softmax_lse=True,
+    )
+
+    # Build per-rank round-robin shards of each sequence's keys.
+    parts = []
+    for rank in range(W):
+        k_parts, v_parts, lens_local = [], [], []
+        for j in range(len(lens_k)):
+            seg_k = k[int(cu_k[j]):int(cu_k[j + 1])]
+            seg_v = v[int(cu_k[j]):int(cu_k[j + 1])]
+            k_parts.append(seg_k[rank::W])
+            v_parts.append(seg_v[rank::W])
+            lens_local.append(seg_k[rank::W].shape[0])
+        k_r = jnp.concatenate(k_parts)
+        v_r = jnp.concatenate(v_parts)
+        cu_k_r = jnp.asarray(
+            np.concatenate([[0], np.cumsum(lens_local)]), jnp.int32
+        )
+        o_r, lse_r = flash_attn_varlen_func(
+            q, k_r, v_r, cu_seqlens_q=cu_q, cu_seqlens_k=cu_k_r, causal=True,
+            cp_world_size=W, cp_rank=rank,
+            cp_tot_seqused_k=jnp.asarray(lens_k, jnp.int32),
+            return_softmax_lse=True,
+        )
+        parts.append((o_r.astype(jnp.float32), lse_r.T))  # lse -> (total_q, h)
+    o, lse = combine_partials(
+        jnp.stack([p[0] for p in parts]), jnp.stack([p[1] for p in parts])
+    )
+    assert np.abs(np.asarray(o) - np.asarray(full, np.float32)).max() < 2e-2
+    assert np.abs(np.asarray(lse).T - np.asarray(lse_full)).max() < 1e-3

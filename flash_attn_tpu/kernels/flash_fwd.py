@@ -113,6 +113,7 @@ def _fwd_kernel(
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqlen_k: int = 0,
+    output_scale: float = 1.0,
     score_mod=None,
     mask_mod=None,
     out_dtype=None,
@@ -376,6 +377,10 @@ def _fwd_kernel(
         if has_descale:
             db = b if descale_batched else 0
             l_inv = l_inv * descale_ref[2, db, h // group_size]
+        if output_scale != 1.0:
+            # Fused output quantization scale (FA4 output_scale,
+            # cute/interface.py:420-424) — folded into the normalizer.
+            l_inv = l_inv * output_scale
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse = jnp.where(
             l == 0.0,
@@ -410,6 +415,8 @@ def flash_attention_fwd(
     cp_world_size: int = 1,  # round-robin context parallelism (FA3 CP args)
     cp_rank: int = 0,
     cp_tot_seqlen_k: Optional[int] = None,
+    output_scale: float = 1.0,   # fused output quant scale (FA4)
+    out_quant_dtype=None,        # e.g. jnp.float8_e4m3fn with output_scale
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -434,6 +441,8 @@ def flash_attention_fwd(
 
     # Quantized inputs produce bf16 outputs (reference FP8 fwd returns fp16).
     out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
+    if out_quant_dtype is not None:
+        out_dtype = out_quant_dtype
 
     # Pad to tile boundaries; masking inside the kernel keeps semantics.
     d_pad = round_up(head_dim, NUM_LANES)
@@ -598,6 +607,7 @@ def flash_attention_fwd(
         cp_world_size=int(cp_world_size),
         cp_rank=int(cp_rank),
         cp_tot_seqlen_k=int(cp_tot_seqlen_k),
+        output_scale=float(output_scale),
         score_mod=score_mod,
         mask_mod=mask_mod,
         out_dtype=out_dtype,

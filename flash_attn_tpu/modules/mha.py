@@ -67,6 +67,7 @@ class MHA(nn.Module):
     window_size: Tuple[int, int] = (-1, -1)
     softcap: float = 0.0
     use_alibi: bool = False
+    dwconv: bool = False  # causal depthwise conv on q/k/v (mha.py dwconv)
     rotary_emb_dim: int = 0
     rotary_emb_base: float = 10000.0
     rotary_emb_interleaved: bool = False
@@ -102,6 +103,19 @@ class MHA(nn.Module):
             self.embed_dim, use_bias=self.out_proj_bias, dtype=self.dtype,
             name="out_proj",
         )
+        if self.dwconv:
+            # Width-3 causal depthwise conv per projection (reference
+            # modules/mha.py dwconv=True: Conv1d(groups=dim, k=3, pad=2)
+            # sliced [..., :-2]).
+            self.dwconv_q = self.param(
+                "dwconv_q", nn.initializers.normal(0.02), (3, h * d)
+            )
+            self.dwconv_k = self.param(
+                "dwconv_k", nn.initializers.normal(0.02), (3, hk * d)
+            )
+            self.dwconv_v = self.param(
+                "dwconv_v", nn.initializers.normal(0.02), (3, hk * d)
+            )
         if self.rotary_emb_dim > 0:
             self.rotary = RotaryEmbedding(
                 self.rotary_emb_dim,
@@ -128,9 +142,25 @@ class MHA(nn.Module):
         h, hk, d = self._h, self._hk, self._d
         kv_src = x_kv if (self.cross_attn and x_kv is not None) else x
         skv = kv_src.shape[1]
-        q = self.Wq(x).reshape(b, s, h, d)
-        k = self.Wk(kv_src).reshape(b, skv, hk, d)
-        v = self.Wv(kv_src).reshape(b, skv, hk, d)
+        q = self.Wq(x)
+        k = self.Wk(kv_src)
+        v = self.Wv(kv_src)
+        if self.dwconv:
+            if inference_params is not None:
+                raise NotImplementedError("dwconv decode needs conv state")
+
+            def causal_dw(y, w):
+                # y[t] += w[0]*y[t-2] + w[1]*y[t-1] + w[2]*y[t]
+                y0 = jnp.pad(y, ((0, 0), (2, 0), (0, 0)))[:, :-2]
+                y1 = jnp.pad(y, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+                return (y0 * w[0] + y1 * w[1] + y * w[2]).astype(y.dtype)
+
+            q = causal_dw(q, self.dwconv_q)
+            k = causal_dw(k, self.dwconv_k)
+            v = causal_dw(v, self.dwconv_v)
+        q = q.reshape(b, s, h, d)
+        k = k.reshape(b, skv, hk, d)
+        v = v.reshape(b, skv, hk, d)
 
         dropout_p = 0.0 if deterministic else self.dropout
 

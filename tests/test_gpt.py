@@ -146,3 +146,19 @@ def test_mha_cross_attention():
     # Changing kv changes the output; changing kv length works.
     out2 = mha.apply(params, x, x_kv + 1.0)
     assert not jnp.allclose(out, out2)
+
+
+def test_mha_dwconv():
+    """Depthwise-conv MHA variant (reference modules/mha.py dwconv=True):
+    causality — output at t must not depend on inputs after t."""
+    from flash_attn_tpu.modules.mha import MHA
+
+    mha = MHA(embed_dim=64, num_heads=4, causal=True, dwconv=True,
+              dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 64))
+    params = mha.init(jax.random.PRNGKey(1), x)
+    out = mha.apply(params, x)
+    x2 = x.at[:, 8:].set(0.0)  # perturb the future
+    out2 = mha.apply(params, x2)
+    assert jnp.allclose(out[:, :8], out2[:, :8], atol=1e-5)
+    assert not jnp.allclose(out[:, 8:], out2[:, 8:])

@@ -98,3 +98,27 @@ def test_quantize_kv_roundtrip():
     k_back = k_q.astype(jnp.float32) * k_s[None, :, None, None]
     rel = jnp.abs(k_back - k).max() / jnp.abs(k).max()
     assert rel < 0.02  # int8 per-head quantization error bound
+
+
+def test_fp8_output_scale():
+    """Fused FP8 output quantization (FA4 output_scale,
+    cute/interface.py:420): out_fp8 * (1/scale) must match the bf16 output."""
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    b, h, s, d = 1, 2, 128, 64
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+    ref, _ = flash_attention_fwd(q, k, v, causal=True)
+    scale = 100.0
+    out8, _ = flash_attention_fwd(
+        q, k, v, causal=True, output_scale=scale, out_quant_dtype=FP8
+    )
+    assert out8.dtype == FP8
+    back = out8.astype(jnp.float32) / scale
+    err = jnp.abs(back - ref.astype(jnp.float32)).max()
+    # fp8-e4m3 has 3 mantissa bits -> ~6% relative step.
+    bound = 0.07 * float(jnp.abs(ref.astype(jnp.float32)).max()) + 1e-3
+    assert err < bound, (err, bound)

@@ -46,6 +46,38 @@ def bench_decode_kernel(b, smax, h, hk, d, page=256):
     }
 
 
+def bench_engine(n_requests=16, prompt=512, new_tokens=64):
+    """End-to-end continuous-batching tokens/s (engine + C++ scheduler)."""
+    import time
+
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
+
+    cfg = GPTConfig(vocab_size=32000, n_positions=0, n_embd=1024, n_layer=8,
+                    n_head=16, n_head_kv=4, rotary_emb_fraction=1.0,
+                    rms_norm=True, activation_function="swiglu",
+                    qkv_proj_bias=False, out_proj_bias=False,
+                    mlp_fc1_bias=False, mlp_fc2_bias=False,
+                    tie_word_embeddings=True)
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 32000, prompt).tolist()
+               for _ in range(n_requests)]
+    engine = LLMEngine(model, params, EngineConfig(
+        max_batch_size=16, page_size=256, num_pages=256,
+        max_pages_per_seq=8, prefill_chunk=512, max_seqlen=2048))
+    # Warm both compiled programs on the first request set shape.
+    t0 = time.perf_counter()
+    engine.generate(prompts, new_tokens)
+    dt = time.perf_counter() - t0
+    total_new = n_requests * new_tokens
+    total_all = n_requests * (prompt + new_tokens)
+    return {"decode_tokens_per_s": total_new / dt,
+            "total_tokens_per_s": total_all / dt,
+            "wall_s": dt}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -66,6 +98,10 @@ def main():
             "bench": "paged_decode", "b": b, "smax": smax, "h": h,
             "hk": hk, "d": d, **{k: round(v, 2) for k, v in r.items()},
         }))
+    if not args.quick:
+        r = bench_engine()
+        print(json.dumps({"bench": "engine_continuous_batching",
+                          **{k: round(v, 2) for k, v in r.items()}}))
 
 
 if __name__ == "__main__":

@@ -87,15 +87,18 @@ def choose_block_sizes(
       block_q*d*2 (Q) + 2*block_kv*d*2 (K,V, double-buffered by pallas)
       + block_q*block_kv*4 (scores) + block_q*(2*128 + d)*4 (m,l,acc scratch).
     """
-    # Measured on TPU v5e (d=128, s=8k, bf16): block_q=1024/block_kv=512 gives
-    # 147 TF/s non-causal (74% MXU), 101 TF/s causal.
+    # Measured on TPU v5e (d=128, s=8k, bf16): fwd block_q=1024/block_kv=512
+    # gives 142-151 TF/s non-causal (72-77% MXU), 118 TF/s causal; bwd tiles
+    # 1024x1024 give 151 TF/s fwd+bwd effective (3.5x formula) vs 79 at
+    # 256x256 — the backward is recompute-heavy, so bigger tiles amortize.
     block_q = min(round_up(seqlen_q, NUM_LANES), 1024 if head_dim <= 128 else 512)
     block_kv = min(round_up(seqlen_k, NUM_LANES), 512)
     # Keep the scores tile under ~2MB.
     while block_q * block_kv * 4 > 2 * 1024 * 1024 and block_kv > NUM_LANES:
         block_kv //= 2
-    bwd_q = min(round_up(seqlen_q, NUM_LANES), 256)
-    bwd_kv = min(round_up(seqlen_k, NUM_LANES), 256)
+    bwd_tile = 1024 if head_dim <= 128 else 512
+    bwd_q = min(round_up(seqlen_q, NUM_LANES), bwd_tile)
+    bwd_kv = min(round_up(seqlen_k, NUM_LANES), bwd_tile)
     return BlockSizes(
         block_q=block_q,
         block_kv=block_kv,

@@ -72,14 +72,19 @@ def benchmark_backward(fn, primal, *args, **kw) -> float:
 
 
 def benchmark_combined(fn, primal, *args, **kw) -> float:
-    """Seconds per forward+backward."""
+    """Seconds per forward+backward (gradients wrt ALL array inputs — a
+    single-argnum grad would let XLA dead-code-eliminate the other backward
+    kernels and over-report)."""
 
     def fwdbwd(x, *rest):
-        def loss(x_):
-            return jnp.sum(fn(x_, *rest).astype(jnp.float32))
+        def loss(*xs):
+            return jnp.sum(fn(*xs).astype(jnp.float32))
 
-        _, g = jax.value_and_grad(loss)(x)
-        return g
+        g = jax.grad(loss, argnums=tuple(range(1 + len(rest))))(x, *rest)
+        out = g[0]
+        for gi in g[1:]:
+            out = out + jnp.sum(gi.astype(jnp.float32)).astype(out.dtype)
+        return out
 
     return benchmark_forward(fwdbwd, primal, *args, **kw)
 

@@ -82,6 +82,68 @@ def llama_config_to_gpt_config(hf) -> GPTConfig:
     )
 
 
+def gemma_config_to_gpt_config(hf) -> GPTConfig:
+    """Gemma 1/2: llama-shaped with gelu-gated MLP, sqrt(d_model) embedding
+    scale, (1 + w) RMSNorm (folded into the weights at remap time), and
+    head_dim decoupled from hidden_size."""
+    return GPTConfig(
+        vocab_size=hf.vocab_size,
+        n_positions=0,
+        n_embd=hf.hidden_size,
+        n_layer=hf.num_hidden_layers,
+        n_head=hf.num_attention_heads,
+        n_head_kv=getattr(hf, "num_key_value_heads", None),
+        head_dim=getattr(hf, "head_dim", None),
+        n_inner=hf.intermediate_size,
+        activation_function="swiglu_gelu",
+        layer_norm_epsilon=hf.rms_norm_eps,
+        rms_norm=True,
+        rotary_emb_fraction=1.0,
+        rotary_emb_base=getattr(hf, "rope_theta", 10000.0),
+        qkv_proj_bias=getattr(hf, "attention_bias", False),
+        out_proj_bias=getattr(hf, "attention_bias", False),
+        mlp_fc1_bias=False,
+        mlp_fc2_bias=False,
+        tie_word_embeddings=True,
+        embed_scale=float(hf.hidden_size) ** 0.5,
+    )
+
+
+def remap_state_dict_hf_gemma(sd, config: GPTConfig):
+    """Llama-shaped weights; RMSNorm stores w with scale = 1 + w."""
+    params = remap_state_dict_hf_llama(sd, config)
+    tr = params["params"]["transformer"]
+
+    def bump(norm):
+        norm["scale"] = norm["scale"] + 1.0
+
+    bump(tr["ln_f"])
+    for i in range(config.n_layer):
+        bump(tr[f"layers_{i}"]["norm1"])
+        bump(tr[f"layers_{i}"]["norm2"])
+    return params
+
+
+def qwen2_config_to_gpt_config(hf) -> GPTConfig:
+    """Qwen 1.5/2/2.5: llama-shaped with q/k/v bias but no out-proj bias."""
+    cfg = llama_config_to_gpt_config(hf)
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, qkv_proj_bias=True, out_proj_bias=False)
+
+
+def remap_state_dict_hf_qwen2(sd, config: GPTConfig):
+    sd = {k: _np(v) for k, v in sd.items()}
+    params = remap_state_dict_hf_llama(sd, config)
+    tr = params["params"]["transformer"]
+    for i in range(config.n_layer):
+        p = f"model.layers.{i}.self_attn."
+        mixer = tr[f"layers_{i}"]["mixer"]
+        for name, key in (("Wq", "q_proj"), ("Wk", "k_proj"), ("Wv", "v_proj")):
+            mixer[name]["bias"] = jnp.asarray(sd[p + key + ".bias"])
+    return params
+
+
 def gpt_neox_config_to_gpt_config(hf) -> GPTConfig:
     return GPTConfig(
         vocab_size=hf.vocab_size,

@@ -62,6 +62,8 @@ class GPTConfig:
     # Added to every position id before the learned-position lookup (OPT
     # bakes a +2 offset into its table, reference models/opt.py).
     position_offset: int = 0
+    # Multiplier on the embedding output (Gemma scales by sqrt(n_embd)).
+    embed_scale: Optional[float] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -99,13 +101,14 @@ def _mixer_factory(config: GPTConfig, layer_idx: int):
 
 
 def _mlp_factory(config: GPTConfig):
-    gated = config.activation_function in ("swiglu", "silu", "glu")
+    gated = config.activation_function in ("swiglu", "silu", "glu", "swiglu_gelu")
     if gated:
         return functools.partial(
             GatedMlp,
             in_features=config.n_embd,
             hidden_features=config.n_inner,
-            activation="silu" if config.activation_function != "glu" else "glu",
+            activation=config.activation_function
+            if config.activation_function in ("glu", "swiglu_gelu") else "silu",
             bias1=config.mlp_fc1_bias,
             bias2=config.mlp_fc2_bias,
             dtype=config.dtype,
@@ -182,6 +185,8 @@ class GPTModel(nn.Module):
                     + jnp.arange(input_ids.shape[1])[None, :]
                 )
         hidden = self.embeddings(input_ids, position_ids)
+        if c.embed_scale is not None:
+            hidden = hidden * jnp.asarray(c.embed_scale, c.dtype)
         if c.prenorm:
             residual = None
             for layer in self.layers:

@@ -27,6 +27,7 @@ ACT2FN = {
     "sqrelu": lambda x: jnp.square(jax.nn.relu(x)),
     "silu": jax.nn.silu,
     "swiglu": jax.nn.silu,  # gate activation for GatedMlp
+    "swiglu_gelu": lambda x: jax.nn.gelu(x, approximate=True),  # Gemma gate
     "glu": jax.nn.sigmoid,
 }
 

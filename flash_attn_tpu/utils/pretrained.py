@@ -24,6 +24,8 @@ _ADAPTERS = {
     "opt": ("opt_config_to_gpt_config", "remap_state_dict_hf_opt"),
     "gpt_bigcode": ("bigcode_config_to_gpt_config", "remap_state_dict_hf_bigcode"),
     "baichuan": ("baichuan_config_to_gpt_config", "remap_state_dict_hf_baichuan"),
+    "gemma": ("gemma_config_to_gpt_config", "remap_state_dict_hf_gemma"),
+    "qwen2": ("qwen2_config_to_gpt_config", "remap_state_dict_hf_qwen2"),
 }
 
 

@@ -129,3 +129,29 @@ def test_bigcode_parity():
     config = adapters.bigcode_config_to_gpt_config(cfg)
     params = adapters.remap_state_dict_hf_bigcode(hf.state_dict(), config)
     compare(hf, config, params, cfg.vocab_size)
+
+
+def test_gemma_parity():
+    cfg = transformers.GemmaConfig(
+        vocab_size=73, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=1e-6, tie_word_embeddings=True,
+    )
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    config = adapters.gemma_config_to_gpt_config(cfg)
+    params = adapters.remap_state_dict_hf_gemma(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, config
+    )
+    compare(hf, config, params, cfg.vocab_size)
+
+
+def test_qwen2_parity():
+    cfg = transformers.Qwen2Config(
+        vocab_size=67, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    config = adapters.qwen2_config_to_gpt_config(cfg)
+    params = adapters.remap_state_dict_hf_qwen2(hf.state_dict(), config)
+    compare(hf, config, params, cfg.vocab_size)

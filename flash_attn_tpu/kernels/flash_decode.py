@@ -275,6 +275,29 @@ def flash_attention_decode(
     query token i of sq attends to cache positions <= seqlen - sq + i)."""
     batch, sq, num_heads, head_dim = q.shape
     paged = block_table is not None
+    # Small pages collapse the index-map pipeline's per-step overhead
+    # (~140 GB/s at page=128); route the serving hot path to the manually
+    # pipelined multi-page gather kernel when its feature set suffices.
+    if (
+        paged
+        and k_cache.shape[2] < 256
+        and causal
+        and sink is None and alibi_slopes is None
+        and cache_leftpad is None and cache_batch_idx is None
+        and k_scale is None and v_scale is None
+        and sink_token_length == 0
+        and k_cache.dtype.itemsize >= 2
+        and k_cache.shape[3] == v_cache.shape[3]
+    ):
+        from flash_attn_tpu.kernels.flash_decode_multipage import (
+            flash_attention_decode_multipage,
+        )
+
+        return flash_attention_decode_multipage(
+            q, k_cache, v_cache, cache_seqlens, block_table,
+            softmax_scale=softmax_scale, window_left=window_left,
+            softcap=softcap, interpret=interpret,
+        )
     if paged:
         npages, num_heads_kv, page_size, _ = k_cache.shape
         if block_kv is None:

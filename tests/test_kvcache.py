@@ -231,3 +231,32 @@ def test_decode_native_layout_lse():
         out.astype(jnp.float32) - out2[:, -1:].astype(jnp.float32)
     ).max() < 2e-2
     assert jnp.abs(lse[:, :, 0] - lse2[:, :, -1]).max() < 1e-3
+
+
+@pytest.mark.parametrize("page", [16, 64])
+def test_kvcache_small_pages_multipage_kernel(page):
+    """Small pages dispatch to the multi-page DMA-pipeline kernel
+    (kernels/flash_decode_multipage.py) and must match the oracle."""
+    b, smax, h, d = 2, 256, 4, 64
+    key = jax.random.PRNGKey(11)
+    kq, kc_key = jax.random.split(key)
+    q = jax.random.normal(kq, (b, 1, h, d), jnp.float32).astype(jnp.bfloat16)
+    kc, vc = make_cache(kc_key, b, smax, h, d)
+    seqlens = jnp.array([200, 117], jnp.int32)
+
+    npages_per = smax // page
+    rng = np.random.RandomState(3)
+    table = rng.permutation(b * npages_per).reshape(b, npages_per).astype(np.int32)
+    k_pages = jnp.zeros((b * npages_per, page, h, d), jnp.bfloat16)
+    v_pages = jnp.zeros((b * npages_per, page, h, d), jnp.bfloat16)
+    for i in range(b):
+        for p in range(npages_per):
+            k_pages = k_pages.at[table[i, p]].set(kc[i, p * page : (p + 1) * page])
+            v_pages = v_pages.at[table[i, p]].set(vc[i, p * page : (p + 1) * page])
+
+    out = flash_attn_with_kvcache(
+        q, k_pages, v_pages, cache_seqlens=seqlens,
+        block_table=jnp.asarray(table), causal=True,
+    )
+    ref, pt = ref_decode(q, kc, vc, seqlens)
+    check(out, ref, pt)

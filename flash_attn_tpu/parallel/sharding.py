@@ -92,3 +92,17 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
             for kp, _ in flat
         ],
     )
+
+
+def sequence_parallel_constraint(x, mesh: Mesh, axis: str = "model",
+                                 seq_dim: int = 1):
+    """Megatron-style sequence parallelism: pin an activation's sequence axis
+    to the TP axis between blocks (reference sequence_parallel=True,
+    ops/fused_dense.py:27-118 — there the all-gather before column matmuls
+    and reduce-scatter after row matmuls are manual; here the constraint
+    makes GSPMD place exactly those collectives)."""
+    spec = [None] * x.ndim
+    spec[seq_dim] = axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec))
+    )

@@ -142,3 +142,32 @@ def test_round_robin_cp_matches_reference_contract():
     full, lse_full = flash_attention_fwd(q, k, v, causal=True)
     assert jnp.abs(o - full.astype(jnp.float32)).max() < 2e-2
     assert jnp.abs(lse - lse_full).max() < 1e-3
+
+
+def test_sequence_parallel_constraint_matches_golden():
+    """TP run with explicit sequence-parallel activation constraints must
+    still match the single-device golden result (the reference's
+    sequence_parallel=True numerics contract)."""
+    from flash_attn_tpu.parallel.sharding import sequence_parallel_constraint
+
+    model = GPTLMHeadModel(CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (4, 32), 0, CFG.vocab_size)
+    params = model.init(jax.random.PRNGKey(2), ids)
+    golden = model.apply(params, ids)
+
+    mesh = make_mesh(model=8)
+    with mesh:
+        sharded = shard_params(params, mesh)
+
+        @jax.jit
+        def fwd(p, ids):
+            emb = sequence_parallel_constraint(
+                model.apply(p, ids), mesh
+            )
+            return emb
+
+        out = fwd(sharded, ids)
+    err = jnp.abs(
+        out.astype(jnp.float32) - golden.astype(jnp.float32)
+    ).max()
+    assert err < 5e-2, err

@@ -109,10 +109,6 @@ def _core_bwd_vjp(config, residuals, cotangents):
             "backward through quantized (descaled) attention is not supported"
             " — matches the reference (FP8 is forward-only)"
         )
-    if config.score_mod is not None or config.mask_mod is not None:
-        raise NotImplementedError(
-            "backward through score_mod/mask_mod not yet implemented"
-        )
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         bias=tensors.get("bias"),
@@ -127,6 +123,8 @@ def _core_bwd_vjp(config, residuals, cotangents):
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
+        score_mod=config.score_mod,
+        mask_mod=config.mask_mod,
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )

@@ -96,6 +96,7 @@ def _recompute_p_and_ds(
     dropout_p, seed_ref,
     has_segments, qseg_ref, kseg_ref,
     with_mask: bool,
+    score_mod=None, mask_mod=None,
 ):
     """Shared recompute: returns (p, ds_scaled, dbias_tile).
 
@@ -110,10 +111,21 @@ def _recompute_p_and_ds(
 
     if softcap > 0.0:
         t = jnp.tanh(s * (scale / softcap))
-        s2 = t * (softcap * LOG2E)
+        s_nat = t * softcap
     else:
         t = None
-        s2 = s * (scale * LOG2E)
+        s_nat = s * scale
+    mod_vjp = None
+    if score_mod is not None:
+        # Differentiate through the user's score_mod at trace time — the vjp
+        # is just more traced JAX ops inlined into the kernel.
+        sm_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        sm_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+        s_nat, mod_vjp = jax.vjp(
+            lambda x: score_mod(x, b, h, sm_rows, sm_cols).astype(jnp.float32),
+            s_nat,
+        )
+    s2 = s_nat * LOG2E
 
     if has_alibi:
         slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
@@ -145,6 +157,8 @@ def _recompute_p_and_ds(
             qseg = qseg_ref[0, :, 0]
             kseg = kseg_ref[0, :, 0]
             mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
+        if mask_mod is not None:
+            mask = jnp.logical_and(mask, mask_mod(b, h, rows, cols))
         p = jnp.where(mask, p, 0.0)
 
     # Dropout: regenerate the forward keep-mask. The PRNG is keyed on
@@ -167,6 +181,8 @@ def _recompute_p_and_ds(
 
     dbias_tile = ds if has_bias else None
 
+    if mod_vjp is not None:
+        (ds,) = mod_vjp(ds)
     if softcap > 0.0:
         ds_scaled = ds * ((1.0 - t * t) * scale)
     else:
@@ -184,7 +200,8 @@ def _bwd_dkv_kernel(
     sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, has_alibi: bool, alibi_batched: bool,
     has_segments: bool,
-    out_dtype,
+    score_mod=None, mask_mod=None,
+    out_dtype=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -229,6 +246,7 @@ def _bwd_dkv_kernel(
 
     needs_mask = (
         causal or is_local(window) or has_segments
+        or (mask_mod is not None)
         or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
     )
 
@@ -252,6 +270,7 @@ def _bwd_dkv_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref,
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
+            score_mod=score_mod, mask_mod=mask_mod,
         )
         # dV += P_drop^T dO   (contract over q rows)
         dv_scr[...] += jax.lax.dot_general(
@@ -281,7 +300,7 @@ def _bwd_dkv_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
-        if has_segments:
+        if has_segments or mask_mod is not None:
             interior = False
 
         @pl.when(jnp.logical_and(should_run, interior))
@@ -307,7 +326,8 @@ def _bwd_dq_kernel(
     sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, bias_grad: bool, has_alibi: bool, alibi_batched: bool,
     has_segments: bool,
-    out_dtype,
+    score_mod=None, mask_mod=None,
+    out_dtype=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -351,6 +371,7 @@ def _bwd_dq_kernel(
 
     needs_mask = (
         causal or is_local(window) or has_segments
+        or (mask_mod is not None)
         or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
     )
 
@@ -378,6 +399,7 @@ def _bwd_dq_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref,
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
+            score_mod=score_mod, mask_mod=mask_mod,
         )
         # dQ += dS K
         dq_scr[...] += jax.lax.dot_general(
@@ -404,7 +426,7 @@ def _bwd_dq_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
-        if has_segments:
+        if has_segments or mask_mod is not None:
             interior = False
 
         @pl.when(jnp.logical_and(should_run, interior))
@@ -440,6 +462,8 @@ def flash_attention_bwd(
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    score_mod=None,
+    mask_mod=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -579,7 +603,9 @@ def flash_attention_bwd(
         sink_token_length=sink_token_length, softcap=float(softcap),
         dropout_p=float(dropout_p),
         has_bias=has_bias, has_alibi=has_alibi, alibi_batched=alibi_batched,
-        has_segments=has_segments, out_dtype=jnp.float32,
+        has_segments=has_segments,
+        score_mod=score_mod, mask_mod=mask_mod,
+        out_dtype=jnp.float32,
     )
     dk_gh, dv_gh = pl.pallas_call(
         dkv_kernel,
@@ -647,7 +673,9 @@ def flash_attention_bwd(
         dropout_p=float(dropout_p),
         has_bias=has_bias, bias_grad=bias_grad,
         has_alibi=has_alibi, alibi_batched=alibi_batched,
-        has_segments=has_segments, out_dtype=out_dtype,
+        has_segments=has_segments,
+        score_mod=score_mod, mask_mod=mask_mod,
+        out_dtype=out_dtype,
     )
     out_specs = [
         pl.BlockSpec((1, 1, bq_dq, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),

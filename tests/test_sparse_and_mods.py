@@ -200,3 +200,68 @@ def test_legacy_blocksparse():
     pt, _ = attention_ref(q, k, v, attn_bias=bias, upcast=False,
                           reorder_ops=True)
     check(out, ref, pt)
+
+
+def test_score_mod_backward():
+    """Gradients flow through score_mod (vjp traced into the bwd kernels);
+    must equal gradients of the bias-equivalent attention."""
+    b, h, s, d = 1, 2, 130, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(13), b, s, s, h, h, d)
+    g = jax.random.normal(jax.random.PRNGKey(14), q.shape, jnp.float32
+                          ).astype(q.dtype)
+
+    def score_mod(scores, bi, hi, q_idx, kv_idx):
+        return scores - 0.01 * jnp.abs(q_idx - kv_idx).astype(jnp.float32)
+
+    rel = -0.01 * jnp.abs(
+        jnp.arange(s)[:, None] - jnp.arange(s)[None, :]
+    ).astype(jnp.float32)[None, None]
+
+    def loss(fn, *xs):
+        return jnp.sum(fn(*xs).astype(jnp.float32) * g.astype(jnp.float32))
+
+    ga = jax.grad(lambda *xs: loss(
+        lambda a, b_, c: flash_attn_func(a, b_, c, causal=True,
+                                         score_mod=score_mod), *xs
+    ), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *xs: loss(
+        lambda a, b_, c: attention_ref(a, b_, c, causal=True,
+                                       attn_bias=rel)[0], *xs
+    ), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(lambda *xs: loss(
+        lambda a, b_, c: attention_ref(a, b_, c, causal=True, attn_bias=rel,
+                                       upcast=False, reorder_ops=True)[0], *xs
+    ), argnums=(0, 1, 2))(q, k, v)
+    for name, a, r, p in zip(("dq", "dk", "dv"), ga, gr, gp):
+        err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        assert err <= 2 * base + 1e-4, (name, err, base)
+
+
+def test_mask_mod_backward():
+    """mask_mod gradients equal the segment-id-equivalent gradients exactly."""
+    b, h, s, d = 1, 2, 192, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(15), b, s, s, h, h, d)
+    g = jax.random.normal(jax.random.PRNGKey(16), q.shape, jnp.float32
+                          ).astype(q.dtype)
+    boundary = 80
+
+    def mask_mod(bi, hi, q_idx, kv_idx):
+        return (q_idx < boundary) == (kv_idx < boundary)
+
+    seg = (jnp.arange(s) >= boundary).astype(jnp.int32)[None]
+
+    def loss(fn, *xs):
+        return jnp.sum(fn(*xs).astype(jnp.float32) * g.astype(jnp.float32))
+
+    ga = jax.grad(lambda *xs: loss(
+        lambda a, b_, c: flash_attn_func(a, b_, c, causal=True,
+                                         mask_mod=mask_mod), *xs
+    ), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(lambda *xs: loss(
+        lambda a, b_, c: flash_attn_func(a, b_, c, causal=True,
+                                         q_segment_ids=seg,
+                                         kv_segment_ids=seg), *xs
+    ), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(ga, gb):
+        assert jnp.array_equal(a, b_)

@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from flash_attn_tpu.kernels.common import BlockSizes, choose_block_sizes
+from flash_attn_tpu.kernels.common import BlockSizes
 from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
 

@@ -9,7 +9,7 @@ Implemented on the vertical-and-slash sparse kernel by expressing the fixed
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ buffers, replacing the reference's in-kernel append path).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ flash_attn_tpu/parallel for when manual control is wanted.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,8 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flash_attn_tpu.modules.mha import MHA, InferenceParams
-from flash_attn_tpu.modules.mlp import GatedMlp, Mlp
-from flash_attn_tpu.ops.layer_norm import dropout_add_layer_norm
+from flash_attn_tpu.modules.mlp import Mlp
 
 
 class Block(nn.Module):

@@ -9,7 +9,7 @@ allreduce the reference implements manually.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

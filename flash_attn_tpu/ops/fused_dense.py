@@ -14,7 +14,7 @@ the activations' sequence axis — see parallel/sharding.py docstring.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

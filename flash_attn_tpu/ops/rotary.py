@@ -8,7 +8,7 @@ Triton kernel only because torch eager would materialize intermediates).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

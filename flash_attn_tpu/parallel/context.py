@@ -25,7 +25,7 @@ a zig-zag layout is a planned optimization.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

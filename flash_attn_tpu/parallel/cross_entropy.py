@@ -10,8 +10,6 @@ explicit shard_map version guarantees the communication pattern (one psum of
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

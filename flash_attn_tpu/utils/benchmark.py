@@ -10,7 +10,7 @@ the slope between two K values — constant overhead cancels.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

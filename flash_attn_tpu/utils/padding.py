@@ -11,7 +11,7 @@ kernels read only cu_seqlens, so trailing garbage is never touched. Pass
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

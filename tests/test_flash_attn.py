@@ -211,3 +211,14 @@ def test_flash_attn_seqlen_sweep(sq, sk):
     ref, _ = attention_ref(q, k, v, causal=True)
     pt, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
     check(out, ref, pt)
+
+
+def test_flash_attn_fp32_inputs():
+    """fp32 q/k/v must work (reference supports fp16/bf16 only; TPU kernels
+    accept fp32 for debugging/small models)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(50), 1, 130, 130, 2, 2, 64,
+                       dtype=jnp.float32)
+    out, _ = run_fwd(q, k, v, causal=True)
+    assert out.dtype == jnp.float32
+    ref, _ = attention_ref(q, k, v, causal=True)
+    assert jnp.abs(out - ref).max() < 1e-4

@@ -166,8 +166,7 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
       emit(n, r, r.prefilled, len);
       r.prefilled += len;
       if (r.prefilled >= r.prompt_len) r.state = RUNNING;
-      ++n;
-      break;  // one prefill chunk per step keeps the jitted shape fixed
+      ++n;  // batch up to max_batch prefill chunks per step
     }
     if (n > 0) {
       *kind = 1;

@@ -150,25 +150,30 @@ class LLMEngine:
         if batch.kind == 0:
             return touched
 
-        if batch.kind == 1:  # one prefill chunk
-            rid = int(batch.request_ids[0])
-            pos = int(batch.positions[0])
-            ln = int(batch.chunk_lens[0])
-            prompt = self._prompts[rid]
-            chunk = prompt[pos : pos + ln]
-            chunk = chunk + [0] * (cfg.prefill_chunk - len(chunk))
-            table = np.where(
-                batch.block_tables[:1] < 0, self._trash_page,
-                batch.block_tables[:1],
-            )
+        if batch.kind == 1:  # batched prefill chunks (fixed (mb, chunk) shape)
+            n = len(batch.request_ids)
+            mb = cfg.max_batch_size
+            tokens = np.zeros((mb, cfg.prefill_chunk), np.int32)
+            offsets = np.zeros(mb, np.int32)
+            tables = np.full((mb, cfg.max_pages_per_seq), self._trash_page,
+                             np.int32)
+            for i, rid in enumerate(batch.request_ids):
+                pos = int(batch.positions[i])
+                ln = int(batch.chunk_lens[i])
+                chunk = self._prompts[int(rid)][pos : pos + ln]
+                tokens[i, : len(chunk)] = chunk
+                offsets[i] = pos
+            tables[:n] = np.where(batch.block_tables < 0, self._trash_page,
+                                  batch.block_tables)
             self.caches = self._prefill_fn(
                 self.caches,
-                jnp.asarray([chunk], jnp.int32),
-                jnp.asarray([pos], jnp.int32),
-                jnp.asarray(table, jnp.int32),
+                jnp.asarray(tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(tables),
             )
-            self.sched.report([rid], [0], [0])
-            touched.append(self.outputs[rid])
+            ids = list(map(int, batch.request_ids))
+            self.sched.report(ids, [0] * n, [0] * n)
+            touched.extend(self.outputs[r] for r in ids)
             return touched
 
         # decode batch

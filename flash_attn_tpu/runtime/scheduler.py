@@ -217,15 +217,19 @@ class PyScheduler:
             if self.requests[i].state == PREFILLING
         ]
         prefilling.sort(key=lambda r: (r.prompt_len - r.prefilled, r.id))
+        entries = []
         for r in prefilling:
+            if len(entries) >= self.max_batch:
+                break
             ln = min(self.chunk_size, r.prompt_len - r.prefilled)
             if not self._ensure(r, r.prefilled + ln):
                 continue
-            entries = [(r, r.prefilled, ln)]
-            ids, pos, lens, tables = emit(entries)
+            entries.append((r, r.prefilled, ln))
             r.prefilled += ln
             if r.prefilled >= r.prompt_len:
                 r.state = RUNNING
+        if entries:
+            ids, pos, lens, tables = emit(entries)
             return Batch(1, ids, pos, lens, pos.copy(), tables)
 
         entries = []

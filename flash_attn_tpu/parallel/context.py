@@ -126,3 +126,120 @@ def ring_flash_attention(
         check_vma=False,
     )
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Ring attention BACKWARD (beyond the reference: its CP is forward-only,
+# hopper/flash_api.cpp cp args feed inference; this enables long-context
+# *training* over the context axis).
+#
+# Correctness hinge: with the GLOBAL lse saved from the forward, each KV
+# block's backward contributions (computed via p = exp(s - lse)) simply sum
+# — the same identity the dense two-pass backward uses across kv tiles. So
+# the ring backward rotates (k, v, dk_acc, dv_acc) together: each step
+# computes this shard's contribution to local dQ and to the RESIDENT
+# shard's dK/dV; after a full cycle the dK/dV accumulators arrive back at
+# their home devices.
+# ---------------------------------------------------------------------------
+
+def _ring_attention_bwd_local(
+    q, k, v, out, lse, do,
+    *,
+    axis_name: str,
+    causal: bool,
+    softmax_scale,
+    interpret,
+):
+    from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+    axis_size = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def step_fn(carry, step):
+        dq_acc, k_cur, v_cur, dk_cur, dv_cur = carry
+        src = (my - step) % axis_size
+
+        if causal:
+            dq_d, dk_d, dv_d = flash_attention_bwd(
+                q, k_cur, v_cur, out, lse, do,
+                softmax_scale=softmax_scale, causal=True, interpret=interpret,
+            )
+            dq_f, dk_f, dv_f = flash_attention_bwd(
+                q, k_cur, v_cur, out, lse, do,
+                softmax_scale=softmax_scale, causal=False, interpret=interpret,
+            )
+            is_diag = src == my
+            visible = src < my
+            w_full = jnp.where(visible, 1.0, 0.0)
+            dq_p = jnp.where(is_diag, dq_d, dq_f * w_full)
+            dk_p = jnp.where(is_diag, dk_d, dk_f * w_full)
+            dv_p = jnp.where(is_diag, dv_d, dv_f * w_full)
+        else:
+            dq_p, dk_p, dv_p = flash_attention_bwd(
+                q, k_cur, v_cur, out, lse, do,
+                softmax_scale=softmax_scale, causal=False, interpret=interpret,
+            )
+
+        dq_acc = dq_acc + dq_p.astype(jnp.float32)
+        dk_cur = dk_cur + dk_p.astype(jnp.float32)
+        dv_cur = dv_cur + dv_p.astype(jnp.float32)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return (dq_acc, k_nxt, v_nxt, dk_nxt, dv_nxt), None
+
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    (dq, _, _, dk, dv), _ = jax.lax.scan(
+        step_fn, (dq0, k, v, dk0, dv0), jnp.arange(axis_size)
+    )
+    # After axis_size rotations the accumulators are home again.
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def ring_flash_attention_with_grad(
+    q, k, v, mesh, *, axis_name: str = "context", causal: bool = False,
+    softmax_scale=None, interpret=None,
+):
+    """Differentiable ring attention: returns out (same sharding as q) with a
+    custom VJP running the ring backward. Unlike `ring_flash_attention` this
+    returns only `out` (lse is an internal residual)."""
+
+    spec3 = P(None, None, axis_name, None)
+
+    @jax.custom_vjp
+    def _ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, mesh, axis_name=axis_name, causal=causal,
+            softmax_scale=softmax_scale, interpret=interpret,
+        )
+        return out
+
+    def _fwd(q, k, v):
+        out, lse = ring_flash_attention(
+            q, k, v, mesh, axis_name=axis_name, causal=causal,
+            softmax_scale=softmax_scale, interpret=interpret,
+        )
+        return out, (q, k, v, out, lse)
+
+    def _bwd(res, do):
+        q, k, v, out, lse = res
+        fn = shard_map(
+            functools.partial(
+                _ring_attention_bwd_local,
+                axis_name=axis_name, causal=causal,
+                softmax_scale=softmax_scale, interpret=interpret,
+            ),
+            mesh=mesh,
+            in_specs=(spec3, spec3, spec3, spec3,
+                      P(None, None, axis_name), spec3),
+            out_specs=(spec3, spec3, spec3),
+            check_vma=False,
+        )
+        return fn(q, k, v, out, lse, do)
+
+    _ring.defvjp(_fwd, _bwd)
+    return _ring(q, k, v)

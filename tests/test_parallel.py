@@ -171,3 +171,37 @@ def test_sequence_parallel_constraint_matches_golden():
         out.astype(jnp.float32) - golden.astype(jnp.float32)
     ).max()
     assert err < 5e-2, err
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_backward(causal):
+    """Ring-attention gradients (beyond the reference's fwd-only CP) must
+    match single-device flash-attention gradients."""
+    from flash_attn_tpu.parallel.context import ring_flash_attention_with_grad
+    from flash_attn_tpu import flash_attn_func
+
+    mesh = make_mesh(context=4)
+    b, h, s, d = 1, 2, 256, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    g = jax.random.normal(kg, q.shape, jnp.float32).astype(jnp.bfloat16)
+
+    def loss_ring(q, k, v):
+        out = ring_flash_attention_with_grad(q, k, v, mesh, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_dense(q, k, v):
+        out = flash_attn_func(q, k, v, causal=causal, layout="bhsd")
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    with mesh:
+        gr = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip(("dq", "dk", "dv"), gr, gd):
+        err = jnp.abs(
+            a.astype(jnp.float32) - b_.astype(jnp.float32)
+        ).max()
+        assert err < 5e-2, (name, err)

@@ -205,3 +205,18 @@ def test_ring_attention_backward(causal):
             a.astype(jnp.float32) - b_.astype(jnp.float32)
         ).max()
         assert err < 5e-2, (name, err)
+
+
+def test_tp_generation_matches_single_device():
+    """Greedy generation with TP-sharded parameters must match the
+    single-device result (reference tests/models/test_gpt_generation_parallel.py)."""
+    model = GPTLMHeadModel(CFG)
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 0, CFG.vocab_size)
+    params = model.init(jax.random.PRNGKey(6), prompt)
+    golden = model.generate(params, prompt, 14)
+
+    mesh = make_mesh(model=4)
+    with mesh:
+        sharded = shard_params(params, mesh)
+        seqs = model.generate(sharded, prompt, 14)
+    assert jnp.array_equal(seqs, golden)

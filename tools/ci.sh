@@ -10,6 +10,7 @@ echo "== unit tests (virtual 8-device CPU mesh) =="
 python -m pytest tests/ -q
 
 echo "== multichip dry run =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
 python -c "
 import jax; jax.config.update('jax_platforms', 'cpu')
 import __graft_entry__ as g

@@ -21,5 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Escape hatch: FLASH_ATTN_TPU_TEST_BACKEND=tpu runs the suites compiled on
+# the real chip (slow: remote compiles) instead of CPU interpreter mode.
+if os.environ.get("FLASH_ATTN_TPU_TEST_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -215,10 +215,16 @@ def test_flash_attn_seqlen_sweep(sq, sk):
 
 def test_flash_attn_fp32_inputs():
     """fp32 q/k/v must work (reference supports fp16/bf16 only; TPU kernels
-    accept fp32 for debugging/small models)."""
+    accept fp32 for debugging/small models). On real TPUs fp32 matmuls
+    default to bf16-pass precision, so the bound is the standard contract
+    against a bf16-eager baseline rather than a fixed 1e-4."""
     q, k, v = make_qkv(jax.random.PRNGKey(50), 1, 130, 130, 2, 2, 64,
                        dtype=jnp.float32)
     out, _ = run_fwd(q, k, v, causal=True)
     assert out.dtype == jnp.float32
     ref, _ = attention_ref(q, k, v, causal=True)
-    assert jnp.abs(out - ref).max() < 1e-4
+    pt, _ = attention_ref(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), causal=True, upcast=False, reorder_ops=True,
+    )
+    check(out, ref, pt)

@@ -118,16 +118,18 @@ def _sparse_fwd_kernel(
     block_q: int, block_kv: int, num_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
     group_size: int, has_alibi: bool, alibi_batched: bool,
-    out_dtype,
+    has_lens: bool, out_dtype,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1  # (32, block_kv) int8 bitmap rows
-    slopes_ref = None
+    slopes_ref = lens_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
+    if has_lens:
+        lens_ref = refs[idx]; idx += 1  # (2, b) int32: per-seq len_q/len_k
     o_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     m_scr = refs[idx]; idx += 1
@@ -162,16 +164,24 @@ def _sparse_fwd_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
 
+        # Per-batch lengths (varlen path, reference mha_varlen_fwd_sparse,
+        # csrc/flash_attn/flash_api_sparse.cpp:337): bottom-right causal
+        # alignment uses each sequence's own len_k - len_q.
+        if has_lens:
+            len_q = lens_ref[0, b]
+            len_k = lens_ref[1, b]
+        else:
+            len_q = seqlen_q
+            len_k = seqlen_k
+
         if has_alibi:
             slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
-            rel = jnp.abs(
-                (cols - rows - (seqlen_k - seqlen_q)).astype(jnp.float32)
-            )
+            rel = jnp.abs((cols - rows - (len_k - len_q)).astype(jnp.float32))
             s2 = s2 - slope2 * rel
 
-        mask = jnp.logical_and(cols < seqlen_k, rows < seqlen_q)
+        mask = jnp.logical_and(cols < len_k, rows < len_q)
         if causal:
-            mask = jnp.logical_and(mask, cols <= rows + (seqlen_k - seqlen_q))
+            mask = jnp.logical_and(mask, cols <= rows + (len_k - len_q))
         # Column membership from the bitmap row of this (b, h, qi). Mosaic
         # cannot prove alignment of a dynamic sublane index, so select the
         # row with a vectorized reduce instead of a dynamic slice.
@@ -227,11 +237,18 @@ def flash_attention_sparse_fwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     softcap: float = 0.0,
+    seqlens_q: Optional[jnp.ndarray] = None,  # (b,) per-seq q lengths
+    seqlens_k: Optional[jnp.ndarray] = None,  # (b,) per-seq k lengths
     meta_block_m: int = 64,  # reference BLOCK_M (flash_api_sparse.cpp)
     meta_block_n: int = 64,  # reference BLOCK_N (slash tile width)
     interpret: Optional[bool] = None,
 ):
-    """Vertical-and-slash sparse forward. Returns (out, lse)."""
+    """Vertical-and-slash sparse forward. Returns (out, lse).
+
+    With seqlens_q/seqlens_k, each batch entry is a left-aligned varlen
+    sequence: validity bounds and the bottom-right causal diagonal use that
+    entry's own lengths (varlen path of the reference sparse API).
+    """
     batch, num_heads, seqlen_q, head_dim = q.shape
     _, num_heads_kv, seqlen_k, _ = k.shape
     group_size = num_heads // num_heads_kv
@@ -291,13 +308,27 @@ def flash_attention_sparse_fwd(
         )
         args.append(slopes)
 
+    has_lens = seqlens_q is not None or seqlens_k is not None
+    if has_lens:
+        lq = (jnp.asarray(seqlens_q, jnp.int32) if seqlens_q is not None
+              else jnp.full((batch,), seqlen_q, jnp.int32))
+        lk = (jnp.asarray(seqlens_k, jnp.int32) if seqlens_k is not None
+              else jnp.full((batch,), seqlen_k, jnp.int32))
+        lens = jnp.stack([lq, lk])  # (2, b)
+        in_specs.append(
+            pl.BlockSpec(lens.shape,
+                         lambda b, h, qi, ti, tref, cref: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(lens)
+
     kernel = functools.partial(
         _sparse_fwd_kernel,
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
         block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb,
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         group_size=group_size, has_alibi=has_alibi,
-        alibi_batched=alibi_batched, out_dtype=out_dtype,
+        alibi_batched=alibi_batched, has_lens=has_lens, out_dtype=out_dtype,
     )
 
     sq_pad = nqb * block_q

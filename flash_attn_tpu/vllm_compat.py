@@ -227,17 +227,11 @@ def sparse_attn_varlen_func(
 
     Metadata indices are relative to each sequence's own keys, so the packed
     batch is unpacked to a left-aligned padded layout, the dense sparse
-    kernel runs per batch entry, and outputs are repacked. Per-sequence
-    bottom-right causal alignment is not expressible in the dense sparse
-    kernel's global mask yet, so causal=True raises (the MInference usage is
-    non-causal metadata that already encodes the pattern).
+    kernel runs per batch entry with per-sequence length metadata (causal
+    uses each sequence's own bottom-right diagonal), and outputs are
+    repacked.
     """
     del dropout_p, deterministic, return_attn_probs, out
-    if causal:
-        raise NotImplementedError(
-            "sparse varlen with causal=True: encode causality in the "
-            "metadata (MInference does) or use flash_attn_varlen_func"
-        )
     from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
 
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
@@ -268,7 +262,8 @@ def sparse_attn_varlen_func(
         vp.transpose(0, 2, 1, 3),
         block_count, block_offset, column_count, column_index,
         alibi_slopes=alibi_slopes, softmax_scale=softmax_scale,
-        causal=False, softcap=softcap,
+        causal=causal, softcap=softcap,
+        seqlens_q=cu_q[1:] - cu_q[:-1], seqlens_k=cu_k[1:] - cu_k[:-1],
     )
     # Repack (b, h, sq, d) -> (total_q, h, d); (b, h, sq) -> (h, total_q).
     flat_out = out_p.transpose(0, 2, 1, 3).reshape(nseq * sq, h, d)

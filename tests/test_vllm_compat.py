@@ -172,6 +172,18 @@ def test_sparse_attn_varlen():
     assert err < 2.5e-2, err
     assert lse.shape == (h, total_q)
 
+    # causal=True: per-sequence bottom-right alignment must match the dense
+    # varlen causal path (reference mha_varlen_fwd_sparse is_causal).
+    out_c = sparse_attn_varlen_func(
+        q, k, v, block_count, block_offset, column_count, column_index,
+        cu_q, cu_k, sq, sk, causal=True,
+    )
+    ref_c = dense_varlen(q, k, v, cu_q, cu_k, causal=True)
+    err_c = np.abs(
+        np.asarray(out_c, np.float32) - np.asarray(ref_c, np.float32)
+    ).max()
+    assert err_c < 2.5e-2, err_c
+
 
 def test_varlen_cp_round_robin():
     """CP args on the vLLM varlen path (reference flash_attn_interface.py:166):

@@ -147,17 +147,18 @@ class MHA(nn.Module):
         v = self.Wv(kv_src)
         if self.dwconv:
             if inference_params is not None:
-                raise NotImplementedError("dwconv decode needs conv state")
+                q, k, v = self._dwconv_step(q, k, v, inference_params)
+            else:
 
-            def causal_dw(y, w):
-                # y[t] += w[0]*y[t-2] + w[1]*y[t-1] + w[2]*y[t]
-                y0 = jnp.pad(y, ((0, 0), (2, 0), (0, 0)))[:, :-2]
-                y1 = jnp.pad(y, ((0, 0), (1, 0), (0, 0)))[:, :-1]
-                return (y0 * w[0] + y1 * w[1] + y * w[2]).astype(y.dtype)
+                def causal_dw(y, w):
+                    # y[t] += w[0]*y[t-2] + w[1]*y[t-1] + w[2]*y[t]
+                    y0 = jnp.pad(y, ((0, 0), (2, 0), (0, 0)))[:, :-2]
+                    y1 = jnp.pad(y, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+                    return (y0 * w[0] + y1 * w[1] + y * w[2]).astype(y.dtype)
 
-            q = causal_dw(q, self.dwconv_q)
-            k = causal_dw(k, self.dwconv_k)
-            v = causal_dw(v, self.dwconv_v)
+                q = causal_dw(q, self.dwconv_q)
+                k = causal_dw(k, self.dwconv_k)
+                v = causal_dw(v, self.dwconv_v)
         q = q.reshape(b, s, h, d)
         k = k.reshape(b, skv, hk, d)
         v = v.reshape(b, skv, hk, d)
@@ -200,6 +201,39 @@ class MHA(nn.Module):
             context = self._decode_step(q, k, v, inference_params)
 
         return self.out_proj(context.reshape(b, s, h * d))
+
+    def _dwconv_step(self, q, k, v, inference_params: InferenceParams):
+        """Causal depthwise conv with streaming state for decode.
+
+        The conv needs the two previous *raw* (pre-conv) projections; they
+        live in the cache dict under key `~layer_idx` (bitwise complement —
+        negative ints keep the dict's pytree key set homogeneous and
+        sortable next to the positive KV-cache layer keys). State starts as
+        zeros (== the training-time causal left-pad) and is rolled forward
+        every call, so chunked prefill + one-token decode both match the
+        full-sequence conv. Rejected speculative tokens would poison this
+        state — dwconv and speculative decoding are mutually exclusive.
+        """
+        key = ~(self.layer_idx if self.layer_idx is not None else 0)
+        b = q.shape[0]
+        state = inference_params.key_value_memory_dict.get(key)
+        if state is None:
+            state = tuple(
+                jnp.zeros((b, 2, y.shape[-1]), y.dtype) for y in (q, k, v)
+            )
+
+        def conv(y, w, st):
+            ycat = jnp.concatenate([st.astype(y.dtype), y], axis=1)
+            out = (
+                ycat[:, :-2] * w[0] + ycat[:, 1:-1] * w[1] + ycat[:, 2:] * w[2]
+            ).astype(y.dtype)
+            return out, ycat[:, -2:]
+
+        q, s_q = conv(q, self.dwconv_q, state[0])
+        k, s_k = conv(k, self.dwconv_k, state[1])
+        v, s_v = conv(v, self.dwconv_v, state[2])
+        inference_params.key_value_memory_dict[key] = (s_q, s_k, s_v)
+        return q, k, v
 
     def _decode_step(self, q, k, v, inference_params: InferenceParams):
         """Prefill (seqlen_offset == 0 fills the cache) or incremental decode

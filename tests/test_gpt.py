@@ -162,3 +162,39 @@ def test_mha_dwconv():
     out2 = mha.apply(params, x2)
     assert jnp.allclose(out[:, :8], out2[:, :8], atol=1e-5)
     assert not jnp.allclose(out[:, 8:], out2[:, 8:])
+
+
+def test_mha_dwconv_decode_state():
+    """dwconv decode: streaming conv state makes chunked prefill + one-token
+    decode match the full-sequence forward exactly."""
+    from flash_attn_tpu.modules.mha import MHA, InferenceParams
+
+    b, s, e, h = 1, 9, 64, 4
+    d = e // h
+    mha = MHA(embed_dim=e, num_heads=h, causal=True, dwconv=True,
+              dtype=jnp.float32, layer_idx=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, e))
+    params = mha.init(jax.random.PRNGKey(1), x)
+    full = mha.apply(params, x)
+
+    smax = 16
+    ip = InferenceParams(
+        max_seqlen=smax, max_batch_size=b,
+        key_value_memory_dict={
+            0: (jnp.zeros((b, h, smax, d), jnp.float32),
+                jnp.zeros((b, h, smax, d), jnp.float32))
+        },
+    )
+    # Chunked prefill of the first 5 tokens.
+    ip.seqlen_offset = 0
+    out_pre = mha.apply(params, x[:, :5], inference_params=ip)
+    assert jnp.allclose(out_pre, full[:, :5], atol=1e-4), (
+        jnp.abs(out_pre - full[:, :5]).max()
+    )
+    # One-token decode for the rest.
+    for t in range(5, s):
+        ip.seqlen_offset = t
+        out_t = mha.apply(params, x[:, t : t + 1], inference_params=ip)
+        assert jnp.allclose(out_t, full[:, t : t + 1], atol=1e-4), (
+            t, jnp.abs(out_t - full[:, t : t + 1]).max()
+        )

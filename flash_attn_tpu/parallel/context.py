@@ -17,9 +17,21 @@ shard i (queries) and shard j (keys) is then block-triangular:
     j == i : diagonal          (causal kernel call)
     j >  i : fully masked      (contribution dropped via lse = -inf)
 so each ring step needs only a static mask pattern; the per-step visibility
-select is data-dependent on axis_index but shape-static, which keeps XLA
-happy. The j > i steps waste compute (the classic ring-attention imbalance);
-a zig-zag layout is a planned optimization.
+dispatch is a `lax.cond` on axis_index — data-dependent but shape-static,
+which keeps XLA happy, and the fully-masked j > i steps skip their kernel
+entirely (the conditional's dead branch is never executed on TPU).
+
+Load balance: with the contiguous layout the causal work is still skewed
+(shard 0 sees 1/N of the keys, shard N-1 all of them), and the ring is as
+slow as its busiest rank. `layout="zigzag"` fixes this: the sequence is
+split into 2N chunks and rank r owns chunks (r, 2N-1-r), so every rank does
+the same ~50% of a full step's work at every ring step — the standard
+zig-zag/striped schedule for ring attention. Use `zigzag_shard` /
+`zigzag_unshard` to convert between natural and zig-zag sequence order.
+
+Comm/compute overlap: each step issues its `ppermute` BEFORE the step's
+kernels so XLA's latency-hiding scheduler can run the ICI transfer behind
+the attention compute (async collective-permute start/done pairs).
 """
 
 from __future__ import annotations
@@ -48,39 +60,47 @@ def _ring_attention_local(
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
+    def attn(qq, kk, vv, is_causal):
+        o, lse = flash_attention_fwd(
+            qq, kk, vv, softmax_scale=softmax_scale, causal=is_causal,
+            interpret=interpret,
+        )
+        return o.astype(jnp.float32), lse
+
+    def skip(qq, kk, vv):
+        return (
+            jnp.zeros(qq.shape, jnp.float32),
+            jnp.full(qq.shape[:3], -jnp.inf, jnp.float32),
+        )
+
     def step_fn(carry, step):
         o_acc, lse_acc, k_cur, v_cur = carry
+        # Issue the rotation BEFORE this step's compute: the async
+        # collective-permute then overlaps the ICI transfer with the kernels.
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         src = (my - step) % axis_size  # origin shard of k_cur/v_cur
 
         if causal:
-            o_diag, lse_diag = flash_attention_fwd(
-                q, k_cur, v_cur, softmax_scale=softmax_scale, causal=True,
-                interpret=interpret,
-            )
-            o_full, lse_full = flash_attention_fwd(
-                q, k_cur, v_cur, softmax_scale=softmax_scale, causal=False,
-                interpret=interpret,
-            )
-            is_diag = src == my
-            visible = src < my
-            o_part = jnp.where(is_diag, o_diag, o_full)
-            lse_part = jnp.where(
-                is_diag, lse_diag, jnp.where(visible, lse_full, -jnp.inf)
+            # Dispatch on visibility: diagonal -> causal kernel, past ->
+            # full kernel, future -> no kernel at all (lax.cond skips it).
+            o_part, lse_part = jax.lax.cond(
+                src == my,
+                lambda qq, kk, vv: attn(qq, kk, vv, True),
+                lambda qq, kk, vv: jax.lax.cond(
+                    src < my,
+                    lambda a, b, c: attn(a, b, c, False),
+                    skip, qq, kk, vv,
+                ),
+                q, k_cur, v_cur,
             )
         else:
-            o_part, lse_part = flash_attention_fwd(
-                q, k_cur, v_cur, softmax_scale=softmax_scale, causal=False,
-                interpret=interpret,
-            )
+            o_part, lse_part = attn(q, k_cur, v_cur, False)
 
         o_new, lse_new = combine_partials(
-            jnp.stack([o_acc, o_part.astype(jnp.float32)]),
+            jnp.stack([o_acc, o_part]),
             jnp.stack([lse_acc, lse_part]),
         )
-        # Rotate KV shards around the ring (overlappable with the next
-        # step's compute by XLA's latency-hiding scheduler).
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         return (o_new, lse_new, k_nxt, v_nxt), None
 
     o0 = jnp.zeros(q.shape, jnp.float32)
@@ -89,6 +109,120 @@ def _ring_attention_local(
         step_fn, (o0, lse0, k, v), jnp.arange(axis_size)
     )
     return o.astype(q.dtype), lse
+
+
+# ---------------------------------------------------------------------------
+# Zig-zag layout (causal load balance).
+# ---------------------------------------------------------------------------
+
+def zigzag_permutation(seqlen: int, axis_size: int):
+    """Indices permuting natural order -> zig-zag shard order: the sequence
+    splits into 2*axis_size chunks and shard r owns chunks (r, 2N-1-r)."""
+    c, rem = divmod(seqlen, 2 * axis_size)
+    assert rem == 0, (seqlen, axis_size)
+    idx = []
+    for r in range(axis_size):
+        idx.extend(range(r * c, (r + 1) * c))
+        idx.extend(range((2 * axis_size - 1 - r) * c, (2 * axis_size - r) * c))
+    return jnp.asarray(idx, jnp.int32)
+
+
+def zigzag_shard(x: jnp.ndarray, axis_size: int, seq_axis: int = 2):
+    """Reorder a natural-order sequence axis into zig-zag shard order."""
+    return jnp.take(x, zigzag_permutation(x.shape[seq_axis], axis_size),
+                    axis=seq_axis)
+
+
+def zigzag_unshard(x: jnp.ndarray, axis_size: int, seq_axis: int = 2):
+    """Inverse of zigzag_shard."""
+    perm = zigzag_permutation(x.shape[seq_axis], axis_size)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32)
+    )
+    return jnp.take(x, inv, axis=seq_axis)
+
+
+def _ring_attention_zigzag_local(
+    q, k, v,  # local (b, h, s_local, d); rows = chunks (my, 2N-1-my)
+    *,
+    axis_name: str,
+    softmax_scale: Optional[float],
+    interpret: Optional[bool],
+):
+    """Causal ring attention on the zig-zag layout. Each rank holds a low
+    chunk a1=my and a high chunk a2=2N-1-my; the resident KV pair (b1, b2)
+    comes from rank src. Chunk-level visibility:
+        (a1,b1): full if src<my, diag if src==my, none otherwise
+        (a1,b2): never (b2 >= N > a1)
+        (a2,b1): always full (b1 < N <= a2)
+        (a2,b2): full if src>my, diag if src==my, none otherwise
+    => exactly ~2 chunk-pairs of work per rank per step: balanced."""
+    axis_size = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    c = q.shape[2] // 2
+    qa1, qa2 = q[:, :, :c], q[:, :, c:]
+
+    def attn(qq, kk, vv, is_causal):
+        o, lse = flash_attention_fwd(
+            qq, kk, vv, softmax_scale=softmax_scale, causal=is_causal,
+            interpret=interpret,
+        )
+        return o.astype(jnp.float32), lse
+
+    def skip(qq, kk, vv):
+        return (
+            jnp.zeros(qq.shape, jnp.float32),
+            jnp.full(qq.shape[:3], -jnp.inf, jnp.float32),
+        )
+
+    def step_fn(carry, step):
+        o1, l1, o2, l2, k_cur, v_cur = carry
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        src = (my - step) % axis_size
+        kb1, vb1 = k_cur[:, :, :c], v_cur[:, :, :c]
+        kb2, vb2 = k_cur[:, :, c:], v_cur[:, :, c:]
+
+        # (a2, b1): always visible.
+        o21, l21 = attn(qa2, kb1, vb1, False)
+        # (a1, b1): past/diag/none.
+        o11, l11 = jax.lax.cond(
+            src == my,
+            lambda qq, kk, vv: attn(qq, kk, vv, True),
+            lambda qq, kk, vv: jax.lax.cond(
+                src < my, lambda a, b, cc: attn(a, b, cc, False),
+                skip, qq, kk, vv,
+            ),
+            qa1, kb1, vb1,
+        )
+        # (a2, b2): diag/future-of-ring (src>my means b2 < a2)/none.
+        o22, l22 = jax.lax.cond(
+            src == my,
+            lambda qq, kk, vv: attn(qq, kk, vv, True),
+            lambda qq, kk, vv: jax.lax.cond(
+                src > my, lambda a, b, cc: attn(a, b, cc, False),
+                skip, qq, kk, vv,
+            ),
+            qa2, kb2, vb2,
+        )
+
+        o1n, l1n = combine_partials(jnp.stack([o1, o11]), jnp.stack([l1, l11]))
+        o2n, l2n = combine_partials(
+            jnp.stack([o2, o21, o22]), jnp.stack([l2, l21, l22])
+        )
+        return (o1n, l1n, o2n, l2n, k_nxt, v_nxt), None
+
+    z = lambda qq: (jnp.zeros(qq.shape, jnp.float32),
+                    jnp.full(qq.shape[:3], -jnp.inf, jnp.float32))
+    o10, l10 = z(qa1)
+    o20, l20 = z(qa2)
+    (o1, l1, o2, l2, _, _), _ = jax.lax.scan(
+        step_fn, (o10, l10, o20, l20, k, v), jnp.arange(axis_size)
+    )
+    o = jnp.concatenate([o1, o2], axis=2).astype(q.dtype)
+    lse = jnp.concatenate([l1, l2], axis=2)
+    return o, lse
 
 
 def ring_flash_attention(
@@ -101,18 +235,33 @@ def ring_flash_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    layout: str = "contiguous",  # or "zigzag" (causal load balance)
 ):
     """Context-parallel exact attention. Returns (out, lse) with the same
     sharding as q. Drop-in long-context scaling: memory and compute per chip
-    are O(s/cp) for KV, with the KV rotation riding the ICI ring."""
-    fn = shard_map(
-        functools.partial(
+    are O(s/cp) for KV, with the KV rotation riding the ICI ring.
+
+    layout="zigzag" expects q/k/v already in zig-zag order (zigzag_shard);
+    out/lse come back in the same order. Only meaningful for causal — every
+    rank then does equal work each step instead of rank N-1 dominating."""
+    if layout == "zigzag" and causal:
+        local = functools.partial(
+            _ring_attention_zigzag_local,
+            axis_name=axis_name,
+            softmax_scale=softmax_scale,
+            interpret=interpret,
+        )
+    else:
+        assert layout in ("contiguous", "zigzag"), layout
+        local = functools.partial(
             _ring_attention_local,
             axis_name=axis_name,
             causal=causal,
             softmax_scale=softmax_scale,
             interpret=interpret,
-        ),
+        )
+    fn = shard_map(
+        local,
         mesh=mesh,
         in_specs=(
             P(None, None, axis_name, None),
@@ -156,38 +305,41 @@ def _ring_attention_bwd_local(
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
+    def bwd(qq, kk, vv, oo, ll, dd, is_causal):
+        dq_p, dk_p, dv_p = flash_attention_bwd(
+            qq, kk, vv, oo, ll, dd,
+            softmax_scale=softmax_scale, causal=is_causal, interpret=interpret,
+        )
+        return (dq_p.astype(jnp.float32), dk_p.astype(jnp.float32),
+                dv_p.astype(jnp.float32))
+
+    def skip(qq, kk, vv, oo, ll, dd):
+        return (jnp.zeros(qq.shape, jnp.float32),
+                jnp.zeros(kk.shape, jnp.float32),
+                jnp.zeros(vv.shape, jnp.float32))
+
     def step_fn(carry, step):
         dq_acc, k_cur, v_cur, dk_cur, dv_cur = carry
+        # Rotations first: overlap the four ICI transfers with the kernels.
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         src = (my - step) % axis_size
 
         if causal:
-            dq_d, dk_d, dv_d = flash_attention_bwd(
+            dq_p, dk_p, dv_p = jax.lax.cond(
+                src == my,
+                lambda *a: bwd(*a, True),
+                lambda *a: jax.lax.cond(
+                    src < my, lambda *b: bwd(*b, False), skip, *a
+                ),
                 q, k_cur, v_cur, out, lse, do,
-                softmax_scale=softmax_scale, causal=True, interpret=interpret,
             )
-            dq_f, dk_f, dv_f = flash_attention_bwd(
-                q, k_cur, v_cur, out, lse, do,
-                softmax_scale=softmax_scale, causal=False, interpret=interpret,
-            )
-            is_diag = src == my
-            visible = src < my
-            w_full = jnp.where(visible, 1.0, 0.0)
-            dq_p = jnp.where(is_diag, dq_d, dq_f * w_full)
-            dk_p = jnp.where(is_diag, dk_d, dk_f * w_full)
-            dv_p = jnp.where(is_diag, dv_d, dv_f * w_full)
         else:
-            dq_p, dk_p, dv_p = flash_attention_bwd(
-                q, k_cur, v_cur, out, lse, do,
-                softmax_scale=softmax_scale, causal=False, interpret=interpret,
-            )
+            dq_p, dk_p, dv_p = bwd(q, k_cur, v_cur, out, lse, do, False)
 
-        dq_acc = dq_acc + dq_p.astype(jnp.float32)
-        dk_cur = dk_cur + dk_p.astype(jnp.float32)
-        dv_cur = dv_cur + dv_p.astype(jnp.float32)
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
-        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        dq_acc = dq_acc + dq_p
+        dk_nxt = jax.lax.ppermute(dk_cur + dk_p, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur + dv_p, axis_name, perm)
         return (dq_acc, k_nxt, v_nxt, dk_nxt, dv_nxt), None
 
     dq0 = jnp.zeros(q.shape, jnp.float32)
@@ -200,39 +352,135 @@ def _ring_attention_bwd_local(
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _ring_attention_bwd_zigzag_local(
+    q, k, v, out, lse, do,
+    *,
+    axis_name: str,
+    softmax_scale,
+    interpret,
+):
+    """Zig-zag causal ring backward: same chunk-visibility table as the
+    forward; dK/dV accumulators ride the ring with their shards."""
+    from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+    axis_size = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    c = q.shape[2] // 2
+
+    def half_q(x, lo):  # (b, h, s_local, ...) -> chunk half
+        return x[:, :, :c] if lo else x[:, :, c:]
+
+    qa = (half_q(q, True), half_q(q, False))
+    oa = (half_q(out, True), half_q(out, False))
+    la = (lse[:, :, :c], lse[:, :, c:])
+    da = (half_q(do, True), half_q(do, False))
+
+    def bwd(qq, kk, vv, oo, ll, dd, is_causal):
+        dq_p, dk_p, dv_p = flash_attention_bwd(
+            qq, kk, vv, oo, ll, dd,
+            softmax_scale=softmax_scale, causal=is_causal, interpret=interpret,
+        )
+        return (dq_p.astype(jnp.float32), dk_p.astype(jnp.float32),
+                dv_p.astype(jnp.float32))
+
+    def skip(qq, kk, vv, oo, ll, dd):
+        return (jnp.zeros(qq.shape, jnp.float32),
+                jnp.zeros(kk.shape, jnp.float32),
+                jnp.zeros(vv.shape, jnp.float32))
+
+    def step_fn(carry, step):
+        dq1, dq2, k_cur, v_cur, dk_cur, dv_cur = carry
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        src = (my - step) % axis_size
+        kb1, vb1 = k_cur[:, :, :c], v_cur[:, :, :c]
+        kb2, vb2 = k_cur[:, :, c:], v_cur[:, :, c:]
+
+        # (a2, b1): always fully visible.
+        g21 = bwd(qa[1], kb1, vb1, oa[1], la[1], da[1], False)
+        # (a1, b1): past / diag / none.
+        g11 = jax.lax.cond(
+            src == my,
+            lambda *a: bwd(*a, True),
+            lambda *a: jax.lax.cond(
+                src < my, lambda *b: bwd(*b, False), skip, *a
+            ),
+            qa[0], kb1, vb1, oa[0], la[0], da[0],
+        )
+        # (a2, b2): diag / src>my / none.
+        g22 = jax.lax.cond(
+            src == my,
+            lambda *a: bwd(*a, True),
+            lambda *a: jax.lax.cond(
+                src > my, lambda *b: bwd(*b, False), skip, *a
+            ),
+            qa[1], kb2, vb2, oa[1], la[1], da[1],
+        )
+
+        dq1 = dq1 + g11[0]
+        dq2 = dq2 + g21[0] + g22[0]
+        dkv_new = (
+            jnp.concatenate([g11[1] + g21[1], g22[1]], axis=2),
+            jnp.concatenate([g11[2] + g21[2], g22[2]], axis=2),
+        )
+        dk_nxt = jax.lax.ppermute(dk_cur + dkv_new[0], axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur + dkv_new[1], axis_name, perm)
+        return (dq1, dq2, k_nxt, v_nxt, dk_nxt, dv_nxt), None
+
+    z = lambda x: jnp.zeros(x.shape, jnp.float32)
+    (dq1, dq2, _, _, dk, dv), _ = jax.lax.scan(
+        step_fn,
+        (z(qa[0]), z(qa[1]), k, v, z(k), z(v)),
+        jnp.arange(axis_size),
+    )
+    dq = jnp.concatenate([dq1, dq2], axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def ring_flash_attention_with_grad(
     q, k, v, mesh, *, axis_name: str = "context", causal: bool = False,
-    softmax_scale=None, interpret=None,
+    softmax_scale=None, interpret=None, layout: str = "contiguous",
 ):
     """Differentiable ring attention: returns out (same sharding as q) with a
     custom VJP running the ring backward. Unlike `ring_flash_attention` this
-    returns only `out` (lse is an internal residual)."""
+    returns only `out` (lse is an internal residual). layout="zigzag"
+    balances the causal ring (inputs/outputs in zigzag_shard order)."""
 
     spec3 = P(None, None, axis_name, None)
+    zig = layout == "zigzag" and causal
 
     @jax.custom_vjp
     def _ring(q, k, v):
         out, _ = ring_flash_attention(
             q, k, v, mesh, axis_name=axis_name, causal=causal,
-            softmax_scale=softmax_scale, interpret=interpret,
+            softmax_scale=softmax_scale, interpret=interpret, layout=layout,
         )
         return out
 
     def _fwd(q, k, v):
         out, lse = ring_flash_attention(
             q, k, v, mesh, axis_name=axis_name, causal=causal,
-            softmax_scale=softmax_scale, interpret=interpret,
+            softmax_scale=softmax_scale, interpret=interpret, layout=layout,
         )
         return out, (q, k, v, out, lse)
 
     def _bwd(res, do):
         q, k, v, out, lse = res
-        fn = shard_map(
-            functools.partial(
+        if zig:
+            local = functools.partial(
+                _ring_attention_bwd_zigzag_local,
+                axis_name=axis_name,
+                softmax_scale=softmax_scale, interpret=interpret,
+            )
+        else:
+            local = functools.partial(
                 _ring_attention_bwd_local,
                 axis_name=axis_name, causal=causal,
                 softmax_scale=softmax_scale, interpret=interpret,
-            ),
+            )
+        fn = shard_map(
+            local,
             mesh=mesh,
             in_specs=(spec3, spec3, spec3, spec3,
                       P(None, None, axis_name), spec3),

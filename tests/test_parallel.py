@@ -88,6 +88,72 @@ def test_ring_attention_matches_dense(causal):
     assert err <= 2 * base + 1e-4, (err, base)
 
 
+def test_ring_attention_zigzag_matches_dense():
+    """Zig-zag layout (causal load balance): shard r owns chunks (r, 2N-1-r);
+    result after unsharding must equal dense causal attention."""
+    from flash_attn_tpu.parallel.context import zigzag_shard, zigzag_unshard
+
+    mesh = make_mesh(context=8)
+    b, h, s, d = 1, 2, 512, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    qz, kz, vz = (zigzag_shard(x, 8) for x in (q, k, v))
+    out_z, lse_z = ring_flash_attention(qz, kz, vz, mesh, causal=True,
+                                        layout="zigzag")
+    out = zigzag_unshard(out_z, 8)
+
+    qb, kb, vb = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    ref, _ = attention_ref(qb, kb, vb, causal=True)
+    pt, _ = attention_ref(qb, kb, vb, causal=True, upcast=False,
+                          reorder_ops=True)
+    out_b = out.transpose(0, 2, 1, 3)
+    err = jnp.abs(out_b.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= 2 * base + 1e-4, (err, base)
+    # lse parity vs the contiguous-layout ring (same math, permuted rows).
+    _, lse_c = ring_flash_attention(q, k, v, mesh, causal=True)
+    lse_back = zigzag_unshard(lse_z[..., None], 8)[..., 0]
+    assert jnp.abs(lse_back - lse_c).max() < 2e-2
+
+
+def test_ring_attention_zigzag_backward():
+    """Zig-zag ring backward: grads equal the dense kernel's grads."""
+    from flash_attn_tpu import flash_attn_func
+    from flash_attn_tpu.parallel.context import (
+        ring_flash_attention_with_grad, zigzag_shard, zigzag_unshard,
+    )
+
+    mesh = make_mesh(context=4)
+    b, h, s, d = 1, 2, 256, 64
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+
+    def loss_dense(q, k, v):
+        out = flash_attn_func(q, k, v, causal=True, layout="bhsd")
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_zig(q, k, v):
+        qz, kz, vz = (zigzag_shard(x, 4) for x in (q, k, v))
+        out = ring_flash_attention_with_grad(
+            qz, kz, vz, mesh, causal=True, layout="zigzag"
+        )
+        return (zigzag_unshard(out, 4).astype(jnp.float32) ** 2).sum()
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    gz = jax.jit(jax.grad(loss_zig, argnums=(0, 1, 2)))(q, k, v)
+    for a, bb in zip(gz, gd):
+        err = jnp.abs(a - bb).max()
+        scale = jnp.abs(bb).max()
+        assert err < 2e-2 * scale + 1e-3, (err, scale)
+
+
 def test_vocab_parallel_cross_entropy():
     mesh = make_mesh(model=8)
     tokens, vocab = 64, 256

@@ -263,12 +263,22 @@ def decode_speculative(
     every round; rejected suffix KV becomes stale but invisible (offsets
     track the committed length, and later appends overwrite the slots before
     they re-enter the visible range) — no cache rollback needed.
+
+    TPU-first: the whole accept-verify loop runs device-side as a
+    `lax.while_loop` (variable tokens-per-round is just a traced counter),
+    so there is exactly ONE host sync per generation instead of one per
+    verify round — the XLA analog of the reference capturing the round in a
+    CUDA graph. Caches must have >= gamma+1 slack beyond
+    prompt + max_new_tokens (the last round may overshoot before
+    truncation).
     """
     assert input_ids.shape[0] == 1
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    b, prompt_len = input_ids.shape
+    _, prompt_len = input_ids.shape
     greedy = top_k == 1
+    g = gamma
+    temp = 1.0 if greedy else temperature
 
     # Prefill both models on prompt[:-1]; feed the last prompt token through
     # the first verify round.
@@ -277,23 +287,23 @@ def decode_speculative(
         _, target_caches = target_apply(input_ids[:, :-1], target_caches, z, 1)
         _, draft_caches = draft_apply(input_ids[:, :-1], draft_caches, z, 1)
 
-    committed = []  # generated tokens
-    last = input_ids[:, -1:]  # (1, 1) newest committed token
-    offset = prompt_len - 1   # tokens in both caches
+    buf_len = max_new_tokens + g + 1  # slack: final round may overshoot
+    idx = jnp.arange(g + 1)
 
-    while len(committed) < max_new_tokens:
-        g = min(gamma, max_new_tokens - len(committed))
-        # --- draft proposes g tokens autoregressively ---
-        d_off = jnp.full((1,), offset, jnp.int32)
-        cur = last
-        draft_tokens = []
-        draft_probs = []
-        dc = draft_caches
-        for i in range(g):
-            logits, dc = draft_apply(cur, dc, d_off + i, 1)
-            probs = jax.nn.softmax(
-                logits[:, -1] / (temperature if not greedy else 1.0), -1
-            )
+    def cond_fn(st):
+        count, _, _, finished, *_ = st
+        return jnp.logical_and(count < max_new_tokens,
+                               jnp.logical_not(finished))
+
+    def body_fn(st):
+        count, last, offset, finished, rng, tc, dc, buf = st
+        off_vec = offset[None]
+
+        # --- draft proposes gamma tokens autoregressively (lax.scan) ---
+        def dstep(carry, i):
+            cur, dc, rng = carry
+            logits, dc = draft_apply(cur, dc, off_vec + i, 1)
+            probs = jax.nn.softmax(logits[:, -1] / temp, -1)
             rng, k = jax.random.split(rng)
             tok = (
                 jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
@@ -301,49 +311,61 @@ def decode_speculative(
                 sample_tokens(logits[:, -1], k, top_k=top_k,
                               temperature=temperature)
             )
-            draft_tokens.append(tok)
-            draft_probs.append(probs)
-            cur = tok[:, None]
-        draft_tokens = jnp.stack(draft_tokens, 1)  # (1, g)
-        draft_probs = jnp.stack(draft_probs, 1)    # (1, g, vocab)
+            return (tok[:, None], dc, rng), (tok[0], probs[0])
+
+        (_, dc, rng), (draft_tokens, draft_probs) = jax.lax.scan(
+            dstep, (last, dc, rng), jnp.arange(g)
+        )
+        draft_tokens = draft_tokens[None]  # (1, g)
+        draft_probs = draft_probs[None]    # (1, g, vocab)
 
         # --- target verifies the chunk [last, d_1..d_g] in one forward ---
         chunk = jnp.concatenate([last, draft_tokens], axis=1)  # (1, g+1)
-        t_off = jnp.full((1,), offset, jnp.int32)
-        t_logits, target_caches = target_apply(
-            chunk, target_caches, t_off, g + 1
-        )
-        target_probs = jax.nn.softmax(
-            t_logits / (temperature if not greedy else 1.0), -1
-        )  # (1, g+1, vocab)
+        t_logits, tc = target_apply(chunk, tc, off_vec, g + 1)
 
         if greedy:
             t_argmax = jnp.argmax(t_logits, -1).astype(jnp.int32)  # (1, g+1)
             agree = (draft_tokens == t_argmax[:, :g]).astype(jnp.int32)
-            n_acc = int(jnp.cumprod(agree, -1).sum())
-            toks = [int(draft_tokens[0, i]) for i in range(n_acc)]
-            toks.append(int(t_argmax[0, n_acc]))  # bonus / correction
+            n_acc = jnp.cumprod(agree, -1).sum()
+            base = jnp.concatenate(
+                [draft_tokens[0], jnp.zeros((1,), jnp.int32)]
+            )
+            tokens_row = jnp.where(idx == n_acc, t_argmax[0, n_acc], base)
         else:
+            target_probs = jax.nn.softmax(t_logits / temp, -1)
             rng, k = jax.random.split(rng)
             tokens, n_acc_arr = sample_speculative(
                 target_probs, draft_probs, draft_tokens, k
             )
-            n_acc = int(n_acc_arr[0])
-            toks = [int(tokens[0, i]) for i in range(n_acc + 1)]
+            tokens_row, n_acc = tokens[0], n_acc_arr[0]
 
-        # --- commit; draft cache catches up on the accepted chunk ---
-        ncommit = len(toks)
-        # Draft already holds KV for draft_tokens (appended during
-        # proposing); its visible length is just reset via offset.
-        committed.extend(toks)
-        offset += ncommit
-        last = jnp.asarray([[committed[-1]]], jnp.int32)
-        if eos_token_id is not None and eos_token_id in toks:
-            committed = committed[: committed.index(eos_token_id) + 1]
-            break
+        n = n_acc + 1  # committed this round
+        if eos_token_id is not None:
+            is_eos = jnp.logical_and(tokens_row == eos_token_id, idx < n)
+            eos_pos = jnp.min(jnp.where(is_eos, idx, g + 1))
+            finished = jnp.logical_or(finished, eos_pos <= n_acc)
+            n = jnp.minimum(n, eos_pos + 1)
+        valid = idx < n
 
-    committed = committed[:max_new_tokens]
-    seqs = jnp.concatenate(
-        [input_ids, jnp.asarray([committed], jnp.int32)], axis=1
+        # Scatter this round's tokens into the output buffer (OOB dropped).
+        buf = buf.at[jnp.where(valid, count + idx, buf_len)].set(
+            tokens_row, mode="drop"
+        )
+        last = jnp.take(tokens_row, n - 1)[None, None]
+        return (count + n, last, offset + n, finished, rng, tc, dc, buf)
+
+    st0 = (
+        jnp.zeros((), jnp.int32),
+        input_ids[:, -1:],
+        jnp.asarray(prompt_len - 1, jnp.int32),
+        jnp.zeros((), bool),
+        rng,
+        target_caches,
+        draft_caches,
+        jnp.zeros((buf_len,), jnp.int32),
     )
-    return GenerationOutput(sequences=seqs)
+    count, _, _, _, _, _, _, buf = jax.lax.while_loop(cond_fn, body_fn, st0)
+
+    n_final = int(jnp.minimum(count, max_new_tokens))  # the one host sync
+    seqs = jnp.concatenate([input_ids, buf[None, :n_final]], axis=1)
+    return GenerationOutput(sequences=seqs, lengths=count[None])

@@ -91,6 +91,44 @@ def test_quantized_kv_cache_decode(dtype):
     assert err <= 2 * base + 1e-3, (err, base)
 
 
+@pytest.mark.parametrize("dtype", [jnp.int8, FP8])
+def test_quant_linear_act(dtype):
+    """W8A8 fused linear+activation (reference triton_linear_act +
+    fp8 linear): error within quantization bounds of the fp32 linear."""
+    from flash_attn_tpu.ops.quant_linear import (
+        quant_linear_act, quantize_weight,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kx, kw, kb = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (4, 32, 128), jnp.float32)
+    w = jax.random.normal(kw, (128, 256), jnp.float32) * 0.05
+    b = jax.random.normal(kb, (256,), jnp.float32) * 0.1
+
+    w_q, w_s = quantize_weight(w, dtype)
+    out = quant_linear_act(x, w_q, w_s, b, activation="squared_relu",
+                           out_dtype=jnp.float32)
+    ref = jnp.square(jax.nn.relu(x @ w + b))
+    rel = jnp.abs(out - ref).max() / jnp.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_quant_dense_module_and_sqrelu_mlp():
+    from flash_attn_tpu.ops.quant_linear import (
+        FusedDenseSqreluDense, QuantDense,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 64), jnp.float32)
+    qd = QuantDense(features=32, quant_dtype=jnp.int8, dtype=jnp.float32)
+    p = qd.init(jax.random.PRNGKey(1), x)
+    y = qd.apply(p, x)
+    ref = x @ p["params"]["kernel"] + p["params"]["bias"]
+    assert jnp.abs(y - ref).max() / jnp.abs(ref).max() < 0.05
+    mlp = FusedDenseSqreluDense(in_features=64, dtype=jnp.float32)
+    pm = mlp.init(jax.random.PRNGKey(2), x)
+    assert mlp.apply(pm, x).shape == x.shape
+
+
 def test_quantize_kv_roundtrip():
     k = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64, 32), jnp.float32)
     v = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 32), jnp.float32)

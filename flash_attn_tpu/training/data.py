@@ -116,6 +116,81 @@ class LMDataModule:
         self.sampler.load_state_dict(state["sampler"])
 
 
+class ImageClassDataset:
+    """In-memory / memmap image-classification dataset for ViT training
+    (reference: training/src/datamodules imagenet datamodule). Expects
+    images as float arrays (n, h, w, c) and int labels (n,) — e.g. a
+    preprocessed .npy/.npz dump of ImageNet crops; no torchvision dependency."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = np.asarray(labels, np.int32)
+
+    @classmethod
+    def from_npz(cls, path: str):
+        z = np.load(path, mmap_mode="r")
+        return cls(z["images"], z["labels"])
+
+    @classmethod
+    def synthetic(cls, n: int, image_size: int = 224, channels: int = 3,
+                  num_classes: int = 1000, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        labels = rng.randint(num_classes, size=n).astype(np.int32)
+        # Class-dependent mean so a model can learn signal.
+        imgs = rng.randn(n, image_size, image_size, channels).astype(np.float32)
+        imgs += (labels[:, None, None, None] % 7 - 3) * 0.1
+        return cls(imgs, labels)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, idx: int):
+        return np.asarray(self.images[idx], np.float32), self.labels[idx]
+
+
+@dataclasses.dataclass
+class ImageDataModule:
+    """Batches (images, labels) with the same resumable-sampler contract as
+    LMDataModule (fault-tolerant mid-epoch resume, DP sharding by slicing)."""
+
+    dataset: ImageClassDataset
+    batch_size: int
+    seed: int = 0
+    shuffle: bool = True
+    dp_rank: int = 0
+    dp_size: int = 1
+
+    def __post_init__(self):
+        self.sampler = FaultTolerantSampler(
+            len(self.dataset), seed=self.seed, shuffle=self.shuffle
+        )
+
+    def batches(self, steps: int):
+        it = iter(self.sampler)
+        for _ in range(steps):
+            xs, ys = [], []
+            while len(xs) < self.batch_size:
+                try:
+                    idx = next(it)
+                except StopIteration:
+                    it = iter(self.sampler)
+                    idx = next(it)
+                if (len(xs) + self.sampler.counter) % self.dp_size != self.dp_rank \
+                        and self.dp_size > 1:
+                    continue
+                x, y = self.dataset[idx]
+                xs.append(x)
+                ys.append(y)
+            yield np.stack(xs), np.asarray(ys, np.int32)
+
+    def state_dict(self):
+        return {"sampler": self.sampler.state_dict()}
+
+    def load_state_dict(self, state):
+        self.sampler.load_state_dict(state["sampler"])
+
+
 def synthetic_tokens(vocab_size: int, n: int, seed: int = 0) -> np.ndarray:
     """Markov-ish synthetic stream so a model can actually learn structure
     (used by tests and the quickstart config)."""

@@ -40,6 +40,8 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     ema_decay: float = 0.0  # 0 = off
     seed: int = 0
+    log_dir: Optional[str] = None  # JSONL run logging (loggers.RunLogger)
+    norm_monitor: bool = False  # log per-module param norms at log_every
 
 
 class SpeedMonitor:
@@ -152,6 +154,14 @@ class Trainer:
     def fit(self, datamodule, steps: Optional[int] = None,
             speed_monitor: Optional[SpeedMonitor] = None):
         steps = steps or self.config.total_steps
+        logger = None
+        if self.config.log_dir:
+            from flash_attn_tpu.training.loggers import RunLogger
+
+            logger = RunLogger(
+                self.config.log_dir, config=dataclasses.asdict(self.config)
+            )
+        first = True
         cm = self.mesh if self.mesh is not None else _nullcontext()
         with cm:
             for input_ids, labels in datamodule.batches(steps):
@@ -161,19 +171,39 @@ class Trainer:
                     jnp.asarray(input_ids), jnp.asarray(labels), k,
                 )
                 self.step_idx += 1
+                if speed_monitor is not None:
+                    if first:
+                        # Don't let step 0's compile pollute throughput/MFU
+                        # (reference speed_monitor skips warmup batches too).
+                        jax.block_until_ready(loss)
+                        speed_monitor.reset()
+                        first = False
+                    else:
+                        speed_monitor.update(int(np.prod(input_ids.shape)))
                 if self.ema is not None:
                     self.ema.update(self.params)
-                if speed_monitor is not None:
-                    speed_monitor.update(int(np.prod(input_ids.shape)))
                 if self.step_idx % self.config.log_every == 0 or \
                         self.step_idx == steps:
-                    self.history.append(
-                        {"step": self.step_idx, "loss": float(loss),
-                         "grad_norm": float(gnorm)}
-                    )
+                    rec = {"step": self.step_idx, "loss": float(loss),
+                           "grad_norm": float(gnorm)}
+                    self.history.append(rec)
+                    if logger is not None:
+                        metrics = dict(rec)
+                        if speed_monitor is not None:
+                            metrics.update(speed_monitor.report())
+                        if self.config.norm_monitor:
+                            from flash_attn_tpu.training.loggers import (
+                                param_norms,
+                            )
+
+                            metrics.update(param_norms(self.params))
+                        metrics.pop("step")
+                        logger.log(metrics, step=self.step_idx)
                 if (self.config.checkpoint_every
                         and self.step_idx % self.config.checkpoint_every == 0):
                     self.save_checkpoint(datamodule)
+        if logger is not None:
+            logger.finish()
         return self.history
 
     def evaluate(self, batches) -> Dict[str, float]:

@@ -134,3 +134,55 @@ def test_ema(model_and_params):
     vals = jax.tree_util.tree_leaves(diffs)
     assert max(vals) > 0.0
     assert max(vals) < 1.0
+
+
+def test_run_logger_and_monitors(model_and_params, tmp_path):
+    """RunLogger JSONL output + norm monitor + causality check (reference
+    wandb_callbacks / norm_monitor / causality_monitor)."""
+    import json
+
+    from flash_attn_tpu.training.loggers import (
+        RunLogger, check_causality, param_norms, perplexity,
+    )
+
+    model, params = model_and_params
+    tr = Trainer(model, params, TrainConfig(
+        lr=1e-3, total_steps=4, log_every=2, log_dir=str(tmp_path),
+        norm_monitor=True,
+    ))
+    tr.fit(make_dm(), steps=4,
+           speed_monitor=SpeedMonitor(gpt_flops_per_token(CFG), 1e12))
+    runs = os.listdir(tmp_path)
+    assert len(runs) == 1
+    lines = open(tmp_path / runs[0] / "metrics.jsonl").read().splitlines()
+    recs = [json.loads(ln) for ln in lines]
+    assert len(recs) == 2
+    assert "loss" in recs[0] and "tokens_per_s" in recs[0]
+    assert any(k.startswith("param_norm/") for k in recs[0])
+    assert (tmp_path / runs[0] / "config.json").exists()
+
+    # standalone monitors
+    norms = param_norms(tr.params)
+    assert norms["param_norm/global"] > 0
+    assert perplexity(0.0) == 1.0
+    prompt = jnp.zeros((1, 16), jnp.int32)
+    assert check_causality(model, tr.params, prompt)
+
+
+def test_image_datamodule_resume():
+    """ImageClassDataset + ImageDataModule: batch shapes and exact
+    mid-epoch resume (fault-tolerant sampler contract)."""
+    from flash_attn_tpu.training.data import ImageClassDataset, ImageDataModule
+
+    ds = ImageClassDataset.synthetic(64, image_size=8, channels=3,
+                                     num_classes=10, seed=0)
+    dm = ImageDataModule(ds, batch_size=4, seed=1)
+    b1 = list(dm.batches(3))
+    assert b1[0][0].shape == (4, 8, 8, 3) and b1[0][1].shape == (4,)
+    state = dm.state_dict()
+    rest = list(dm.batches(2))
+    dm2 = ImageDataModule(ds, batch_size=4, seed=1)
+    dm2.load_state_dict(state)
+    rest2 = list(dm2.batches(2))
+    for (x1, y1), (x2, y2) in zip(rest, rest2):
+        assert np.array_equal(x1, x2) and np.array_equal(y1, y2)

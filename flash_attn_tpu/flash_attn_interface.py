@@ -74,6 +74,7 @@ def _flash_attn_core(tensors: dict, config: _Config):
 def _core_fwd(tensors, config):
     return flash_attention_fwd(
         tensors["q"], tensors["k"], tensors["v"],
+        qv=tensors.get("qv"),
         bias=tensors.get("bias"),
         alibi_slopes=tensors.get("alibi_slopes"),
         sink=tensors.get("sink"),
@@ -111,6 +112,7 @@ def _core_bwd_vjp(config, residuals, cotangents):
         )
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
+        qv=tensors.get("qv"),
         bias=tensors.get("bias"),
         bias_grad=config.bias_grad and tensors.get("bias") is not None,
         alibi_slopes=tensors.get("alibi_slopes"),
@@ -128,11 +130,13 @@ def _core_bwd_vjp(config, residuals, cotangents):
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )
-    if len(res) == 4:
-        dq, dk, dv, dbias = res
-    else:
-        dq, dk, dv = res
-        dbias = None
+    res = list(res)
+    dq, dk, dv = res[:3]
+    rest = res[3:]
+    dbias = rest.pop(0) if (
+        config.bias_grad and tensors.get("bias") is not None
+    ) else None
+    dqv = rest.pop(0) if "qv" in tensors else None
     grads = {}
     for name, val in tensors.items():
         if name == "q":
@@ -141,6 +145,8 @@ def _core_bwd_vjp(config, residuals, cotangents):
             grads[name] = dk
         elif name == "v":
             grads[name] = dv
+        elif name == "qv":
+            grads[name] = dqv
         elif name == "bias" and dbias is not None:
             grads[name] = dbias
         elif name == "sink":
@@ -162,6 +168,53 @@ def _core_bwd_vjp(config, residuals, cotangents):
 _flash_attn_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
 
 
+def _topk_gather_attention(
+    q,   # (b, sq, h, d)
+    k,   # (b, sk, hk, d)
+    v,   # (b, sk, hk, d_v)
+    qv,  # (b, sq, h, d_v) or None
+    indices,  # (b, sq, topk) int32; negative entries are masked out
+    *,
+    softmax_scale=None,
+    causal=False,
+    softcap=0.0,
+):
+    b, sq, h, d = q.shape
+    _, sk, hk, dv = v.shape
+    group = h // hk
+    if softmax_scale is None:
+        softmax_scale = (d + dv) ** -0.5 if qv is not None else d**-0.5
+    idx = jnp.asarray(indices, jnp.int32)
+    valid = jnp.logical_and(idx >= 0, idx < sk)
+    safe = jnp.clip(idx, 0, sk - 1)  # (b, sq, t)
+    # Per-row gathered KV: (b, sq, t, hk, d).
+    kg = jnp.take_along_axis(k[:, None], safe[..., None, None], axis=2)
+    vg = jnp.take_along_axis(v[:, None], safe[..., None, None], axis=2)
+    qg = q.reshape(b, sq, hk, group, d)
+    s = jnp.einsum(
+        "bsngd,bstnd->bsngt", qg.astype(jnp.float32), kg.astype(jnp.float32)
+    )
+    if qv is not None:
+        qvg = qv.reshape(b, sq, hk, group, dv)
+        s = s + jnp.einsum(
+            "bsnge,bstne->bsngt", qvg.astype(jnp.float32),
+            vg.astype(jnp.float32),
+        )
+    if softcap > 0.0:
+        s = jnp.tanh(s * (softmax_scale / softcap)) * softcap
+    else:
+        s = s * softmax_scale
+    mask = valid[:, :, None, None, :]
+    if causal:
+        rows = (jnp.arange(sq) + (sk - sq))[None, :, None]
+        mask = jnp.logical_and(mask, (safe <= rows)[:, :, None, None, :])
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.any(mask, -1, keepdims=True), p, 0.0)
+    out = jnp.einsum("bsngt,bstne->bsnge", p, vg.astype(jnp.float32))
+    return out.reshape(b, sq, h, dv).astype(q.dtype)
+
+
 def flash_attn_func(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -175,6 +228,8 @@ def flash_attn_func(
     deterministic: bool = True,  # accepted for parity; TPU bwd always is
     return_attn_probs: bool = False,
     *,
+    qv: Optional[jnp.ndarray] = None,  # MLA absorbed scores (FA4 qv)
+    gather_kv_indices: Optional[jnp.ndarray] = None,  # (b, sq, topk) int32
     attn_bias: Optional[jnp.ndarray] = None,
     bias_grad: bool = True,
     sink: Optional[jnp.ndarray] = None,
@@ -201,6 +256,25 @@ def flash_attn_func(
     materialized (the reference returns them for debugging only).
     """
     del deterministic
+    if gather_kv_indices is not None:
+        # Top-k sparse attention (FA4 gather_kv_indices,
+        # cute/topk_gather_kv.py CpasyncGatherKVManager; interface.py:3073):
+        # each q row attends only its own top-k key positions. On TPU the
+        # per-row gather is an XLA gather feeding a dense softmax over the
+        # gathered set — pure jnp ops, so autodiff covers the backward.
+        if layout == "bhsd":
+            q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            if qv is not None:
+                qv = qv.transpose(0, 2, 1, 3)
+        out = _topk_gather_attention(
+            q, k, v, qv, gather_kv_indices,
+            softmax_scale=softmax_scale, causal=causal, softcap=softcap,
+        )
+        if layout == "bhsd":
+            out = out.transpose(0, 2, 1, 3)
+        if return_attn_probs:
+            return out, None, None
+        return out
     if layout == "bshd":
         q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     elif layout == "bhsd":
@@ -209,6 +283,10 @@ def flash_attn_func(
         raise ValueError(f"unknown layout {layout!r}")
 
     tensors = {"q": q_, "k": k_, "v": v_}
+    if qv is not None:
+        tensors["qv"] = (
+            qv.transpose(0, 2, 1, 3) if layout == "bshd" else qv
+        )
     if attn_bias is not None:
         tensors["bias"] = attn_bias
     if alibi_slopes is not None:

@@ -97,17 +97,23 @@ def _recompute_p_and_ds(
     has_segments, qseg_ref, kseg_ref,
     with_mask: bool,
     score_mod=None, mask_mod=None,
+    qv=None,
 ):
     """Shared recompute: returns (p, ds_scaled, dbias_tile).
 
     p: post-softmax probs (block_q, block_kv) fp32 (pre-dropout).
-    ds_scaled: gradient wrt raw scores s = q.k^T (includes softmax scale and
-    softcap chain rule), fp32.
+    ds_scaled: gradient wrt raw scores s = q.k^T [+ qv.v^T] (includes
+    softmax scale and softcap chain rule), fp32.
     dbias_tile: gradient wrt additive bias (None unless has_bias).
     """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bkv)
+    if qv is not None:
+        # MLA weight-absorbed scores (FA4 qv): S = Q K^T + Qv V^T.
+        s = s + jax.lax.dot_general(
+            qv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     if softcap > 0.0:
         t = jnp.tanh(s * (scale / softcap))
@@ -199,7 +205,7 @@ def _bwd_dkv_kernel(
     scale: float, causal: bool, window: Tuple[int, int],
     sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, has_alibi: bool, alibi_batched: bool,
-    has_segments: bool,
+    has_segments: bool, has_qv: bool = False,
     score_mod=None, mask_mod=None,
     out_dtype=None,
 ):
@@ -207,6 +213,9 @@ def _bwd_dkv_kernel(
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
@@ -271,12 +280,20 @@ def _bwd_dkv_kernel(
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
             score_mod=score_mod, mask_mod=mask_mod,
+            qv=qv_ref[0, 0] if has_qv else None,
         )
         # dV += P_drop^T dO   (contract over q rows)
         dv_scr[...] += jax.lax.dot_general(
             p_drop, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            # V also enters the scores: dV += dS^T Qv.
+            dv_scr[...] += jax.lax.dot_general(
+                ds_scaled, qv_ref[0, 0].astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         # dK += dS^T Q
         dk_scr[...] += jax.lax.dot_general(
             ds_scaled, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -325,7 +342,7 @@ def _bwd_dq_kernel(
     scale: float, causal: bool, window: Tuple[int, int],
     sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, bias_grad: bool, has_alibi: bool, alibi_batched: bool,
-    has_segments: bool,
+    has_segments: bool, has_qv: bool = False,
     score_mod=None, mask_mod=None,
     out_dtype=None,
 ):
@@ -333,6 +350,9 @@ def _bwd_dq_kernel(
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
@@ -347,10 +367,15 @@ def _bwd_dq_kernel(
         qseg_ref = refs[idx]; idx += 1
         kseg_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
-    dbias_ref = None
+    dbias_ref = dqv_ref = None
     if bias_grad:
         dbias_ref = refs[idx]; idx += 1
+    if has_qv:
+        dqv_ref = refs[idx]; idx += 1
     dq_scr = refs[idx]; idx += 1
+    dqv_scr = None
+    if has_qv:
+        dqv_scr = refs[idx]; idx += 1
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -360,6 +385,8 @@ def _bwd_dq_kernel(
     @pl.when(ki == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
+        if has_qv:
+            dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
     min_kv_blk, max_kv_blk = make_causal_window_bounds(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
@@ -400,12 +427,19 @@ def _bwd_dq_kernel(
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
             score_mod=score_mod, mask_mod=mask_mod,
+            qv=qv_ref[0, 0] if has_qv else None,
         )
         # dQ += dS K
         dq_scr[...] += jax.lax.dot_general(
             ds_scaled, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            # dQv += dS V (MLA absorbed scores).
+            dqv_scr[...] += jax.lax.dot_general(
+                ds_scaled, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if bias_grad:
             dbias_ref[0, 0] = dbias_tile.astype(dbias_ref.dtype)
 
@@ -440,6 +474,8 @@ def _bwd_dq_kernel(
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
         dq_ref[0, 0] = dq_scr[...].astype(out_dtype)
+        if has_qv:
+            dqv_ref[0, 0] = dqv_scr[...].astype(out_dtype)
 
 
 def flash_attention_bwd(
@@ -450,6 +486,7 @@ def flash_attention_bwd(
     lse: jnp.ndarray,  # (b, h, sq) fp32 natural log
     do: jnp.ndarray,   # (b, h, sq, d)
     *,
+    qv: Optional[jnp.ndarray] = None,  # (b, h, sq, d_v) MLA absorbed
     bias: Optional[jnp.ndarray] = None,
     bias_grad: bool = False,
     alibi_slopes: Optional[jnp.ndarray] = None,
@@ -467,15 +504,19 @@ def flash_attention_bwd(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
-    """Flash-attention backward. Returns (dq, dk, dv[, dbias]).
+    """Flash-attention backward. Returns (dq, dk, dv[, dbias][, dqv]).
 
-    dk/dv come back per *kv* head (GQA groups summed).
+    dk/dv come back per *kv* head (GQA groups summed). With `qv`, dqv is
+    appended last.
     """
     batch, num_heads, seqlen_q, head_dim = q.shape
     _, num_heads_kv, seqlen_k, _ = k.shape
     group_size = num_heads // num_heads_kv
+    has_qv = qv is not None
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        softmax_scale = (
+            (head_dim + v.shape[3]) ** -0.5 if has_qv else head_dim**-0.5
+        )
     window = normalize_window(window_size, causal, seqlen_k)
     if interpret is None:
         interpret = interpret_mode()
@@ -534,6 +575,13 @@ def flash_attention_bwd(
                          lambda b, h, i, j: (b, h, clamp_q(i, j), 0)),
         ]
         args = [qp, kp, vp, dop, lsep, deltap]
+        if has_qv:
+            qvp = pad_to_block(pad_to_block(qv, 3, dv_pad), 2, block_q)
+            specs.insert(3, pl.BlockSpec(
+                (1, 1, block_q, dv_pad),
+                lambda b, h, i, j: (b, h, clamp_q(i, j), 0),
+            ))
+            args.insert(3, qvp)
         if has_bias:
             bb = 0 if bias.shape[0] == 1 else None
             bh = 0 if bias.shape[1] == 1 else None
@@ -603,7 +651,7 @@ def flash_attention_bwd(
         sink_token_length=sink_token_length, softcap=float(softcap),
         dropout_p=float(dropout_p),
         has_bias=has_bias, has_alibi=has_alibi, alibi_batched=alibi_batched,
-        has_segments=has_segments,
+        has_segments=has_segments, has_qv=has_qv,
         score_mod=score_mod, mask_mod=mask_mod,
         out_dtype=jnp.float32,
     )
@@ -673,7 +721,7 @@ def flash_attention_bwd(
         dropout_p=float(dropout_p),
         has_bias=has_bias, bias_grad=bias_grad,
         has_alibi=has_alibi, alibi_batched=alibi_batched,
-        has_segments=has_segments,
+        has_segments=has_segments, has_qv=has_qv,
         score_mod=score_mod, mask_mod=mask_mod,
         out_dtype=out_dtype,
     )
@@ -690,13 +738,22 @@ def flash_attention_bwd(
         out_shape.append(
             jax.ShapeDtypeStruct((batch, num_heads, sqp, skp), jnp.float32)
         )
+    scratch_shapes = [pltpu.VMEM((bq_dq, d_pad), jnp.float32)]
+    if has_qv:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq_dq, dv_pad), lambda b, h, qi, ki: (b, h, qi, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, num_heads, sqp, dv_pad), out_dtype)
+        )
+        scratch_shapes.append(pltpu.VMEM((bq_dq, dv_pad), jnp.float32))
     results = pl.pallas_call(
         dq_kernel,
         grid=(batch, num_heads, num_q_blocks_dq, num_kv_blocks_dq),
         in_specs=specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bq_dq, d_pad), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -704,6 +761,7 @@ def flash_attention_bwd(
     )(*args)
     dq = results[0][:, :, :seqlen_q, :head_dim]
 
+    ret = [dq, dk, dv]
     if bias_grad:
         dbias_full = results[1][:, :, :seqlen_q, :seqlen_k]
         # Sum over broadcast dims to match the bias's declared shape.
@@ -711,5 +769,7 @@ def flash_attention_bwd(
             dbias_full = dbias_full.sum(axis=0, keepdims=True)
         if bias.shape[1] == 1:
             dbias_full = dbias_full.sum(axis=1, keepdims=True)
-        return dq, dk, dv, dbias_full.astype(bias.dtype)
-    return dq, dk, dv
+        ret.append(dbias_full.astype(bias.dtype))
+    if has_qv:
+        ret.append(results[-1][:, :, :seqlen_q, :head_dim_v])
+    return tuple(ret)

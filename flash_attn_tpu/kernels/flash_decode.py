@@ -71,6 +71,7 @@ def _decode_kernel(
     sink_token_length: int,
     softcap: float,
     has_leftpad: bool,
+    has_qv: bool,
     has_alibi: bool,
     alibi_batched: bool,
     has_sink: bool,
@@ -82,6 +83,9 @@ def _decode_kernel(
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     slopes_ref = sink_ref = kvscale_ref = None
     if has_kv_scale:
         kvscale_ref = refs[idx]; idx += 1  # (2, b|1, hk) SMEM: k/v descales
@@ -151,6 +155,18 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (rows, block_kv)
+
+        if has_qv:
+            # MLA weight-absorbed decode (FA4 qv / benchmark_mla_decode):
+            # S = Q K^T + Qv V^T with the latent V reused as the PV operand.
+            qv_t = qv_ref[0, 0]
+            v_t = v_ref[0, 0]
+            if v_t.dtype.itemsize < 2:
+                v_t = v_t.astype(jnp.bfloat16)
+            s = s + jax.lax.dot_general(
+                qv_t, v_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         if has_kv_scale:
             db = b if kv_scale_batched else 0
@@ -255,6 +271,7 @@ def flash_attention_decode(
     v_cache: jnp.ndarray,
     cache_seqlens: jnp.ndarray,  # (b,) int32 TOTAL valid lengths
     *,
+    qv: Optional[jnp.ndarray] = None,  # (b, sq, h, d_v) MLA absorbed scores
     block_table: Optional[jnp.ndarray] = None,  # (b, max_pages) int32
     cache_batch_idx: Optional[jnp.ndarray] = None,  # (b,) int32
     cache_leftpad: Optional[jnp.ndarray] = None,  # (b,) int32
@@ -288,6 +305,7 @@ def flash_attention_decode(
         and sink_token_length == 0
         and k_cache.dtype.itemsize >= 2
         and k_cache.shape[3] == v_cache.shape[3]
+        and qv is None
     ):
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
@@ -317,8 +335,15 @@ def flash_attention_decode(
         num_kv_blocks = smax_pad // block_kv
 
     group = num_heads // num_heads_kv
+    has_qv = qv is not None
+    if has_qv:
+        assert k_scale is None and v_scale is None, \
+            "qv is not supported with a quantized KV cache"
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        softmax_scale = (
+            (head_dim + v_cache.shape[3]) ** -0.5 if has_qv
+            else head_dim**-0.5
+        )
     if interpret is None:
         interpret = interpret_mode()
     out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
@@ -371,6 +396,20 @@ def flash_attention_decode(
         pl.BlockSpec((1, 1, block_kv, dv_pad), kv_index),
     ]
     args = [qr, k_cache, v_cache]
+
+    if has_qv:
+        qvr = qv.reshape(batch, sq, num_heads_kv, group, head_dim_v)
+        qvr = qvr.transpose(0, 2, 1, 3, 4).reshape(
+            batch, num_heads_kv, sq * group, head_dim_v
+        )
+        qvr = pad_to_block(pad_to_block(qvr, 3, dv_pad), 2, rows)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, dv_pad),
+                lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0),
+            )
+        )
+        args.append(qvr)
 
     has_kv_scale = k_scale is not None or v_scale is not None
     kv_scale_batched = False
@@ -447,6 +486,7 @@ def flash_attention_decode(
         sink_token_length=int(sink_token_length),
         softcap=float(softcap),
         has_leftpad=has_leftpad,
+        has_qv=has_qv,
         has_alibi=has_alibi,
         alibi_batched=alibi_batched,
         has_sink=has_sink,

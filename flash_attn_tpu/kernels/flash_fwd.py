@@ -110,6 +110,7 @@ def _fwd_kernel(
     has_segments: bool,
     has_descale: bool,
     descale_batched: bool,
+    has_qv: bool = False,
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqlen_k: int = 0,
@@ -123,6 +124,9 @@ def _fwd_kernel(
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     bias_ref = None
     slopes_ref = None
     sink_ref = None
@@ -215,6 +219,20 @@ def _fwd_kernel(
                 qc, kc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (block_q, block_kv)
+
+        if has_qv:
+            # MLA weight-absorbed scores (FA4 qv, cute/interface.py:3066):
+            # S = Q K^T + Qv V^T, with V reused as the PV operand below.
+            qv_t = qv_ref[0, 0]
+            v_t = v_ref[0, 0]
+            if v_t.dtype.itemsize < 2:
+                v_t = v_t.astype(jnp.bfloat16)
+            if qv_t.dtype.itemsize < 2:
+                qv_t = qv_t.astype(jnp.bfloat16)
+            s = s + jax.lax.dot_general(
+                qv_t, v_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         if has_descale:
             db = b if descale_batched else 0
@@ -395,6 +413,7 @@ def flash_attention_fwd(
     k: jnp.ndarray,  # (b, h_kv, seqlen_k, d)
     v: jnp.ndarray,  # (b, h_kv, seqlen_k, d)
     *,
+    qv: Optional[jnp.ndarray] = None,  # (b, h, seqlen_q, d_v) MLA absorbed
     bias: Optional[jnp.ndarray] = None,  # (b|1, h|1, seqlen_q, seqlen_k)
     alibi_slopes: Optional[jnp.ndarray] = None,  # (h,) or (b, h)
     sink: Optional[jnp.ndarray] = None,  # (h,) learnable attention sink
@@ -429,8 +448,17 @@ def flash_attention_fwd(
     _, num_heads_kv, seqlen_k, _ = k.shape
     assert num_heads % num_heads_kv == 0
     group_size = num_heads // num_heads_kv
+    has_qv = qv is not None
+    if has_qv:
+        assert qv.shape[:3] == q.shape[:3] and qv.shape[3] == v.shape[3], (
+            qv.shape, q.shape, v.shape)
+        assert q.dtype.itemsize >= 2, "qv is not supported with int8/fp8 QKV"
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        # With qv the reference defaults to 1/sqrt(d + d_v)
+        # (cute/interface.py:544-547).
+        softmax_scale = (
+            (head_dim + v.shape[3]) ** -0.5 if has_qv else head_dim**-0.5
+        )
     window = normalize_window(window_size, causal, seqlen_k)
     if interpret is None:
         interpret = interpret_mode()
@@ -488,6 +516,14 @@ def flash_attention_fwd(
         ),
     ]
     args = [qp, kp, vp]
+
+    if has_qv:
+        qvp = pad_to_block(pad_to_block(qv, 3, dv_pad), 2, block_q)
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_q, dv_pad),
+                         lambda b, h, qi, ki: (b, h, qi, 0))
+        )
+        args.append(qvp)
 
     has_descale = any(
         x is not None for x in (q_descale, k_descale, v_descale)
@@ -604,6 +640,7 @@ def flash_attention_fwd(
         has_segments=has_segments,
         has_descale=has_descale,
         descale_batched=descale_batched,
+        has_qv=has_qv,
         cp_world_size=int(cp_world_size),
         cp_rank=int(cp_rank),
         cp_tot_seqlen_k=int(cp_tot_seqlen_k),

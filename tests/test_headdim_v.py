@@ -75,3 +75,120 @@ def test_mla_decode():
     err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
     base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
     assert err <= 2 * base + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# MLA weight-absorbed attention (FA4 qv, cute/interface.py:3066:
+# O = softmax(scale*(Q K^T + Qv V^T)) V) and top-k KV gather
+# (cute/topk_gather_kv.py).
+# ---------------------------------------------------------------------------
+
+def _qv_oracle(q, k, v, qv, causal, scale):
+    qt, kt, vt, qvt = (
+        x.transpose(0, 2, 1, 3).astype(jnp.float32) for x in (q, k, v, qv)
+    )
+    s = (jnp.einsum("bhqd,bhkd->bhqk", qt, kt)
+         + jnp.einsum("bhqe,bhke->bhqk", qvt, vt)) * scale
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        rows = jnp.arange(sq)[:, None]
+        cols = jnp.arange(sk)[None, :]
+        s = jnp.where(cols <= rows + (sk - sq), s, -jnp.inf)
+    p = jax.nn.softmax(s, -1)
+    return jnp.einsum("bhqk,bhke->bhqe", p, vt).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_qv_absorbed_fwd_bwd(causal):
+    b, sq, sk, h, d, dv = 1, 96, 160, 2, 64, 128
+    q, k, v = make(jax.random.PRNGKey(3), b, sq, sk, h, h, d, dv,
+                   dtype=jnp.float32)
+    qv = jax.random.normal(jax.random.PRNGKey(4), (b, sq, h, dv),
+                           jnp.float32) * 0.3
+    v = v * 0.3
+    scale = (d + dv) ** -0.5
+
+    def loss(q, k, v, qv):
+        o = flash_attn_func(q, k, v, qv=qv, causal=causal, block_sizes=BS)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def oloss(q, k, v, qv):
+        return (_qv_oracle(q, k, v, qv, causal, scale) ** 2).sum()
+
+    out = flash_attn_func(q, k, v, qv=qv, causal=causal, block_sizes=BS)
+    ref = _qv_oracle(q, k, v, qv, causal, scale)
+    assert jnp.abs(out - ref).max() < 1e-3
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    go = jax.grad(oloss, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    for name, a, bb in zip(("dq", "dk", "dv", "dqv"), g, go):
+        err = jnp.abs(a - bb).max()
+        assert err < 1e-3, (name, err)
+
+
+def test_qv_absorbed_decode():
+    """MLA absorbed decode (hopper/benchmark_mla_decode.py shape family,
+    scaled down): MQA over one latent KV head, qv scores."""
+    from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+
+    b, sq, h, d, dv, smax = 2, 1, 4, 64, 128, 300
+    kq, kk, kv, kqv = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+    kc = jax.random.normal(kk, (b, 1, smax, d), jnp.float32)
+    vc = jax.random.normal(kv, (b, 1, smax, dv), jnp.float32) * 0.3
+    qv = jax.random.normal(kqv, (b, sq, h, dv), jnp.float32) * 0.3
+    lens = jnp.asarray([200, 300], jnp.int32)
+    out, _ = flash_attention_decode(q, kc, vc, lens, qv=qv)
+    scale = (d + dv) ** -0.5
+    for bi in range(b):
+        L = int(lens[bi])
+        s = (jnp.einsum("shd,kd->hsk", q[bi], kc[bi, 0, :L])
+             + jnp.einsum("she,ke->hsk", qv[bi], vc[bi, 0, :L])) * scale
+        p = jax.nn.softmax(s, -1)
+        ref = jnp.einsum("hsk,ke->she", p, vc[bi, 0, :L])
+        assert jnp.abs(out[bi] - ref).max() < 1e-4
+
+
+def test_topk_gather_kv():
+    """gather_kv_indices: per-row top-k attention == dense attention with
+    everything outside the set masked; grads flow (pure-XLA path)."""
+    b, sq, sk, h, d, dv, t = 1, 8, 64, 2, 32, 48, 16
+    q, k, v = make(jax.random.PRNGKey(6), b, sq, sk, h, h, d, dv,
+                   dtype=jnp.float32)
+    qv = jax.random.normal(jax.random.PRNGKey(7), (b, sq, h, dv),
+                           jnp.float32) * 0.3
+    v = v * 0.3
+    rng = jax.random.PRNGKey(8)
+    idx = jnp.stack([
+        jnp.stack([
+            jax.random.choice(jax.random.fold_in(rng, i * 100 + si), sk,
+                              (t,), replace=False)
+            for si in range(sq)
+        ])
+        for i in range(b)
+    ]).astype(jnp.int32)
+    idx = idx.at[:, 0, -1].set(-1)  # a masked (padding) slot
+
+    out = flash_attn_func(q, k, v, qv=qv, gather_kv_indices=idx)
+    # Oracle: dense scores with non-selected keys masked.
+    scale = (d + dv) ** -0.5
+    qt, kt, vt, qvt = (
+        x.transpose(0, 2, 1, 3).astype(jnp.float32) for x in (q, k, v, qv)
+    )
+    s = (jnp.einsum("bhqd,bhkd->bhqk", qt, kt)
+         + jnp.einsum("bhqe,bhke->bhqk", qvt, vt)) * scale
+    keep = jnp.zeros((b, sq, sk), bool)
+    for bi in range(b):
+        for si in range(sq):
+            for ti in range(t):
+                j = int(idx[bi, si, ti])
+                if j >= 0:
+                    keep = keep.at[bi, si, j].set(True)
+    s = jnp.where(keep[:, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, -1)
+    ref = jnp.einsum("bhqk,bhke->bhqe", p, vt).transpose(0, 2, 1, 3)
+    assert jnp.abs(out - ref).max() < 1e-4
+    # Differentiable without a custom vjp.
+    gfn = jax.grad(lambda q: (flash_attn_func(
+        q, k, v, qv=qv, gather_kv_indices=idx).astype(jnp.float32) ** 2).sum())
+    assert jnp.isfinite(gfn(q)).all()

@@ -46,6 +46,35 @@ def bench_decode_kernel(b, smax, h, hk, d, page=256):
     }
 
 
+def bench_mla_absorbed_decode(b=4, smax=8192, h=16, d=576, dv=512, page=256):
+    """MLA weight-absorbed decode (reference hopper/benchmark_mla_decode.py:
+    d_qk = 576 = 512 latent + 64 rope, d_v = 512, MQA over ONE latent KV
+    head, S = Q K^T + Qv V^T via the qv argument)."""
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kqv = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, 1, h, d), jnp.bfloat16)
+    qv = jax.random.normal(kqv, (b, 1, h, dv), jnp.bfloat16)
+    npages = b * (smax // page)
+    k_pages = jax.random.normal(kk, (npages, 1, page, d), jnp.bfloat16)
+    v_pages = jax.random.normal(kv, (npages, 1, page, dv), jnp.bfloat16)
+    table = jnp.arange(npages, dtype=jnp.int32).reshape(b, -1)
+    seqlens = jnp.full((b,), smax, jnp.int32)
+
+    def step(q):
+        out, _ = flash_attention_decode(
+            q, k_pages, v_pages, seqlens, qv=qv, block_table=table
+        )
+        return out
+
+    sec = benchmark_forward(step, q, iters_lo=32, iters_hi=256)
+    kv_bytes = npages * page * (d + dv) * 2
+    return {
+        "tokens_per_s": b / sec,
+        "kv_gb_per_s": kv_bytes / sec / 1e9,
+        "us_per_step": sec * 1e6,
+    }
+
+
 def bench_engine(n_requests=16, prompt=512, new_tokens=64):
     """End-to-end continuous-batching tokens/s (engine + C++ scheduler)."""
     import time
@@ -98,6 +127,9 @@ def main():
             "bench": "paged_decode", "b": b, "smax": smax, "h": h,
             "hk": hk, "d": d, **{k: round(v, 2) for k, v in r.items()},
         }))
+    r = bench_mla_absorbed_decode()
+    print(json.dumps({"bench": "mla_absorbed_decode",
+                      **{k: round(v, 2) for k, v in r.items()}}))
     if not args.quick:
         r = bench_engine()
         print(json.dumps({"bench": "engine_continuous_batching",

@@ -525,6 +525,7 @@ def _varlen_fwd(tensors, config):
     return flash_attention_varlen_fwd(
         tensors["q"], tensors["k"], tensors["v"],
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
+        qv=tensors.get("qv"),
         seqused_k=tensors.get("seqused_k"),
         alibi_slopes=tensors.get("alibi_slopes"),
         softmax_scale=config.softmax_scale,
@@ -549,9 +550,10 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
 
     tensors, out, lse = residuals
     do, _ = cotangents
-    dq, dk, dv = flash_attention_varlen_bwd(
+    res = flash_attention_varlen_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
+        qv=tensors.get("qv"),
         seqused_k=tensors.get("seqused_k"),
         alibi_slopes=tensors.get("alibi_slopes"),
         softmax_scale=config.softmax_scale,
@@ -564,6 +566,8 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         block_kv=config.block_kv,
         interpret=config.interpret,
     )
+    dq, dk, dv = res[:3]
+    dqv = res[3] if len(res) > 3 else None
     grads = {}
     for name, val in tensors.items():
         if name == "q":
@@ -572,6 +576,8 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
             grads[name] = dk
         elif name == "v":
             grads[name] = dv
+        elif name == "qv":
+            grads[name] = dqv
         else:
             grads[name] = _zero_cotangent(val)
     return (grads,)
@@ -597,6 +603,7 @@ def flash_attn_varlen_func(
     deterministic: bool = True,
     return_attn_probs: bool = False,
     *,
+    qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
     seqused_k: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
@@ -618,6 +625,8 @@ def flash_attn_varlen_func(
         "cu_seqlens_q": jnp.asarray(cu_seqlens_q, jnp.int32),
         "cu_seqlens_k": jnp.asarray(cu_seqlens_k, jnp.int32),
     }
+    if qv is not None:
+        tensors["qv"] = qv
     if seqused_k is not None:
         tensors["seqused_k"] = jnp.asarray(seqused_k, jnp.int32)
     if alibi_slopes is not None:

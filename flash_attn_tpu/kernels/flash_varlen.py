@@ -202,12 +202,15 @@ def _varlen_fwd_kernel(
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
     softcap: float, dropout_p: float, group_size: int,
-    has_alibi: bool, out_dtype,
+    has_alibi: bool, has_qv: bool, out_dtype,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     qseg_ref = refs[idx]; idx += 1
     qpos_ref = refs[idx]; idx += 1
     kseg_ref = refs[idx]; idx += 1
@@ -242,6 +245,12 @@ def _varlen_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if has_qv:
+            # MLA weight-absorbed scores (FA4 varlen qv): S = Q K^T + Qv V^T.
+            s = s + jax.lax.dot_general(
+                qv_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if softcap > 0.0:
             s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
         else:
@@ -304,10 +313,15 @@ def _varlen_recompute(
     qseg, qpos, kseg, kpos, slopes_ref, h,
     *, scale, causal, window, softcap, has_alibi,
     dropout_p=0.0, seed_ref=None, qi=0, ki=0, block_q=0, block_kv=0,
+    qv=None,
 ):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if qv is not None:
+        s = s + jax.lax.dot_general(
+            qv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
     if softcap > 0.0:
         t = jnp.tanh(s * (scale / softcap))
         s2 = t * (softcap * LOG2E)
@@ -352,11 +366,15 @@ def _varlen_dkv_kernel(
     block_q: int, block_kv: int, num_q_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
     softcap: float, dropout_p: float, has_alibi: bool,
+    has_qv: bool = False,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
@@ -397,11 +415,18 @@ def _varlen_dkv_kernel(
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
+            qv=qv_ref[0] if has_qv else None,
         )
         dv_scr[...] += jax.lax.dot_general(
             p, do_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            # V also enters the scores: dV += dS^T Qv.
+            dv_scr[...] += jax.lax.dot_general(
+                ds, qv_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         dk_scr[...] += jax.lax.dot_general(
             ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -418,12 +443,16 @@ def _varlen_dq_kernel(
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    softcap: float, dropout_p: float, has_alibi: bool, out_dtype,
+    softcap: float, dropout_p: float, has_alibi: bool,
+    has_qv: bool = False, out_dtype=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1
     do_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
@@ -437,7 +466,13 @@ def _varlen_dq_kernel(
     if dropout_p > 0.0:
         seed_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
+    dqv_ref = None
+    if has_qv:
+        dqv_ref = refs[idx]; idx += 1
     dq_scr = refs[idx]; idx += 1
+    dqv_scr = None
+    if has_qv:
+        dqv_scr = refs[idx]; idx += 1
 
     h = pl.program_id(0)
     qi = pl.program_id(1)
@@ -446,6 +481,8 @@ def _varlen_dq_kernel(
     @pl.when(ki == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
+        if has_qv:
+            dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
     should_run = jnp.logical_and(ki >= kvmin_ref[qi], ki <= kvmax_ref[qi])
 
@@ -461,15 +498,24 @@ def _varlen_dq_kernel(
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
+            qv=qv_ref[0] if has_qv else None,
         )
         dq_scr[...] += jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            # dQv += dS V (MLA absorbed scores).
+            dqv_scr[...] += jax.lax.dot_general(
+                ds, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
         dq_ref[0] = dq_scr[...].astype(out_dtype)
+        if has_qv:
+            dqv_ref[0] = dqv_scr[...].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +535,7 @@ def flash_attention_varlen_fwd(
     cu_seqlens_q: jnp.ndarray,
     cu_seqlens_k: jnp.ndarray,
     *,
+    qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
     seqused_k: Optional[jnp.ndarray] = None,
     alibi_slopes: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
@@ -508,8 +555,11 @@ def flash_attention_varlen_fwd(
     total_q, num_heads, head_dim = q.shape
     total_k, num_heads_kv, _ = k.shape
     group_size = num_heads // num_heads_kv
+    has_qv = qv is not None
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        softmax_scale = (
+            (head_dim + v.shape[2]) ** -0.5 if has_qv else head_dim**-0.5
+        )
     if interpret is None:
         interpret = interpret_mode()
     window = (int(window_size[0]), int(window_size[1]))
@@ -518,6 +568,8 @@ def flash_attention_varlen_fwd(
     nqb = cdiv(total_q, block_q)
     nkb = cdiv(total_k, block_kv)
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v.shape[2]  # may differ (MLA / hdimdiff varlen)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
 
     (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
@@ -529,7 +581,7 @@ def flash_attention_varlen_fwd(
 
     qp = _prep_packed(q, block_q, d_pad)
     kp = _prep_packed(k, block_kv, d_pad)
-    vp = _prep_packed(v, block_kv, d_pad)
+    vp = _prep_packed(v, block_kv, dv_pad)
 
     def clamp_kv(h, qi, ki, kvmin_ref, kvmax_ref):
         return jnp.clip(ki, kvmin_ref[qi], kvmax_ref[qi])
@@ -541,7 +593,7 @@ def flash_attention_varlen_fwd(
             lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
         ),
         pl.BlockSpec(
-            (1, block_kv, d_pad),
+            (1, block_kv, dv_pad),
             lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
         ),
         pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx: (qi, 0)),
@@ -554,6 +606,12 @@ def flash_attention_varlen_fwd(
         ),
     ]
     args = [qp, kp, vp, qseg, qpos, kseg, kpos]
+    if has_qv:
+        qvp = _prep_packed(qv, block_q, dv_pad)
+        in_specs.insert(3, pl.BlockSpec(
+            (1, block_q, dv_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)
+        ))
+        args.insert(3, qvp)
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -584,7 +642,7 @@ def flash_attention_varlen_fwd(
         scale=float(softmax_scale), causal=causal, window=window,
         softcap=float(softcap), dropout_p=float(dropout_p),
         group_size=group_size,
-        has_alibi=has_alibi, out_dtype=out_dtype,
+        has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -592,13 +650,13 @@ def flash_attention_varlen_fwd(
         grid=(num_heads, nqb, nkb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
             pl.BlockSpec((1, block_q, 1), lambda h, qi, ki, mn, mx: (h, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, dv_pad), jnp.float32),
         ],
     )
 
@@ -606,7 +664,7 @@ def flash_attention_varlen_fwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((num_heads, nqb * block_q, dv_pad), out_dtype),
             jax.ShapeDtypeStruct((num_heads, nqb * block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -615,7 +673,7 @@ def flash_attention_varlen_fwd(
         interpret=interpret,
     )(kvmin, kvmax, *args)
 
-    out = out[:, :total_q, :head_dim].transpose(1, 0, 2)
+    out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
     return out, lse
 
@@ -624,6 +682,7 @@ def flash_attention_varlen_bwd(
     q, k, v, out, lse, do,
     cu_seqlens_q, cu_seqlens_k,
     *,
+    qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
     seqused_k: Optional[jnp.ndarray] = None,
     alibi_slopes: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
@@ -636,12 +695,16 @@ def flash_attention_varlen_bwd(
     block_kv: int = 256,
     interpret: Optional[bool] = None,
 ):
-    """Packed varlen backward: returns (dq, dk, dv) in packed layout."""
+    """Packed varlen backward: returns (dq, dk, dv[, dqv]) in packed
+    layout (dqv appended when `qv` is given)."""
     total_q, num_heads, head_dim = q.shape
     total_k, num_heads_kv, _ = k.shape
     group_size = num_heads // num_heads_kv
+    has_qv = qv is not None
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        softmax_scale = (
+            (head_dim + v.shape[2]) ** -0.5 if has_qv else head_dim**-0.5
+        )
     if interpret is None:
         interpret = interpret_mode()
     window = (int(window_size[0]), int(window_size[1]))
@@ -650,6 +713,8 @@ def flash_attention_varlen_bwd(
     nqb = cdiv(total_q, block_q)
     nkb = cdiv(total_k, block_kv)
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v.shape[2]
+    dv_pad = round_up(head_dim_v, NUM_LANES)
 
     (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
@@ -659,8 +724,9 @@ def flash_attention_varlen_bwd(
 
     qp = _prep_packed(q, block_q, d_pad)
     kp = _prep_packed(k, block_kv, d_pad)
-    vp = _prep_packed(v, block_kv, d_pad)
-    dop = _prep_packed(do, block_q, d_pad)
+    vp = _prep_packed(v, block_kv, dv_pad)
+    dop = _prep_packed(do, block_q, dv_pad)
+    qvp = _prep_packed(qv, block_q, dv_pad) if qv is not None else None
     # lse: (h, total_q) -> (h, tqp, 1); delta likewise.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = delta.transpose(1, 0)  # (h, total_q)
@@ -678,9 +744,9 @@ def flash_attention_varlen_bwd(
                          lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
             pl.BlockSpec((1, block_kv, d_pad),
                          lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_kv, d_pad),
+            pl.BlockSpec((1, block_kv, dv_pad),
                          lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_q, d_pad),
+            pl.BlockSpec((1, block_q, dv_pad),
                          lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
             pl.BlockSpec((1, block_q, 1),
                          lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
@@ -695,6 +761,11 @@ def flash_attention_varlen_bwd(
             pl.BlockSpec((block_kv, 1),
                          lambda h, i, j, a, b: (clamp_kv(i, j, a, b), 0)),
         ]
+        if has_qv:
+            specs.insert(3, pl.BlockSpec(
+                (1, block_q, dv_pad),
+                lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0),
+            ))
         if has_alibi:
             specs.append(
                 pl.BlockSpec(slopes.shape, lambda h, i, j, a, b: (0, 0),
@@ -708,6 +779,8 @@ def flash_attention_varlen_bwd(
         return specs
 
     base_args = [qp, kp, vp, dop, lsep, deltap, qseg, qpos, kseg, kpos]
+    if has_qv:
+        base_args.insert(3, qvp)
     if has_alibi:
         base_args.append(slopes)
     if dropout_p > 0.0:
@@ -721,7 +794,7 @@ def flash_attention_varlen_bwd(
         block_q=block_q, block_kv=block_kv, num_q_blocks=nqb,
         scale=float(softmax_scale), causal=causal, window=window,
         softcap=float(softcap), dropout_p=float(dropout_p),
-        has_alibi=has_alibi,
+        has_alibi=has_alibi, has_qv=has_qv,
     )
     dkv_specs = specs_for(
         clamp_q=lambda ki, qi, mn, mx: jnp.clip(qi, mn[ki], mx[ki]),
@@ -735,16 +808,16 @@ def flash_attention_varlen_bwd(
             in_specs=dkv_specs,
             out_specs=[
                 pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
-                pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
+                pl.BlockSpec((1, block_kv, dv_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_kv, d_pad), jnp.float32),
-                pltpu.VMEM((block_kv, d_pad), jnp.float32),
+                pltpu.VMEM((block_kv, dv_pad), jnp.float32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((num_heads, nkb * block_kv, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, nkb * block_kv, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, nkb * block_kv, dv_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -753,10 +826,10 @@ def flash_attention_varlen_bwd(
     )(qmin, qmax, *base_args)
 
     dk_gh = dk_gh[:, :total_k, :head_dim]
-    dv_gh = dv_gh[:, :total_k, :head_dim]
+    dv_gh = dv_gh[:, :total_k, :head_dim_v]
     if group_size > 1:
         dk = dk_gh.reshape(num_heads_kv, group_size, total_k, head_dim).sum(1)
-        dv = dv_gh.reshape(num_heads_kv, group_size, total_k, head_dim).sum(1)
+        dv = dv_gh.reshape(num_heads_kv, group_size, total_k, head_dim_v).sum(1)
     else:
         dk, dv = dk_gh, dv_gh
     dk = dk.transpose(1, 0, 2).astype(out_dtype)
@@ -768,31 +841,45 @@ def flash_attention_varlen_bwd(
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
         scale=float(softmax_scale), causal=causal, window=window,
         softcap=float(softcap), dropout_p=float(dropout_p),
-        has_alibi=has_alibi, out_dtype=out_dtype,
+        has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
     )
     dq_specs = specs_for(
         clamp_q=lambda qi, ki, mn, mx: qi,
         clamp_kv=lambda qi, ki, mn, mx: jnp.clip(ki, mn[qi], mx[qi]),
     )
-    (dq,) = pl.pallas_call(
+    dq_out_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, a, b: (h, qi, 0)),
+    ]
+    dq_out_shape = [
+        jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
+    ]
+    dq_scratch = [pltpu.VMEM((block_q, d_pad), jnp.float32)]
+    if has_qv:
+        dq_out_specs.append(
+            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, a, b: (h, qi, 0))
+        )
+        dq_out_shape.append(
+            jax.ShapeDtypeStruct((num_heads, nqb * block_q, dv_pad), out_dtype)
+        )
+        dq_scratch.append(pltpu.VMEM((block_q, dv_pad), jnp.float32))
+    results = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_heads, nqb, nkb),
             in_specs=dq_specs,
-            out_specs=[
-                pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, a, b: (h, qi, 0)),
-            ],
-            scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+            out_specs=dq_out_specs,
+            scratch_shapes=dq_scratch,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
-        ],
+        out_shape=dq_out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kvmin, kvmax, *base_args)
 
-    dq = dq[:, :total_q, :head_dim].transpose(1, 0, 2)
+    dq = results[0][:, :total_q, :head_dim].transpose(1, 0, 2)
+    if has_qv:
+        dqv = results[1][:, :total_q, :head_dim_v].transpose(1, 0, 2)
+        return dq, dk, dv, dqv
     return dq, dk, dv

@@ -192,3 +192,48 @@ def test_topk_gather_kv():
     gfn = jax.grad(lambda q: (flash_attn_func(
         q, k, v, qv=qv, gather_kv_indices=idx).astype(jnp.float32) ** 2).sum())
     assert jnp.isfinite(gfn(q)).all()
+
+
+def test_qv_absorbed_varlen():
+    """Varlen qv (FA4 flash_attn_varlen_func qv arg): packed two-sequence
+    causal absorbed attention + grads vs per-sequence oracle."""
+    from flash_attn_tpu import flash_attn_varlen_func
+
+    q_lens, k_lens = [60, 37], [80, 50]
+    tq, tk = sum(q_lens), sum(k_lens)
+    h, d, dv = 2, 64, 128
+    import numpy as np
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(tk, h, dv) * 0.3, jnp.float32)
+    qv = jnp.asarray(rng.randn(tq, h, dv) * 0.3, jnp.float32)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(k_lens)]), jnp.int32)
+    scale = (d + dv) ** -0.5
+
+    def oracle(q, k, v, qv):
+        outs = []
+        for i in range(2):
+            qs, ks = q[cu_q[i]:cu_q[i + 1]], k[cu_k[i]:cu_k[i + 1]]
+            vs, qvs = v[cu_k[i]:cu_k[i + 1]], qv[cu_q[i]:cu_q[i + 1]]
+            s = (jnp.einsum("qhd,khd->hqk", qs, ks)
+                 + jnp.einsum("qhe,khe->hqk", qvs, vs)) * scale
+            sqi, ski = qs.shape[0], ks.shape[0]
+            rows = jnp.arange(sqi)[:, None]
+            cols = jnp.arange(ski)[None, :]
+            s = jnp.where(cols <= rows + (ski - sqi), s, -jnp.inf)
+            outs.append(jnp.einsum("hqk,khe->qhe", jax.nn.softmax(s, -1), vs))
+        return jnp.concatenate(outs)
+
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, causal=True, qv=qv,
+                                 block_q=128, block_kv=128)
+    assert jnp.abs(out - oracle(q, k, v, qv)).max() < 1e-4
+
+    g = jax.grad(lambda *a: (flash_attn_varlen_func(
+        *a[:3], cu_q, cu_k, causal=True, qv=a[3], block_q=128, block_kv=128
+    ).astype(jnp.float32) ** 2).sum(), argnums=(0, 1, 2, 3))(q, k, v, qv)
+    go = jax.grad(lambda *a: (oracle(*a) ** 2).sum(),
+                  argnums=(0, 1, 2, 3))(q, k, v, qv)
+    for name, a, bb in zip(("dq", "dk", "dv", "dqv"), g, go):
+        assert jnp.abs(a - bb).max() < 1e-3, name

@@ -742,3 +742,53 @@ def sparse_attn_func(
     if layout == "bshd":
         out = out.transpose(0, 2, 1, 3)
     return (out, lse) if return_softmax_lse else out
+
+
+def compile_flash_attn_varlen_func_from_specs(
+    *,
+    total_q: int,
+    total_k: int,
+    nseq: int,
+    num_heads: int,
+    num_heads_kv: Optional[int] = None,
+    head_dim: int,
+    head_dim_v: Optional[int] = None,
+    has_qv: bool = False,
+    dtype=jnp.bfloat16,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+):
+    """Ahead-of-time compile the varlen attention for fixed static specs
+    (reference FA4 `compile_flash_attn_varlen_func_from_specs`,
+    cute/interface.py:3109). Returns an already-compiled callable
+    `(q, k, v, cu_seqlens_q, cu_seqlens_k[, qv]) -> out` — use at serving
+    startup to pay compilation before traffic arrives. XLA's persistent
+    cache (utils/jit_cache.enable_persistent_cache) makes it survive
+    restarts.
+    """
+    hk = num_heads_kv or num_heads
+    dv = head_dim_v or head_dim
+    s = jax.ShapeDtypeStruct
+
+    def fn(q, k, v, cu_q, cu_k, qv=None):
+        return flash_attn_varlen_func(
+            q, k, v, cu_q, cu_k,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap, qv=qv,
+            block_q=block_q, block_kv=block_kv,
+        )
+
+    args = [
+        s((total_q, num_heads, head_dim), dtype),
+        s((total_k, hk, head_dim), dtype),
+        s((total_k, hk, dv), dtype),
+        s((nseq + 1,), jnp.int32),
+        s((nseq + 1,), jnp.int32),
+    ]
+    if has_qv:
+        args.append(s((total_q, num_heads, dv), dtype))
+    return jax.jit(fn).lower(*args).compile()

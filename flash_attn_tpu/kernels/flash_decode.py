@@ -310,7 +310,10 @@ def flash_attention_decode(
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
         )
+        from flash_attn_tpu.utils.fa_logging import log_dispatch
 
+        log_dispatch("decode", route="multipage-dma", page=k_cache.shape[2],
+                     b=batch, h=num_heads)
         return flash_attention_decode_multipage(
             q, k_cache, v_cache, cache_seqlens, block_table,
             softmax_scale=softmax_scale, window_left=window_left,
@@ -495,6 +498,10 @@ def flash_attention_decode(
         out_dtype=out_dtype,
     )
 
+    from flash_attn_tpu.utils.fa_logging import log_dispatch
+
+    log_dispatch("decode", route="index-map", paged=paged, block_kv=block_kv,
+                 b=batch, hk=num_heads_kv, rows=rows, qv=has_qv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(batch, num_heads_kv, num_kv_blocks),

@@ -466,6 +466,12 @@ def flash_attention_fwd(
         block_sizes = choose_block_sizes(seqlen_q, seqlen_k, head_dim, dtype=q.dtype)
     block_q = min(block_sizes.block_q, round_up(seqlen_q, NUM_LANES))
     block_kv = min(block_sizes.block_kv, round_up(seqlen_k, NUM_LANES))
+    from flash_attn_tpu.utils.fa_logging import log_dispatch
+
+    log_dispatch(
+        "fwd", shape=q.shape, causal=causal, window=window, bq=block_q,
+        bkv=block_kv, qv=has_qv, dtype=q.dtype.name,
+    )
 
     # Quantized inputs produce bf16 outputs (reference FP8 fwd returns fp16).
     out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16

@@ -227,3 +227,29 @@ def test_varlen_dropout():
     ).astype(jnp.float32) * g.astype(jnp.float32)), argnums=(0, 1, 2))(q, k, v)
     assert abs(float(g1[2].astype(jnp.float32).mean())
                - float(g_nd[2].astype(jnp.float32).mean())) < 0.05
+
+
+def test_aot_compile_from_specs():
+    """AOT compile for fixed specs (FA4 compile_flash_attn_varlen_func_
+    from_specs, cute/interface.py:3109): compiled callable matches the
+    regular call."""
+    import numpy as np
+
+    from flash_attn_tpu import flash_attn_varlen_func
+    from flash_attn_tpu.flash_attn_interface import (
+        compile_flash_attn_varlen_func_from_specs,
+    )
+
+    c = compile_flash_attn_varlen_func_from_specs(
+        total_q=97, total_k=130, nseq=2, num_heads=2, head_dim=64,
+        causal=True, dtype=jnp.float32, block_q=128, block_kv=128)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(97, 2, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(130, 2, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(130, 2, 64), jnp.float32)
+    cu_q = jnp.asarray([0, 60, 97], jnp.int32)
+    cu_k = jnp.asarray([0, 80, 130], jnp.int32)
+    out = c(q, k, v, cu_q, cu_k)
+    ref = flash_attn_varlen_func(q, k, v, cu_q, cu_k, causal=True,
+                                 block_q=128, block_kv=128)
+    assert jnp.abs(out - ref).max() < 1e-6

@@ -604,6 +604,7 @@ def flash_attn_varlen_func(
     return_attn_probs: bool = False,
     *,
     qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
+    gather_kv_indices: Optional[jnp.ndarray] = None,  # (total_q, topk)
     seqused_k: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
@@ -620,6 +621,16 @@ def flash_attn_varlen_func(
     supported.
     """
     del max_seqlen_q, max_seqlen_k, deterministic
+    if gather_kv_indices is not None:
+        out = _topk_gather_attention_varlen(
+            q, k, v, qv, gather_kv_indices,
+            jnp.asarray(cu_seqlens_q, jnp.int32),
+            jnp.asarray(cu_seqlens_k, jnp.int32),
+            softmax_scale=softmax_scale, causal=causal, softcap=softcap,
+        )
+        if return_attn_probs:
+            return out, None, None
+        return out
     tensors = {
         "q": q, "k": k, "v": v,
         "cu_seqlens_q": jnp.asarray(cu_seqlens_q, jnp.int32),
@@ -698,6 +709,68 @@ def flash_attn_varlen_kvpacked_func(
         window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
         **kwargs,
     )
+
+
+def _topk_gather_attention_varlen(
+    q,   # (total_q, h, d) packed
+    k,   # (total_k, hk, d)
+    v,   # (total_k, hk, d_v)
+    qv,  # (total_q, h, d_v) or None
+    indices,  # (total_q, topk) int32, RELATIVE to each row's own sequence
+    cu_q, cu_k,
+    *,
+    softmax_scale=None,
+    causal=False,
+    softcap=0.0,
+):
+    """Varlen top-k gather attention (reference FA4 varlen
+    gather_kv_indices, cute/interface.py:3056). Indices are per-sequence
+    key positions; negative entries are masked."""
+    tq, h, d = q.shape
+    tk, hk, dv = v.shape
+    group = h // hk
+    if softmax_scale is None:
+        softmax_scale = (d + dv) ** -0.5 if qv is not None else d**-0.5
+    rows = jnp.arange(tq, dtype=jnp.int32)
+    nseq = cu_q.shape[0] - 1
+    qseg = jnp.clip(
+        jnp.searchsorted(cu_q, rows, side="right").astype(jnp.int32) - 1,
+        0, nseq - 1,
+    )
+    qpos = rows - cu_q[qseg]
+    klen = cu_k[qseg + 1] - cu_k[qseg]
+    qlen = cu_q[qseg + 1] - cu_q[qseg]
+    idx = jnp.asarray(indices, jnp.int32)  # (tq, t)
+    valid = jnp.logical_and(idx >= 0, idx < klen[:, None])
+    if causal:
+        # Bottom-right diagonal per sequence.
+        valid = jnp.logical_and(valid, idx <= (qpos + klen - qlen)[:, None])
+    abs_idx = jnp.clip(idx, 0, tk - 1) + cu_k[qseg][:, None]
+    safe = jnp.clip(abs_idx, 0, tk - 1)
+    kg = jnp.take(k, safe.reshape(-1), axis=0).reshape(
+        tq, -1, hk, d
+    )  # (tq, t, hk, d)
+    vg = jnp.take(v, safe.reshape(-1), axis=0).reshape(tq, -1, hk, dv)
+    qg = q.reshape(tq, hk, group, d)
+    s = jnp.einsum(
+        "qngd,qtnd->qngt", qg.astype(jnp.float32), kg.astype(jnp.float32)
+    )
+    if qv is not None:
+        qvg = qv.reshape(tq, hk, group, dv)
+        s = s + jnp.einsum(
+            "qnge,qtne->qngt", qvg.astype(jnp.float32),
+            vg.astype(jnp.float32),
+        )
+    if softcap > 0.0:
+        s = jnp.tanh(s * (softmax_scale / softcap)) * softcap
+    else:
+        s = s * softmax_scale
+    mask = valid[:, None, None, :]
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.any(mask, -1, keepdims=True), p, 0.0)
+    o = jnp.einsum("qngt,qtne->qnge", p, vg.astype(jnp.float32))
+    return o.reshape(tq, h, dv).astype(q.dtype)
 
 
 def sparse_attn_func(
@@ -792,3 +865,31 @@ def compile_flash_attn_varlen_func_from_specs(
     if has_qv:
         args.append(s((total_q, num_heads, dv), dtype))
     return jax.jit(fn).lower(*args).compile()
+
+
+def flash_attn_combine(
+    out_partial: jnp.ndarray,  # (nsplits, ..., h, d) fp32 partials
+    lse_partial: jnp.ndarray,  # (nsplits, ..., h)
+    out=None,
+    out_dtype=None,
+    return_lse: bool = True,
+):
+    """Public split-attention combine (reference FA4 `flash_attn_combine`,
+    cute/interface.py:3337; combine kernel hopper/flash_fwd_combine_kernel.h).
+
+    Accepts both batched (n, b, s, h, d) and varlen (n, total, h, d)
+    layouts — the merge is positionwise, so the layout is pass-through.
+    Partials must be normalized by their own softmax sum (the kernels'
+    convention), lse in natural log.
+    """
+    del out
+    from flash_attn_tpu.kernels.flash_decode import combine_partials
+
+    # combine_partials reduces over axis 0 with lse shaped like o minus the
+    # trailing feature dim; move heads next to lse's layout.
+    o, lse = combine_partials(
+        out_partial.astype(jnp.float32), lse_partial.astype(jnp.float32)
+    )
+    if out_dtype is not None:
+        o = o.astype(out_dtype)
+    return (o, lse) if return_lse else o

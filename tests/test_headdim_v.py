@@ -237,3 +237,77 @@ def test_qv_absorbed_varlen():
                   argnums=(0, 1, 2, 3))(q, k, v, qv)
     for name, a, bb in zip(("dq", "dk", "dv", "dqv"), g, go):
         assert jnp.abs(a - bb).max() < 1e-3, name
+
+
+def test_topk_gather_kv_varlen():
+    """Varlen gather_kv_indices (per-sequence-relative top-k) vs masked
+    dense varlen oracle, causal + masked padding slots."""
+    from flash_attn_tpu import flash_attn_varlen_func
+    import numpy as np
+
+    q_lens, k_lens = [20, 12], [30, 25]
+    tq, tk = sum(q_lens), sum(k_lens)
+    h, d, dv, t = 2, 32, 48, 8
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(tk, h, dv) * 0.3, jnp.float32)
+    qv = jnp.asarray(rng.randn(tq, h, dv) * 0.3, jnp.float32)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(k_lens)]), jnp.int32)
+    idx = np.full((tq, t), -1, np.int32)
+    row = 0
+    for i, (ql, kl) in enumerate(zip(q_lens, k_lens)):
+        for r in range(ql):
+            cand = rng.choice(kl, min(t, kl), replace=False)
+            idx[row, : len(cand)] = np.sort(cand)
+            row += 1
+    idx_j = jnp.asarray(idx)
+
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, causal=True, qv=qv,
+                                 gather_kv_indices=idx_j)
+    # Oracle: per-sequence dense with non-selected / acausal keys masked.
+    scale = (d + dv) ** -0.5
+    outs = []
+    row = 0
+    for i, (ql, kl) in enumerate(zip(q_lens, k_lens)):
+        qs = q[cu_q[i]:cu_q[i + 1]]
+        ks = k[cu_k[i]:cu_k[i + 1]]
+        vs = v[cu_k[i]:cu_k[i + 1]]
+        qvs = qv[cu_q[i]:cu_q[i + 1]]
+        s = (jnp.einsum("qhd,khd->hqk", qs, ks)
+             + jnp.einsum("qhe,khe->hqk", qvs, vs)) * scale
+        keep = np.zeros((ql, kl), bool)
+        for r in range(ql):
+            for j in idx[row + r]:
+                if 0 <= j < kl and j <= r + (kl - ql):
+                    keep[r, j] = True
+        s = jnp.where(jnp.asarray(keep)[None], s, -jnp.inf)
+        p = jax.nn.softmax(s, -1)
+        p = jnp.where(jnp.asarray(keep.any(-1))[None, :, None], p, 0.0)
+        outs.append(jnp.einsum("hqk,khe->qhe", p, vs))
+        row += ql
+    ref = jnp.concatenate(outs)
+    assert jnp.abs(out - ref).max() < 1e-4
+
+
+def test_flash_attn_combine_public():
+    """Public flash_attn_combine (FA4 cute/interface.py:3337) merges split
+    partials to the unsplit result."""
+    from flash_attn_tpu import flash_attn_func
+    from flash_attn_tpu.flash_attn_interface import flash_attn_combine
+
+    b, s, h, d = 1, 64, 2, 32
+    q, k, v = make(jax.random.PRNGKey(9), b, s, s, h, h, d, d,
+                   dtype=jnp.float32)
+    half = s // 2
+    o1, lse1, _ = flash_attn_func(q, k[:, :half], v[:, :half],
+                                  return_attn_probs=True)
+    o2, lse2, _ = flash_attn_func(q, k[:, half:], v[:, half:],
+                                  return_attn_probs=True)
+    # partials: (n, b, s, h, d); lse comes back (b, h, s) -> (n, b, s, h)
+    op = jnp.stack([o1.astype(jnp.float32), o2.astype(jnp.float32)])
+    lp = jnp.stack([lse1.transpose(0, 2, 1), lse2.transpose(0, 2, 1)])
+    o, lse = flash_attn_combine(op, lp)
+    ref = flash_attn_func(q, k, v)
+    assert jnp.abs(o - ref.astype(jnp.float32)).max() < 1e-4

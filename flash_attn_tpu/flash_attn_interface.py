@@ -795,26 +795,97 @@ def sparse_attn_func(
 ):
     """Vertical-and-slash sparse attention (reference
     vllm_flash_attn/flash_attn_interface.py:313 `sparse_attn_func`,
-    csrc/flash_attn/flash_api_sparse.cpp:166). Forward-only, like the
-    reference build. Metadata semantics per MInference (arXiv 2407.02490)
-    Appendix C.4.2 with BLOCK_M = BLOCK_N = 64."""
+    csrc/flash_attn/flash_api_sparse.cpp:166). The reference build is
+    forward-only; here the pass is differentiable (custom VJP over the
+    sparse backward kernels — the FA4 block-sparse bwd analog). Metadata
+    semantics per MInference (arXiv 2407.02490) Appendix C.4.2 with
+    BLOCK_M = BLOCK_N = 64."""
     del deterministic, return_attn_probs
     if dropout_p > 0.0:
         raise NotImplementedError("sparse attention does not support dropout")
-    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
 
     if layout == "bshd":
         q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     else:
         q_, k_, v_ = q, k, v
-    out, lse = flash_attention_sparse_fwd(
-        q_, k_, v_, block_count, block_offset, column_count, column_index,
-        alibi_slopes=alibi_slopes, softmax_scale=softmax_scale,
-        causal=causal, softcap=softcap, interpret=interpret,
+    tensors = {
+        "q": q_, "k": k_, "v": v_,
+        "block_count": jnp.asarray(block_count, jnp.int32),
+        "block_offset": jnp.asarray(block_offset, jnp.int32),
+        "column_count": jnp.asarray(column_count, jnp.int32),
+        "column_index": jnp.asarray(column_index, jnp.int32),
+    }
+    if alibi_slopes is not None:
+        tensors["alibi_slopes"] = jnp.asarray(alibi_slopes, jnp.float32)
+    config = _SparseConfig(
+        softmax_scale=None if softmax_scale is None else float(softmax_scale),
+        causal=bool(causal), softcap=float(softcap), interpret=interpret,
     )
+    out, lse = _sparse_attn_core(tensors, config)
     if layout == "bshd":
         out = out.transpose(0, 2, 1, 3)
     return (out, lse) if return_softmax_lse else out
+
+
+@dataclasses.dataclass(frozen=True)
+class _SparseConfig:
+    softmax_scale: Optional[float]
+    causal: bool
+    softcap: float
+    interpret: Optional[bool]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sparse_attn_core(tensors: dict, config: "_SparseConfig"):
+    return _sparse_fwd_impl(tensors, config)
+
+
+def _sparse_fwd_impl(tensors, config):
+    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
+
+    return flash_attention_sparse_fwd(
+        tensors["q"], tensors["k"], tensors["v"],
+        tensors["block_count"], tensors["block_offset"],
+        tensors["column_count"], tensors["column_index"],
+        alibi_slopes=tensors.get("alibi_slopes"),
+        softmax_scale=config.softmax_scale, causal=config.causal,
+        softcap=config.softcap, interpret=config.interpret,
+    )
+
+
+def _sparse_fwd_vjp(tensors, config):
+    out, lse = _sparse_fwd_impl(tensors, config)
+    return (out, lse), (tensors, out, lse)
+
+
+def _sparse_bwd_vjp(config, residuals, cotangents):
+    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_bwd
+
+    tensors, out, lse = residuals
+    do, _ = cotangents
+    if tensors.get("alibi_slopes") is not None:
+        raise NotImplementedError("sparse backward with alibi")
+    dq, dk, dv = flash_attention_sparse_bwd(
+        tensors["q"], tensors["k"], tensors["v"], out, lse, do,
+        tensors["block_count"], tensors["block_offset"],
+        tensors["column_count"], tensors["column_index"],
+        softmax_scale=config.softmax_scale, causal=config.causal,
+        softcap=config.softcap, interpret=config.interpret,
+    )
+    grads = {}
+    for name, val in tensors.items():
+        if name == "q":
+            grads[name] = dq
+        elif name == "k":
+            grads[name] = dk
+        elif name == "v":
+            grads[name] = dv
+        else:
+            grads[name] = _zero_cotangent(val)
+    return (grads,)
+
+
+_sparse_attn_core.defvjp(_sparse_fwd_vjp, _sparse_bwd_vjp)
 
 
 def compile_flash_attn_varlen_func_from_specs(

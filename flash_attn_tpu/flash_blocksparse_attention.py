@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
+from flash_attn_tpu.flash_attn_interface import sparse_attn_func
 
 
 def convert_blockmask(blockmask: jnp.ndarray, block_size: int = 64):
@@ -40,9 +40,11 @@ def flash_blocksparse_attn_func(
     interpret: Optional[bool] = None,
 ):
     """Fixed blockmask flash attention. The mask is shared across batch and
-    heads (the legacy Triton kernel's contract)."""
+    heads (the legacy Triton kernel's contract). Differentiable, like the
+    legacy FlashBlocksparseMHA used for training."""
     if dropout_p > 0.0:
         raise NotImplementedError("blocksparse dropout not implemented")
+    assert block_size == 64, "legacy blocksparse blockmask granularity is 64"
     b, sq, h, d = q.shape
     counts, offsets = convert_blockmask(blockmask, block_size)
     nqb = blockmask.shape[0]
@@ -51,12 +53,7 @@ def flash_blocksparse_attn_func(
     block_offset = jnp.broadcast_to(offsets[None, None], (b, h, nqb, nnz))
     column_count = jnp.zeros((b, h, nqb), jnp.int32)
     column_index = jnp.zeros((b, h, nqb, 1), jnp.int32)
-    out, lse = flash_attention_sparse_fwd(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-        block_count, block_offset, column_count, column_index,
-        softmax_scale=softmax_scale, causal=causal,
-        meta_block_m=block_size, meta_block_n=block_size,
-        interpret=interpret,
+    return sparse_attn_func(
+        q, k, v, block_count, block_offset, column_count, column_index,
+        softmax_scale=softmax_scale, causal=causal, interpret=interpret,
     )
-    return out.transpose(0, 2, 1, 3)

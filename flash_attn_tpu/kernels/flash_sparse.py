@@ -366,3 +366,371 @@ def flash_attention_sparse_fwd(
     out = out[:, :, :seqlen_q, :head_dim]
     lse = lse[:, :, :seqlen_q, 0]
     return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward (beyond the vLLM build's fwd-only sparse: FA4's block sparsity is
+# differentiable — flash_attn/cute/block_sparse_utils.py computes a
+# deterministic dq write order; here the two-kernel grid-sequential
+# structure is deterministic by construction, like the dense backward).
+# ---------------------------------------------------------------------------
+
+def _sparse_mask_tile(
+    bm_ref, row_id, s_shape, qi, ki, *,
+    block_q, block_kv, len_q, len_k, causal,
+):
+    """(bq, bkv) keep-mask for tile (qi, ki): bounds & causal & bitmap row."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0) + qi * block_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + ki * block_kv
+    mask = jnp.logical_and(cols < len_k, rows < len_q)
+    if causal:
+        mask = jnp.logical_and(mask, cols <= rows + (len_k - len_q))
+    bm_tile = bm_ref[...]  # (32, block_kv) int8
+    row_sel = jax.lax.broadcasted_iota(jnp.int32, bm_tile.shape, 0) \
+        == (row_id % 32)
+    bm = jnp.max(
+        jnp.where(row_sel, bm_tile, jnp.int8(0)).astype(jnp.int32), axis=0
+    )
+    return jnp.logical_and(mask, (bm > 0)[None, :])
+
+
+def _sparse_recompute(
+    q, k, v, do, lse2, delta, mask, *, scale, softcap,
+):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if softcap > 0.0:
+        t = jnp.tanh(s * (scale / softcap))
+        s2 = t * (softcap * LOG2E)
+    else:
+        t = None
+        s2 = s * (scale * LOG2E)
+    s2 = jnp.where(mask, s2, _MASK2)
+    p = jnp.exp2(s2 - lse2)
+    p = jnp.where(mask, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    if softcap > 0.0:
+        ds = ds * ((1.0 - t * t) * scale)
+    else:
+        ds = ds * scale
+    return p, ds
+
+
+def _sparse_dkv_kernel(
+    qtile_ref, qcount_ref,  # scalar prefetch: inverse lists
+    *refs,
+    block_q: int, block_kv: int, num_q_tiles: int, nqb: int,
+    scale: float, causal: bool, softcap: float,
+    seqlen_q: int, seqlen_k: int, has_lens: bool,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    bm_ref = refs[idx]; idx += 1
+    lens_ref = None
+    if has_lens:
+        lens_ref = refs[idx]; idx += 1
+    dk_ref = refs[idx]; idx += 1
+    dv_ref = refs[idx]; idx += 1
+    dk_scr = refs[idx]; idx += 1
+    dv_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    ki = pl.program_id(2)
+    ti = pl.program_id(3)
+
+    @pl.when(ti == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    qi = qtile_ref[b, h, ki, ti]
+
+    @pl.when(ti < qcount_ref[b, h, ki])
+    def _body():
+        if has_lens:
+            len_q, len_k = lens_ref[0, b], lens_ref[1, b]
+        else:
+            len_q, len_k = seqlen_q, seqlen_k
+        row_id = (b * pl.num_programs(1) + h) * nqb + qi
+        mask = _sparse_mask_tile(
+            bm_ref, row_id, (block_q, block_kv), qi, ki,
+            block_q=block_q, block_kv=block_kv,
+            len_q=len_q, len_k=len_k, causal=causal,
+        )
+        q = q_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        p, ds = _sparse_recompute(
+            q, k_ref[0, 0], v_ref[0, 0], do,
+            lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
+            scale=scale, softcap=softcap,
+        )
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ti == num_q_tiles - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...]
+        dv_ref[0, 0] = dv_scr[...]
+
+
+def _sparse_dq_kernel(
+    tile_ref, count_ref,  # scalar prefetch: forward tile lists
+    *refs,
+    block_q: int, block_kv: int, num_tiles: int, nqb: int,
+    scale: float, causal: bool, softcap: float,
+    seqlen_q: int, seqlen_k: int, has_lens: bool, out_dtype,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    bm_ref = refs[idx]; idx += 1
+    lens_ref = None
+    if has_lens:
+        lens_ref = refs[idx]; idx += 1
+    dq_ref = refs[idx]; idx += 1
+    dq_scr = refs[idx]; idx += 1
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ti = pl.program_id(3)
+
+    @pl.when(ti == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    ki = tile_ref[b, h, qi, ti]
+
+    @pl.when(ti < count_ref[b, h, qi])
+    def _body():
+        if has_lens:
+            len_q, len_k = lens_ref[0, b], lens_ref[1, b]
+        else:
+            len_q, len_k = seqlen_q, seqlen_k
+        row_id = (b * pl.num_programs(1) + h) * nqb + qi
+        mask = _sparse_mask_tile(
+            bm_ref, row_id, (block_q, block_kv), qi, ki,
+            block_q=block_q, block_kv=block_kv,
+            len_q=len_q, len_k=len_k, causal=causal,
+        )
+        k = k_ref[0, 0]
+        _, ds = _sparse_recompute(
+            q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0].astype(jnp.float32),
+            lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
+            scale=scale, softcap=softcap,
+        )
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ti == num_tiles - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...].astype(out_dtype)
+
+
+def flash_attention_sparse_bwd(
+    q, k, v,          # (b, h, s, d) kernel-native
+    out, lse, do,     # fwd residuals; lse (b, h, sq)
+    block_count, block_offset, column_count, column_index,
+    *,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    seqlens_q: Optional[jnp.ndarray] = None,
+    seqlens_k: Optional[jnp.ndarray] = None,
+    meta_block_m: int = 64,
+    meta_block_n: int = 64,
+    interpret: Optional[bool] = None,
+):
+    """Vertical-and-slash sparse backward: (dq, dk, dv). Deterministic
+    two-kernel structure; only attended tiles are visited (forward tile
+    lists for dQ, their inverse for dK/dV)."""
+    batch, num_heads, seqlen_q, head_dim = q.shape
+    _, num_heads_kv, seqlen_k, _ = k.shape
+    assert num_heads == num_heads_kv, "sparse bwd: GQA not supported yet"
+    if softmax_scale is None:
+        softmax_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = interpret_mode()
+    out_dtype = q.dtype
+
+    block_q = meta_block_m
+    block_kv = NUM_LANES
+    nqb = cdiv(seqlen_q, block_q)
+    nkb = cdiv(seqlen_k, block_kv)
+    d_pad = round_up(head_dim, NUM_LANES)
+
+    tile_list, tile_count, bitmap = _plan_sparse(
+        block_count, block_offset, column_count, column_index,
+        num_kv_blocks=nkb, block_kv=block_kv, meta_block_n=meta_block_n,
+    )
+    num_tiles = tile_list.shape[-1]
+
+    # Inverse lists: which q tiles attend each kv tile.
+    rows = batch * num_heads * nqb
+    active = bitmap[:rows].reshape(
+        batch, num_heads, nqb, nkb, block_kv
+    ).max(axis=4)  # (b, h, nqb, nkb) 0/1
+    act_t = jnp.swapaxes(active, 2, 3)  # (b, h, nkb, nqb)
+    order = jnp.argsort(-act_t.astype(jnp.int32), axis=3, stable=True)
+    qtile_list = order[..., :nqb].astype(jnp.int32)
+    qtile_count = act_t.astype(jnp.int32).sum(axis=3)
+    num_q_tiles = qtile_list.shape[-1]
+
+    qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
+    kp = pad_to_block(pad_to_block(k, 3, d_pad), 2, block_kv)
+    vp = pad_to_block(pad_to_block(v, 3, d_pad), 2, block_kv)
+    dop = pad_to_block(pad_to_block(do, 3, d_pad), 2, block_q)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    lsep = pad_to_block(lse, 2, block_q)[..., None]
+    deltap = pad_to_block(delta, 2, block_q)[..., None]
+
+    has_lens = seqlens_q is not None or seqlens_k is not None
+    lens = None
+    if has_lens:
+        lq = (jnp.asarray(seqlens_q, jnp.int32) if seqlens_q is not None
+              else jnp.full((batch,), seqlen_q, jnp.int32))
+        lk = (jnp.asarray(seqlens_k, jnp.int32) if seqlens_k is not None
+              else jnp.full((batch,), seqlen_k, jnp.int32))
+        lens = jnp.stack([lq, lk])
+
+    def mk_specs(q_index, kv_index, bm_index):
+        specs = [
+            pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((32, block_kv), bm_index),
+        ]
+        if has_lens:
+            specs.append(
+                pl.BlockSpec(lens.shape, lambda *a: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+        return specs
+
+    args = [qp, kp, vp, dop, lsep, deltap, bitmap] + ([lens] if has_lens else [])
+
+    # ---- dK/dV: grid (b, h, kv_tile, q_step) ----
+    def dkv_q(b, h, ki, ti, tref, cref):
+        t = jnp.minimum(ti, jnp.maximum(cref[b, h, ki] - 1, 0))
+        return (b, h, tref[b, h, ki, t], 0)
+
+    def dkv_q_lse(b, h, ki, ti, tref, cref):
+        bb, hh, qq, _ = dkv_q(b, h, ki, ti, tref, cref)
+        return (bb, hh, qq, 0)
+
+    dkv_specs = mk_specs(
+        q_index=dkv_q,
+        kv_index=lambda b, h, ki, ti, tref, cref: (b, h, ki, 0),
+        bm_index=lambda b, h, ki, ti, tref, cref: (
+            ((b * num_heads + h) * nqb + dkv_q(b, h, ki, ti, tref, cref)[2])
+            // 32,
+            ki,
+        ),
+    )
+    dkv_kernel = functools.partial(
+        _sparse_dkv_kernel,
+        block_q=block_q, block_kv=block_kv, num_q_tiles=num_q_tiles, nqb=nqb,
+        scale=float(softmax_scale), causal=causal, softcap=float(softcap),
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, nkb, num_q_tiles),
+            in_specs=dkv_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, d_pad),
+                             lambda b, h, ki, ti, tr, cr: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_kv, d_pad),
+                             lambda b, h, ki, ti, tr, cr: (b, h, ki, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, d_pad), jnp.float32),
+                pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, nkb * block_kv, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, nkb * block_kv, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qtile_list, qtile_count, *args)
+    dk = dk[:, :, :seqlen_k, :head_dim].astype(out_dtype)
+    dv = dv[:, :, :seqlen_k, :head_dim].astype(out_dtype)
+
+    # ---- dQ: grid (b, h, q_tile, kv_step) — forward tile lists ----
+    def dq_kv(b, h, qi, ti, tref, cref):
+        t = jnp.minimum(ti, jnp.maximum(cref[b, h, qi] - 1, 0))
+        return (b, h, tref[b, h, qi, t], 0)
+
+    dq_specs = mk_specs(
+        q_index=lambda b, h, qi, ti, tref, cref: (b, h, qi, 0),
+        kv_index=dq_kv,
+        bm_index=lambda b, h, qi, ti, tref, cref: (
+            ((b * num_heads + h) * nqb + qi) // 32,
+            dq_kv(b, h, qi, ti, tref, cref)[2],
+        ),
+    )
+    dq_kernel = functools.partial(
+        _sparse_dq_kernel,
+        block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb,
+        scale=float(softmax_scale), causal=causal, softcap=float(softcap),
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
+        out_dtype=out_dtype,
+    )
+    (dq,) = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, nqb, num_tiles),
+            in_specs=dq_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d_pad),
+                             lambda b, h, qi, ti, tr, cr: (b, h, qi, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, nqb * block_q, d_pad), out_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_list, tile_count, *args)
+    dq = dq[:, :, :seqlen_q, :head_dim]
+    return dq, dk, dv

@@ -25,18 +25,27 @@ def initialize(
 ):
     """Initialize the jax.distributed runtime. With no args, TPU pod metadata
     is auto-discovered (GCE metadata / megascale env); on single host it is
-    a no-op. Safe to call twice."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    a no-op. Safe to call twice.
+
+    Must run BEFORE any backend-initializing jax call (jax.devices(),
+    jax.process_count(), array creation...) — probing those first would
+    initialize a single-process backend and make this a silent no-op.
+    """
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if coordinator_address is not None:
+            raise  # an explicit multi-process setup failing is an error
+    except ValueError:
+        if coordinator_address is not None:
+            raise
         # Single-host (no coordinator discoverable): run standalone.
-        pass
 
 
 def global_mesh(data: int = 1, model: int = 1, context: int = 1):

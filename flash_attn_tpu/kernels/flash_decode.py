@@ -304,8 +304,6 @@ def flash_attention_decode(
         and k_scale is None and v_scale is None
         and sink_token_length == 0
         and k_cache.dtype.itemsize >= 2
-        and k_cache.shape[3] == v_cache.shape[3]
-        and qv is None
     ):
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
@@ -315,7 +313,7 @@ def flash_attention_decode(
         log_dispatch("decode", route="multipage-dma", page=k_cache.shape[2],
                      b=batch, h=num_heads)
         return flash_attention_decode_multipage(
-            q, k_cache, v_cache, cache_seqlens, block_table,
+            q, k_cache, v_cache, cache_seqlens, block_table, qv=qv,
             softmax_scale=softmax_scale, window_left=window_left,
             softcap=softcap, interpret=interpret,
         )

@@ -40,18 +40,28 @@ _MASK2 = DEFAULT_MASK_VALUE
 
 def _mp_decode_kernel(
     seq_ref, table_ref,     # scalar prefetch: (b,), (b, max_pages)
-    q_ref,                  # (1, 1, rows, d) VMEM
-    k_hbm, v_hbm,           # (npages, hk, page, d) in HBM/ANY
-    o_ref, lse_ref,         # outputs
-    kbuf, vbuf,             # (2, sup, d) VMEM scratch
-    ksem, vsem,             # (2, pages_per_sup) DMA semaphores
-    m_scr, l_scr, acc_scr,
-    *,
+    *refs,
     sq: int, group: int, rows: int,
     page: int, pages_per_sup: int, max_pages: int,
     scale: float, window_left: int, softcap: float,
-    out_dtype,
+    has_qv: bool, out_dtype,
 ):
+    idx = 0
+    q_ref = refs[idx]; idx += 1          # (1, 1, rows, d) VMEM
+    qv_ref = None
+    if has_qv:
+        qv_ref = refs[idx]; idx += 1     # (1, 1, rows, d_v) VMEM
+    k_hbm = refs[idx]; idx += 1          # (npages, hk, page, d) HBM/ANY
+    v_hbm = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    lse_ref = refs[idx]; idx += 1
+    kbuf = refs[idx]; idx += 1           # (2, sup, d) VMEM scratch
+    vbuf = refs[idx]; idx += 1           # (2, sup, d_v)
+    ksem = refs[idx]; idx += 1
+    vsem = refs[idx]; idx += 1
+    m_scr = refs[idx]; idx += 1
+    l_scr = refs[idx]; idx += 1
+    acc_scr = refs[idx]; idx += 1
     b = pl.program_id(0)
     hk = pl.program_id(1)
     seqused = seq_ref[b]
@@ -108,10 +118,16 @@ def _mp_decode_kernel(
 
         wait(sup_idx, slot)
         k = kbuf[slot]  # (sup, d)
-        v = vbuf[slot]
+        v = vbuf[slot]  # (sup, d_v)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (rows, sup)
+        if has_qv:
+            # MLA absorbed decode: S += Qv V^T with the latent V reused below.
+            s = s + jax.lax.dot_general(
+                qv_ref[0, 0], v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if softcap > 0.0:
             s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
         else:
@@ -163,6 +179,7 @@ def flash_attention_decode_multipage(
     cache_seqlens: jnp.ndarray,  # (b,) total lengths
     block_table: jnp.ndarray,    # (b, max_pages) int32
     *,
+    qv: Optional[jnp.ndarray] = None,  # (b, sq, h, d_v) MLA absorbed
     softmax_scale: Optional[float] = None,
     window_left: int = -1,
     softcap: float = 0.0,
@@ -173,8 +190,12 @@ def flash_attention_decode_multipage(
     batch, sq, num_heads, head_dim = q.shape
     npages, num_heads_kv, page, _ = k_pages.shape
     group = num_heads // num_heads_kv
+    has_qv = qv is not None
     if softmax_scale is None:
-        softmax_scale = head_dim**-0.5
+        softmax_scale = (
+            (head_dim + v_pages.shape[3]) ** -0.5 if has_qv
+            else head_dim**-0.5
+        )
     if interpret is None:
         interpret = interpret_mode()
     out_dtype = q.dtype
@@ -190,44 +211,61 @@ def flash_attention_decode_multipage(
         max_pages += pad
 
     d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v_pages.shape[3]  # may differ (MLA absorbed decode)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
     k_pages = pad_to_block(k_pages, 3, d_pad)
-    v_pages = pad_to_block(v_pages, 3, d_pad)
+    v_pages = pad_to_block(v_pages, 3, dv_pad)
 
-    qr = q.reshape(batch, sq, num_heads_kv, group, head_dim)
-    qr = qr.transpose(0, 2, 1, 3, 4).reshape(
-        batch, num_heads_kv, sq * group, head_dim
-    )
-    rows = round_up(sq * group, 16 if qr.dtype.itemsize == 2 else 8)
-    qr = pad_to_block(pad_to_block(qr, 3, d_pad), 2, rows)
+    def fold(x, dim, pad):
+        xr = x.reshape(batch, sq, num_heads_kv, group, dim)
+        xr = xr.transpose(0, 2, 1, 3, 4).reshape(
+            batch, num_heads_kv, sq * group, dim
+        )
+        return pad_to_block(pad_to_block(xr, 3, pad), 2, rows)
+
+    rows = round_up(sq * group, 16 if q.dtype.itemsize == 2 else 8)
+    qr = fold(q, head_dim, d_pad)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rows, d_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
+    ]
+    args = [qr]
+    if has_qv:
+        in_specs.append(
+            pl.BlockSpec((1, 1, rows, dv_pad),
+                         lambda b, hk, s, t: (b, hk, 0, 0))
+        )
+        args.append(fold(qv, head_dim_v, dv_pad))
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args += [k_pages, v_pages]
 
     kernel = functools.partial(
         _mp_decode_kernel,
         sq=sq, group=group, rows=rows,
         page=page, pages_per_sup=pages_per_sup, max_pages=max_pages,
         scale=float(softmax_scale), window_left=int(window_left),
-        softcap=float(softcap), out_dtype=out_dtype,
+        softcap=float(softcap), has_qv=has_qv, out_dtype=out_dtype,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, num_heads_kv),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows, d_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, rows, d_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
+            pl.BlockSpec((1, 1, rows, dv_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
             pl.BlockSpec((1, 1, rows, 1), lambda b, hk, s, t: (b, hk, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, sup, d_pad), k_pages.dtype),
-            pltpu.VMEM((2, sup, d_pad), v_pages.dtype),
+            pltpu.VMEM((2, sup, dv_pad), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, pages_per_sup)),
             pltpu.SemaphoreType.DMA((2, pages_per_sup)),
             pltpu.VMEM((rows, NUM_LANES), jnp.float32),
             pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, d_pad), jnp.float32),
+            pltpu.VMEM((rows, dv_pad), jnp.float32),
         ],
     )
 
@@ -235,7 +273,7 @@ def flash_attention_decode_multipage(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, dv_pad), out_dtype),
             jax.ShapeDtypeStruct((batch, num_heads_kv, rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -243,11 +281,12 @@ def flash_attention_decode_multipage(
         ),
         interpret=interpret,
     )(jnp.asarray(cache_seqlens, jnp.int32),
-      jnp.asarray(block_table, jnp.int32), qr, k_pages, v_pages)
+      jnp.asarray(block_table, jnp.int32), *args)
 
-    out = out[:, :, : sq * group, :head_dim]
-    out = out.reshape(batch, num_heads_kv, sq, group, head_dim)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(batch, sq, num_heads, head_dim)
+    out = out[:, :, : sq * group, :head_dim_v]
+    out = out.reshape(batch, num_heads_kv, sq, group, head_dim_v)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(
+        batch, sq, num_heads, head_dim_v)
     lse = lse[:, :, : sq * group, 0].reshape(batch, num_heads_kv, sq, group)
     lse = lse.transpose(0, 1, 3, 2).reshape(batch, num_heads, sq)
     return out, lse

@@ -371,3 +371,31 @@ def test_mla_module_end_to_end():
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(t).all()) for t in flat)
     assert any(float(jnp.abs(t).max()) > 0 for t in flat)
+
+
+def test_qv_absorbed_decode_small_pages():
+    """MLA absorbed decode routes to the multipage DMA-pipeline kernel at
+    small page sizes (qv + unequal d_v in the gather pipeline)."""
+    import numpy as np
+
+    from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+
+    b, sq, h, d, dv, page, npg = 2, 1, 4, 64, 128, 64, 10
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    qv = jnp.asarray(rng.randn(b, sq, h, dv) * 0.3, jnp.float32)
+    k_pages = jnp.asarray(rng.randn(b * npg, 1, page, d), jnp.float32)
+    v_pages = jnp.asarray(rng.randn(b * npg, 1, page, dv) * 0.3, jnp.float32)
+    table = jnp.arange(b * npg, dtype=jnp.int32).reshape(b, npg)
+    lens = jnp.asarray([500, 640], jnp.int32)
+    out, _ = flash_attention_decode(q, k_pages, v_pages, lens, qv=qv,
+                                    block_table=table)
+    scale = (d + dv) ** -0.5
+    for bi in range(b):
+        L = int(lens[bi])
+        kc = k_pages.reshape(b, npg * page, d)[bi, :L]
+        vc = v_pages.reshape(b, npg * page, dv)[bi, :L]
+        s = (jnp.einsum("shd,kd->hsk", q[bi], kc)
+             + jnp.einsum("she,ke->hsk", qv[bi], vc)) * scale
+        ref = jnp.einsum("hsk,ke->she", jax.nn.softmax(s, -1), vc)
+        assert jnp.abs(out[bi] - ref).max() < 1e-4

@@ -790,6 +790,8 @@ def sparse_attn_func(
     return_attn_probs: bool = False,
     *,
     return_softmax_lse: bool = False,
+    seqlens_q: Optional[jnp.ndarray] = None,  # (b,) varlen per-entry lens
+    seqlens_k: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     interpret: Optional[bool] = None,
 ):
@@ -817,6 +819,10 @@ def sparse_attn_func(
     }
     if alibi_slopes is not None:
         tensors["alibi_slopes"] = jnp.asarray(alibi_slopes, jnp.float32)
+    if seqlens_q is not None:
+        tensors["seqlens_q"] = jnp.asarray(seqlens_q, jnp.int32)
+    if seqlens_k is not None:
+        tensors["seqlens_k"] = jnp.asarray(seqlens_k, jnp.int32)
     config = _SparseConfig(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal), softcap=float(softcap), interpret=interpret,
@@ -850,6 +856,8 @@ def _sparse_fwd_impl(tensors, config):
         alibi_slopes=tensors.get("alibi_slopes"),
         softmax_scale=config.softmax_scale, causal=config.causal,
         softcap=config.softcap, interpret=config.interpret,
+        seqlens_q=tensors.get("seqlens_q"),
+        seqlens_k=tensors.get("seqlens_k"),
     )
 
 
@@ -871,6 +879,8 @@ def _sparse_bwd_vjp(config, residuals, cotangents):
         tensors["column_count"], tensors["column_index"],
         softmax_scale=config.softmax_scale, causal=config.causal,
         softcap=config.softcap, interpret=config.interpret,
+        seqlens_q=tensors.get("seqlens_q"),
+        seqlens_k=tensors.get("seqlens_k"),
     )
     grads = {}
     for name, val in tensors.items():

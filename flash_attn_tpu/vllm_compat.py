@@ -229,10 +229,10 @@ def sparse_attn_varlen_func(
     batch is unpacked to a left-aligned padded layout, the dense sparse
     kernel runs per batch entry with per-sequence length metadata (causal
     uses each sequence's own bottom-right diagonal), and outputs are
-    repacked.
+    repacked. Differentiable end-to-end: unpack/repack are jnp gathers and
+    the sparse core carries a custom VJP (the reference is fwd-only).
     """
     del dropout_p, deterministic, return_attn_probs, out
-    from flash_attn_tpu.kernels.flash_sparse import flash_attention_sparse_fwd
 
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
@@ -257,14 +257,14 @@ def sparse_attn_varlen_func(
     kp, _, _ = unpack(k, cu_k, sk, total_k)
     vp, _, _ = unpack(v, cu_k, sk, total_k)
 
-    out_p, lse_p = flash_attention_sparse_fwd(
-        qp.transpose(0, 2, 1, 3), kp.transpose(0, 2, 1, 3),
-        vp.transpose(0, 2, 1, 3),
+    out_p, lse_p = sparse_attn_func(
+        qp, kp, vp,
         block_count, block_offset, column_count, column_index,
         alibi_slopes=alibi_slopes, softmax_scale=softmax_scale,
-        causal=causal, softcap=softcap,
+        causal=causal, softcap=softcap, return_softmax_lse=True,
         seqlens_q=cu_q[1:] - cu_q[:-1], seqlens_k=cu_k[1:] - cu_k[:-1],
     )
+    out_p = out_p.transpose(0, 2, 1, 3)  # back to (b, h, sq, d)
     # Repack (b, h, sq, d) -> (total_q, h, d); (b, h, sq) -> (h, total_q).
     flat_out = out_p.transpose(0, 2, 1, 3).reshape(nseq * sq, h, d)
     flat_lse = lse_p.transpose(0, 2, 1).reshape(nseq * sq, h)

@@ -234,3 +234,57 @@ def test_varlen_cp_round_robin():
     )
     assert np.abs(np.asarray(o) - np.asarray(full, np.float32)).max() < 2e-2
     assert np.abs(np.asarray(lse).T - np.asarray(lse_full)).max() < 1e-3
+
+
+def test_sparse_attn_varlen_backward():
+    """Varlen sparse attention is differentiable end-to-end (the reference
+    sparse path is fwd-only): grads through unpack -> sparse VJP -> repack
+    match a per-sequence masked oracle."""
+    from flash_attn_tpu.vllm_compat import sparse_attn_varlen_func
+
+    seq_lens = [(40, 70), (30, 64)]
+    h, d = 2, 64
+    q_lens = [a for a, _ in seq_lens]
+    k_lens = [b for _, b in seq_lens]
+    nseq, tq, tk = 2, sum(q_lens), sum(k_lens)
+    sq, sk = max(q_lens), max(k_lens)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(tk, h, d) * 0.3, jnp.float32)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(k_lens)]), jnp.int32)
+    nqb = (sq + 63) // 64
+    bc = jnp.ones((nseq, h, nqb), jnp.int32)
+    bo = jnp.zeros((nseq, h, nqb, 1), jnp.int32)
+    cc = jnp.asarray(np.broadcast_to(
+        (np.array(k_lens) - 64)[:, None, None], (nseq, h, nqb)).copy(),
+        jnp.int32)
+    nnz_v = sk - 64
+    ci = jnp.broadcast_to(64 + jnp.arange(max(nnz_v, 1), dtype=jnp.int32),
+                          (nseq, h, nqb, max(nnz_v, 1)))
+
+    def loss(q, k, v):
+        o = sparse_attn_varlen_func(q, k, v, bc, bo, cc, ci, cu_q, cu_k,
+                                    sq, sk, causal=True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def oloss(q, k, v):
+        tot = 0.0
+        for i in range(nseq):
+            qs = q[cu_q[i]:cu_q[i + 1]]
+            ks = k[cu_k[i]:cu_k[i + 1]]
+            vs = v[cu_k[i]:cu_k[i + 1]]
+            s = jnp.einsum("qhd,khd->hqk", qs, ks) * (d ** -0.5)
+            ski, sqi = ks.shape[0], qs.shape[0]
+            rows = jnp.arange(sqi)[:, None]
+            cols = jnp.arange(ski)[None, :]
+            s = jnp.where(cols <= rows + (ski - sqi), s, -jnp.inf)
+            p = jax.nn.softmax(s, -1)
+            tot = tot + (jnp.einsum("hqk,khd->qhd", p, vs) ** 2).sum()
+        return tot
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(oloss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip(("dq", "dk", "dv"), g, go):
+        assert jnp.abs(a - bb).max() < 1e-3, name

@@ -8,6 +8,8 @@ flash_attn/__init__.py:8-16).
 __version__ = "0.1.0"
 
 from flash_attn_tpu.flash_attn_interface import (
+    compile_flash_attn_varlen_func_from_specs,
+    flash_attn_combine,
     flash_attn_func,
     flash_attn_kvpacked_func,
     flash_attn_qkvpacked_func,
@@ -19,6 +21,8 @@ from flash_attn_tpu.flash_attn_interface import (
 )
 
 __all__ = [
+    "compile_flash_attn_varlen_func_from_specs",
+    "flash_attn_combine",
     "flash_attn_func",
     "flash_attn_kvpacked_func",
     "flash_attn_qkvpacked_func",

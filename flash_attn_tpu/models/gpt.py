@@ -64,6 +64,14 @@ class GPTConfig:
     position_offset: int = 0
     # Multiplier on the embedding output (Gemma scales by sqrt(n_embd)).
     embed_scale: Optional[float] = None
+    # Attention mixer family: "mha" (default) or "mla" (DeepSeek-style
+    # latent attention, modules/mla.py on the absorbed-qv kernels).
+    attn_type: str = "mha"
+    kv_lora_rank: int = 512
+    q_lora_rank: Optional[int] = None
+    qk_nope_head_dim: Optional[int] = None  # default: head_dim
+    qk_rope_head_dim: int = 64
+    v_head_dim: Optional[int] = None        # default: head_dim
     dtype: Any = jnp.bfloat16
 
     @property
@@ -78,6 +86,23 @@ def _mixer_factory(config: GPTConfig, layer_idx: int):
         if config.head_dim is not None
         else config.n_embd // config.n_head
     )
+    if config.attn_type == "mla":
+        from flash_attn_tpu.modules.mla import MLA
+
+        return functools.partial(
+            MLA,
+            embed_dim=config.n_embd,
+            num_heads=config.n_head,
+            kv_lora_rank=config.kv_lora_rank,
+            q_lora_rank=config.q_lora_rank,
+            qk_nope_head_dim=config.qk_nope_head_dim or head_dim,
+            qk_rope_head_dim=config.qk_rope_head_dim,
+            v_head_dim=config.v_head_dim or head_dim,
+            rotary_emb_base=config.rotary_emb_base,
+            causal=True,
+            dtype=config.dtype,
+            layer_idx=layer_idx,
+        )
     rotary_dim = int(config.rotary_emb_fraction * head_dim)
     return functools.partial(
         MHA,
@@ -260,10 +285,28 @@ class GPTLMHeadModel(nn.Module):
         c = self.config
         hk = c.n_head_kv if c.n_head_kv is not None else c.n_head
         d = c.head_dim if c.head_dim is not None else c.n_embd // c.n_head
-        caches = {
-            i: allocate_kv_cache(batch_size, max_seqlen, hk, d, dtype or c.dtype)
-            for i in range(c.n_layer)
-        }
+        if c.attn_type == "mla":
+            # Latent cache: (rope, latent) with ONE kv head — the MLA
+            # memory win (kv_lora_rank + qk_rope_head_dim per token).
+            dt = dtype or c.dtype
+            caches = {
+                i: (
+                    jnp.zeros(
+                        (batch_size, 1, max_seqlen, c.qk_rope_head_dim), dt
+                    ),
+                    jnp.zeros(
+                        (batch_size, 1, max_seqlen, c.kv_lora_rank), dt
+                    ),
+                )
+                for i in range(c.n_layer)
+            }
+        else:
+            caches = {
+                i: allocate_kv_cache(
+                    batch_size, max_seqlen, hk, d, dtype or c.dtype
+                )
+                for i in range(c.n_layer)
+            }
         return InferenceParams(
             max_seqlen=max_seqlen,
             max_batch_size=batch_size,

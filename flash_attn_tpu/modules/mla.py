@@ -106,7 +106,10 @@ class MLA(nn.Module):
         self,
         x: jnp.ndarray,  # (b, s, embed_dim)
         inference_params: Optional[InferenceParams] = None,
+        *,
+        deterministic: bool = True,  # accepted for Block parity (no dropout)
     ):
+        del deterministic
         b, s, _ = x.shape
         h, dc, dv = self.num_heads, self.kv_lora_rank, self.v_head_dim
 

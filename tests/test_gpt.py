@@ -198,3 +198,36 @@ def test_mha_dwconv_decode_state():
         assert jnp.allclose(out_t, full[:, t : t + 1], atol=1e-4), (
             t, jnp.abs(out_t - full[:, t : t + 1]).max()
         )
+
+
+def test_mla_gpt_train_and_generate():
+    """GPT with attn_type="mla" (DeepSeek-style latent attention): training
+    grads flow and greedy generation from the latent cache is
+    self-consistent (each generated token equals the full-forward argmax at
+    its position)."""
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=61, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        attn_type="mla", kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        rms_norm=True, activation_function="swiglu",
+        qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+        mlp_fc2_bias=False, tie_word_embeddings=True, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 61)
+    params = model.init(jax.random.PRNGKey(1), prompt)
+
+    g = jax.grad(
+        lambda p: (model.apply(p, prompt).astype(jnp.float32) ** 2).mean()
+    )(params)
+    assert all(bool(jnp.isfinite(t).all())
+               for t in jax.tree_util.tree_leaves(g))
+
+    seqs = model.generate(params, prompt, 12)
+    assert seqs.shape == (2, 12)
+    logits_full = model.apply(params, seqs)
+    for b in range(2):
+        for t in range(5, 11):
+            assert int(jnp.argmax(logits_full[b, t])) == int(seqs[b, t + 1])

@@ -43,6 +43,16 @@ _RULES = [
     (r"word_embeddings.*embedding$", P("model", None)),
     (r"position_embeddings.*embedding$", P()),
     (r"lm_head.*kernel$", P(None, "model")),
+    # MLA (modules/mla.py): q up-projections are head-column-parallel; the
+    # per-head absorbed tensors shard on their head axis; the latent
+    # down-projection W_dkv produces the SHARED single-kv-head latent and
+    # stays replicated (every rank attends the full latent cache).
+    (r"W_q/kernel$", P(None, "model")),
+    (r"W_uq/kernel$", P(None, "model")),
+    (r"W_dq/kernel$", P()),
+    (r"W_dkv/kernel$", P()),
+    (r"W_uk$", P("model", None, None)),
+    (r"W_uv$", P("model", None, None)),
 ]
 
 

@@ -286,3 +286,29 @@ def test_tp_generation_matches_single_device():
         sharded = shard_params(params, mesh)
         seqs = model.generate(sharded, prompt, 14)
     assert jnp.array_equal(seqs, golden)
+
+
+def test_mla_tp_generation_matches_single_device():
+    """TP-sharded MLA GPT generation (head-sharded W_uk/W_uv, replicated
+    latent cache) must equal the single-device run."""
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from flash_attn_tpu.parallel.sharding import shard_params
+
+    cfg = GPTConfig(
+        vocab_size=64, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        attn_type="mla", kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, rms_norm=True,
+        activation_function="swiglu", qkv_proj_bias=False,
+        out_proj_bias=False, mlp_fc1_bias=False, mlp_fc2_bias=False,
+        tie_word_embeddings=True, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 0, 64)
+    params = model.init(jax.random.PRNGKey(6), prompt)
+    golden = model.generate(params, prompt, 14)
+
+    mesh = make_mesh(model=4)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        out = model.generate(sharded, prompt, 14)
+    assert jnp.array_equal(out, golden), (out, golden)

@@ -131,13 +131,27 @@ class MLA(nn.Module):
             q_rope, qv, k_rope, c = self._project(
                 x, offsets, inference_params.max_seqlen
             )
-            # Append to the latent cache ((b, 1, smax, d) native layout).
-            kr_cache, c_cache = update_kv_cache(
-                kr_cache, c_cache, k_rope, c, offsets
-            )
+            # Append to the latent cache: contiguous (b, 1, smax, d) or
+            # paged pools (npages, 1, page, d) under a block table — the
+            # serving-engine path; small pages route the multipage
+            # DMA-pipeline kernel with absorbed qv.
+            table = inference_params.block_table
+            if table is not None:
+                from flash_attn_tpu.runtime.kv_cache import (
+                    update_paged_kv_cache,
+                )
+
+                kr_cache, c_cache = update_paged_kv_cache(
+                    kr_cache, c_cache, k_rope, c, offsets, table
+                )
+            else:
+                kr_cache, c_cache = update_kv_cache(
+                    kr_cache, c_cache, k_rope, c, offsets
+                )
             inference_params.key_value_memory_dict[layer] = (kr_cache, c_cache)
             o_lat, _ = flash_attention_decode(
                 q_rope, kr_cache, c_cache, offsets + s, qv=qv,
+                block_table=table,
                 softmax_scale=self._scale, causal=True,
             )  # (b, s, h, dc)
 

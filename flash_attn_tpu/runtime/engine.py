@@ -78,12 +78,28 @@ class LLMEngine:
         # One extra "trash" page absorbs writes from padded chunk tails and
         # padded decode slots (block-table entries of -1 are redirected to it).
         self._trash_page = config.num_pages
-        self.caches = {
-            i: allocate_paged_kv_cache(
-                config.num_pages + 1, config.page_size, hk, d, c.dtype
-            )
-            for i in range(c.n_layer)
-        }
+        if getattr(c, "attn_type", "mha") == "mla":
+            # Latent page pools: rope-key pool + latent pool, ONE kv head.
+            self.caches = {
+                i: (
+                    allocate_paged_kv_cache(
+                        config.num_pages + 1, config.page_size, 1,
+                        c.qk_rope_head_dim, c.dtype,
+                    )[0],
+                    allocate_paged_kv_cache(
+                        config.num_pages + 1, config.page_size, 1,
+                        c.kv_lora_rank, c.dtype,
+                    )[0],
+                )
+                for i in range(c.n_layer)
+            }
+        else:
+            self.caches = {
+                i: allocate_paged_kv_cache(
+                    config.num_pages + 1, config.page_size, hk, d, c.dtype
+                )
+                for i in range(c.n_layer)
+            }
         self.sched = make_scheduler(
             config.num_pages, config.page_size, config.max_batch_size,
             config.max_pages_per_seq, config.prefill_chunk,

@@ -72,8 +72,9 @@ def update_paged_kv_cache(
     )  # (b, snew)
     slot = pos % page_size
 
-    kn = k_new.transpose(0, 1, 2, 3).reshape(b * snew, hk, d)
-    vn = v_new.reshape(b * snew, hk, d)
+    kn = k_new.reshape(b * snew, hk, d)
+    # v may have a different head dim (MLA latent pools).
+    vn = v_new.reshape(b * snew, hk, v_new.shape[3])
     pi = page_idx.reshape(-1)
     si = slot.reshape(-1)
     k_pages = k_pages.at[pi, :, si, :].set(kn)

@@ -126,3 +126,34 @@ def test_engine_matches_generate(model_and_params, native):
         )
         ref_tokens = np.asarray(ref)[0, len(p):].tolist()
         assert tokens == ref_tokens, (tokens, ref_tokens)
+
+
+def test_engine_mla_model():
+    """DeepSeek-style MLA model through the paged continuous-batching
+    engine (latent page pools, absorbed-qv decode): tokens equal the
+    model's own generate()."""
+    import numpy as np
+
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
+
+    cfg = GPTConfig(
+        vocab_size=61, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        attn_type="mla", kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        rms_norm=True, activation_function="swiglu",
+        qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+        mlp_fc2_bias=False, tie_word_embeddings=True, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 61, 9).tolist(), rng.randint(0, 61, 5).tolist()]
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+
+    engine = LLMEngine(model, params, EngineConfig(
+        max_batch_size=4, page_size=16, num_pages=64, max_pages_per_seq=8,
+        prefill_chunk=16, max_seqlen=128))
+    outs = engine.generate(prompts, 8)
+    for i, p in enumerate(prompts):
+        ref = model.generate(params, jnp.asarray([p], jnp.int32), len(p) + 8)
+        assert outs[i] == [int(t) for t in ref[0, len(p):]], i

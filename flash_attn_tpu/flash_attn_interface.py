@@ -192,13 +192,14 @@ def _topk_gather_attention(
     vg = jnp.take_along_axis(v[:, None], safe[..., None, None], axis=2)
     qg = q.reshape(b, sq, hk, group, d)
     s = jnp.einsum(
-        "bsngd,bstnd->bsngt", qg.astype(jnp.float32), kg.astype(jnp.float32)
+        "bsngd,bstnd->bsngt", qg.astype(jnp.float32), kg.astype(jnp.float32),
+        precision="highest",
     )
     if qv is not None:
         qvg = qv.reshape(b, sq, hk, group, dv)
         s = s + jnp.einsum(
             "bsnge,bstne->bsngt", qvg.astype(jnp.float32),
-            vg.astype(jnp.float32),
+            vg.astype(jnp.float32), precision="highest",
         )
     if softcap > 0.0:
         s = jnp.tanh(s * (softmax_scale / softcap)) * softcap
@@ -211,7 +212,7 @@ def _topk_gather_attention(
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(jnp.any(mask, -1, keepdims=True), p, 0.0)
-    out = jnp.einsum("bsngt,bstne->bsnge", p, vg.astype(jnp.float32))
+    out = jnp.einsum("bsngt,bstne->bsnge", p, vg.astype(jnp.float32), precision="highest")
     return out.reshape(b, sq, h, dv).astype(q.dtype)
 
 
@@ -753,13 +754,14 @@ def _topk_gather_attention_varlen(
     vg = jnp.take(v, safe.reshape(-1), axis=0).reshape(tq, -1, hk, dv)
     qg = q.reshape(tq, hk, group, d)
     s = jnp.einsum(
-        "qngd,qtnd->qngt", qg.astype(jnp.float32), kg.astype(jnp.float32)
+        "qngd,qtnd->qngt", qg.astype(jnp.float32), kg.astype(jnp.float32),
+        precision="highest",
     )
     if qv is not None:
         qvg = qv.reshape(tq, hk, group, dv)
         s = s + jnp.einsum(
             "qnge,qtne->qngt", qvg.astype(jnp.float32),
-            vg.astype(jnp.float32),
+            vg.astype(jnp.float32), precision="highest",
         )
     if softcap > 0.0:
         s = jnp.tanh(s * (softmax_scale / softcap)) * softcap
@@ -769,7 +771,7 @@ def _topk_gather_attention_varlen(
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(jnp.any(mask, -1, keepdims=True), p, 0.0)
-    o = jnp.einsum("qngt,qtne->qnge", p, vg.astype(jnp.float32))
+    o = jnp.einsum("qngt,qtne->qnge", p, vg.astype(jnp.float32), precision="highest")
     return o.reshape(tq, h, dv).astype(q.dtype)
 
 

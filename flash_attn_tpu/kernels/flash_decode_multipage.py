@@ -237,8 +237,8 @@ def flash_attention_decode_multipage(
         )
         args.append(fold(qv, head_dim_v, dv_pad))
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     args += [k_pages, v_pages]
 

@@ -13,6 +13,10 @@ from flash_attn_tpu.utils.testing import attention_ref
 
 BS = BlockSizes(128, 128, 128, 128, 128, 128)
 
+# fp32-exact on the CPU interpreter; on real TPUs fp32 matmuls default to
+# bf16-pass precision, so compiled runs carry rounding noise.
+TOL = 1e-4 if jax.default_backend() == "cpu" else 2e-3
+
 
 def make(key, b, sq, sk, h, hk, d, dv, dtype=jnp.bfloat16):
     kq, kk, kv = jax.random.split(key, 3)
@@ -117,13 +121,13 @@ def test_qv_absorbed_fwd_bwd(causal):
 
     out = flash_attn_func(q, k, v, qv=qv, causal=causal, block_sizes=BS)
     ref = _qv_oracle(q, k, v, qv, causal, scale)
-    assert jnp.abs(out - ref).max() < 1e-3
+    assert jnp.abs(out - ref).max() < max(1e-3, TOL)
 
     g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, qv)
     go = jax.grad(oloss, argnums=(0, 1, 2, 3))(q, k, v, qv)
     for name, a, bb in zip(("dq", "dk", "dv", "dqv"), g, go):
         err = jnp.abs(a - bb).max()
-        assert err < 1e-3, (name, err)
+        assert err < max(1e-3, 10 * TOL), (name, err)
 
 
 def test_qv_absorbed_decode():
@@ -146,7 +150,7 @@ def test_qv_absorbed_decode():
              + jnp.einsum("she,ke->hsk", qv[bi], vc[bi, 0, :L])) * scale
         p = jax.nn.softmax(s, -1)
         ref = jnp.einsum("hsk,ke->she", p, vc[bi, 0, :L])
-        assert jnp.abs(out[bi] - ref).max() < 1e-4
+        assert jnp.abs(out[bi] - ref).max() < TOL
 
 
 def test_topk_gather_kv():
@@ -187,7 +191,7 @@ def test_topk_gather_kv():
     s = jnp.where(keep[:, None], s, -jnp.inf)
     p = jax.nn.softmax(s, -1)
     ref = jnp.einsum("bhqk,bhke->bhqe", p, vt).transpose(0, 2, 1, 3)
-    assert jnp.abs(out - ref).max() < 1e-4
+    assert jnp.abs(out - ref).max() < TOL
     # Differentiable without a custom vjp.
     gfn = jax.grad(lambda q: (flash_attn_func(
         q, k, v, qv=qv, gather_kv_indices=idx).astype(jnp.float32) ** 2).sum())
@@ -228,7 +232,7 @@ def test_qv_absorbed_varlen():
 
     out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, causal=True, qv=qv,
                                  block_q=128, block_kv=128)
-    assert jnp.abs(out - oracle(q, k, v, qv)).max() < 1e-4
+    assert jnp.abs(out - oracle(q, k, v, qv)).max() < TOL
 
     g = jax.grad(lambda *a: (flash_attn_varlen_func(
         *a[:3], cu_q, cu_k, causal=True, qv=a[3], block_q=128, block_kv=128
@@ -236,7 +240,7 @@ def test_qv_absorbed_varlen():
     go = jax.grad(lambda *a: (oracle(*a) ** 2).sum(),
                   argnums=(0, 1, 2, 3))(q, k, v, qv)
     for name, a, bb in zip(("dq", "dk", "dv", "dqv"), g, go):
-        assert jnp.abs(a - bb).max() < 1e-3, name
+        assert jnp.abs(a - bb).max() < max(1e-3, 10 * TOL), name
 
 
 def test_topk_gather_kv_varlen():
@@ -275,8 +279,9 @@ def test_topk_gather_kv_varlen():
         ks = k[cu_k[i]:cu_k[i + 1]]
         vs = v[cu_k[i]:cu_k[i + 1]]
         qvs = qv[cu_q[i]:cu_q[i + 1]]
-        s = (jnp.einsum("qhd,khd->hqk", qs, ks)
-             + jnp.einsum("qhe,khe->hqk", qvs, vs)) * scale
+        s = (jnp.einsum("qhd,khd->hqk", qs, ks, precision="highest")
+             + jnp.einsum("qhe,khe->hqk", qvs, vs,
+                          precision="highest")) * scale
         keep = np.zeros((ql, kl), bool)
         for r in range(ql):
             for j in idx[row + r]:
@@ -285,10 +290,10 @@ def test_topk_gather_kv_varlen():
         s = jnp.where(jnp.asarray(keep)[None], s, -jnp.inf)
         p = jax.nn.softmax(s, -1)
         p = jnp.where(jnp.asarray(keep.any(-1))[None, :, None], p, 0.0)
-        outs.append(jnp.einsum("hqk,khe->qhe", p, vs))
+        outs.append(jnp.einsum("hqk,khe->qhe", p, vs, precision="highest"))
         row += ql
     ref = jnp.concatenate(outs)
-    assert jnp.abs(out - ref).max() < 1e-4
+    assert jnp.abs(out - ref).max() < TOL
 
 
 def test_flash_attn_combine_public():
@@ -310,7 +315,7 @@ def test_flash_attn_combine_public():
     lp = jnp.stack([lse1.transpose(0, 2, 1), lse2.transpose(0, 2, 1)])
     o, lse = flash_attn_combine(op, lp)
     ref = flash_attn_func(q, k, v)
-    assert jnp.abs(o - ref.astype(jnp.float32)).max() < 1e-4
+    assert jnp.abs(o - ref.astype(jnp.float32)).max() < TOL
 
 
 def test_mla_module_end_to_end():
@@ -351,7 +356,7 @@ def test_mla_module_end_to_end():
     sco = jnp.where(cols <= rows, sco, -jnp.inf)
     o = jnp.einsum("bhqk,bkhv->bqhv", jax.nn.softmax(sco, -1), v)
     ref = o.reshape(b, s, h * dv) @ p["out_proj"]["kernel"]
-    assert jnp.abs(full - ref).max() < 1e-3
+    assert jnp.abs(full - ref).max() < max(1e-3, 10 * TOL)
 
     # Prefill + decode parity against the latent cache.
     smax = 16
@@ -359,11 +364,11 @@ def test_mla_module_end_to_end():
                          key_value_memory_dict={0: mla.allocate_cache(b, smax)})
     ip.seqlen_offset = 0
     out_pre = mla.apply(params, x[:, :7], inference_params=ip)
-    assert jnp.abs(out_pre - full[:, :7]).max() < 1e-3
+    assert jnp.abs(out_pre - full[:, :7]).max() < max(1e-3, 10 * TOL)
     for t in range(7, s):
         ip.seqlen_offset = t
         ot = mla.apply(params, x[:, t : t + 1], inference_params=ip)
-        assert jnp.abs(ot - full[:, t : t + 1]).max() < 1e-3, t
+        assert jnp.abs(ot - full[:, t : t + 1]).max() < max(1e-3, 10 * TOL), t
 
     # Gradients flow (training through the absorbed form).
     g = jax.grad(lambda pp: (mla.apply(pp, x).astype(jnp.float32) ** 2).sum())(
@@ -398,4 +403,4 @@ def test_qv_absorbed_decode_small_pages():
         s = (jnp.einsum("shd,kd->hsk", q[bi], kc)
              + jnp.einsum("she,ke->hsk", qv[bi], vc)) * scale
         ref = jnp.einsum("hsk,ke->she", jax.nn.softmax(s, -1), vc)
-        assert jnp.abs(out[bi] - ref).max() < 1e-4
+        assert jnp.abs(out[bi] - ref).max() < TOL

@@ -49,7 +49,7 @@ from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
 
 def _ring_attention_local(
-    q, k, v,  # local shards (b, h, s_local, d) — kernel-native layout
+    q, k, v, qv,  # local shards (b, h, s_local, d[,dv]) — kernel layout
     *,
     axis_name: str,
     causal: bool,
@@ -59,17 +59,19 @@ def _ring_attention_local(
     axis_size = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    if qv is not None and qv.ndim != 4:
+        qv = None  # zero-size placeholder from the wrapper
 
     def attn(qq, kk, vv, is_causal):
         o, lse = flash_attention_fwd(
-            qq, kk, vv, softmax_scale=softmax_scale, causal=is_causal,
+            qq, kk, vv, qv=qv, softmax_scale=softmax_scale, causal=is_causal,
             interpret=interpret,
         )
         return o.astype(jnp.float32), lse
 
     def skip(qq, kk, vv):
         return (
-            jnp.zeros(qq.shape, jnp.float32),
+            jnp.zeros(qq.shape[:3] + (v.shape[3],), jnp.float32),
             jnp.full(qq.shape[:3], -jnp.inf, jnp.float32),
         )
 
@@ -103,7 +105,7 @@ def _ring_attention_local(
         )
         return (o_new, lse_new, k_nxt, v_nxt), None
 
-    o0 = jnp.zeros(q.shape, jnp.float32)
+    o0 = jnp.zeros(q.shape[:3] + (v.shape[3],), jnp.float32)
     lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
     (o, lse, _, _), _ = jax.lax.scan(
         step_fn, (o0, lse0, k, v), jnp.arange(axis_size)
@@ -143,7 +145,7 @@ def zigzag_unshard(x: jnp.ndarray, axis_size: int, seq_axis: int = 2):
 
 
 def _ring_attention_zigzag_local(
-    q, k, v,  # local (b, h, s_local, d); rows = chunks (my, 2N-1-my)
+    q, k, v, qv,  # local (b, h, s_local, d[,dv]); chunks (my, 2N-1-my)
     *,
     axis_name: str,
     softmax_scale: Optional[float],
@@ -160,19 +162,22 @@ def _ring_attention_zigzag_local(
     axis_size = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    if qv is not None and qv.ndim != 4:
+        qv = None  # zero-size placeholder from the wrapper
     c = q.shape[2] // 2
     qa1, qa2 = q[:, :, :c], q[:, :, c:]
+    qva = (None, None) if qv is None else (qv[:, :, :c], qv[:, :, c:])
 
-    def attn(qq, kk, vv, is_causal):
+    def attn(qq, kk, vv, is_causal, qvh=None):
         o, lse = flash_attention_fwd(
-            qq, kk, vv, softmax_scale=softmax_scale, causal=is_causal,
-            interpret=interpret,
+            qq, kk, vv, qv=qvh, softmax_scale=softmax_scale,
+            causal=is_causal, interpret=interpret,
         )
         return o.astype(jnp.float32), lse
 
     def skip(qq, kk, vv):
         return (
-            jnp.zeros(qq.shape, jnp.float32),
+            jnp.zeros(qq.shape[:3] + (v.shape[3],), jnp.float32),
             jnp.full(qq.shape[:3], -jnp.inf, jnp.float32),
         )
 
@@ -185,13 +190,13 @@ def _ring_attention_zigzag_local(
         kb2, vb2 = k_cur[:, :, c:], v_cur[:, :, c:]
 
         # (a2, b1): always visible.
-        o21, l21 = attn(qa2, kb1, vb1, False)
+        o21, l21 = attn(qa2, kb1, vb1, False, qva[1])
         # (a1, b1): past/diag/none.
         o11, l11 = jax.lax.cond(
             src == my,
-            lambda qq, kk, vv: attn(qq, kk, vv, True),
+            lambda qq, kk, vv: attn(qq, kk, vv, True, qva[0]),
             lambda qq, kk, vv: jax.lax.cond(
-                src < my, lambda a, b, cc: attn(a, b, cc, False),
+                src < my, lambda a, b, cc: attn(a, b, cc, False, qva[0]),
                 skip, qq, kk, vv,
             ),
             qa1, kb1, vb1,
@@ -199,9 +204,9 @@ def _ring_attention_zigzag_local(
         # (a2, b2): diag/future-of-ring (src>my means b2 < a2)/none.
         o22, l22 = jax.lax.cond(
             src == my,
-            lambda qq, kk, vv: attn(qq, kk, vv, True),
+            lambda qq, kk, vv: attn(qq, kk, vv, True, qva[1]),
             lambda qq, kk, vv: jax.lax.cond(
-                src > my, lambda a, b, cc: attn(a, b, cc, False),
+                src > my, lambda a, b, cc: attn(a, b, cc, False, qva[1]),
                 skip, qq, kk, vv,
             ),
             qa2, kb2, vb2,
@@ -213,7 +218,7 @@ def _ring_attention_zigzag_local(
         )
         return (o1n, l1n, o2n, l2n, k_nxt, v_nxt), None
 
-    z = lambda qq: (jnp.zeros(qq.shape, jnp.float32),
+    z = lambda qq: (jnp.zeros(qq.shape[:3] + (v.shape[3],), jnp.float32),
                     jnp.full(qq.shape[:3], -jnp.inf, jnp.float32))
     o10, l10 = z(qa1)
     o20, l20 = z(qa2)
@@ -231,6 +236,7 @@ def ring_flash_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     *,
+    qv: Optional[jnp.ndarray] = None,  # (b, h, s, d_v) MLA absorbed scores
     axis_name: str = "context",
     causal: bool = False,
     softmax_scale: Optional[float] = None,
@@ -260,21 +266,20 @@ def ring_flash_attention(
             softmax_scale=softmax_scale,
             interpret=interpret,
         )
+    spec = P(None, None, axis_name, None)
     fn = shard_map(
-        local,
+        lambda q_, k_, v_, qv_: local(q_, k_, v_, qv_),
         mesh=mesh,
-        in_specs=(
-            P(None, None, axis_name, None),
-            P(None, None, axis_name, None),
-            P(None, None, axis_name, None),
-        ),
-        out_specs=(
-            P(None, None, axis_name, None),
-            P(None, None, axis_name),
-        ),
+        in_specs=(spec, spec, spec, spec if qv is not None else P()),
+        out_specs=(spec, P(None, None, axis_name)),
         check_vma=False,
     )
-    return fn(q, k, v)
+    if qv is None:
+        # Zero-size placeholder keeps the shard_map signature static.
+        qv_arg = jnp.zeros((0,), q.dtype)
+    else:
+        qv_arg = qv
+    return fn(q, k, v, qv_arg)
 
 
 # ---------------------------------------------------------------------------

@@ -312,3 +312,35 @@ def test_mla_tp_generation_matches_single_device():
     with mesh:
         out = model.generate(sharded, prompt, 14)
     assert jnp.array_equal(out, golden), (out, golden)
+
+
+def test_ring_attention_qv_mla():
+    """Ring CP with MLA absorbed qv scores (fwd, like the reference's
+    fwd-only CP): contiguous and zig-zag layouts equal the dense absorbed
+    oracle."""
+    from flash_attn_tpu.parallel.context import zigzag_shard, zigzag_unshard
+
+    mesh = make_mesh(context=4)
+    b, h, s, d, dv = 1, 2, 256, 64, 128
+    kq, kk, kv, kqv = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, dv), jnp.float32) * 0.3
+    qv = jax.random.normal(kqv, (b, h, s, dv), jnp.float32) * 0.3
+    scale = (d + dv) ** -0.5
+
+    sc = (jnp.einsum("bhqd,bhkd->bhqk", q, k)
+          + jnp.einsum("bhqe,bhke->bhqk", qv, v)) * scale
+    rows = jnp.arange(s)[:, None]
+    cols = jnp.arange(s)[None, :]
+    sc = jnp.where(cols <= rows, sc, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhke->bhqe", jax.nn.softmax(sc, -1), v)
+
+    out, _ = ring_flash_attention(q, k, v, mesh, qv=qv, causal=True,
+                                  softmax_scale=scale)
+    assert jnp.abs(out - ref).max() < 1e-3
+
+    qz, kz, vz, qvz = (zigzag_shard(x, 4) for x in (q, k, v, qv))
+    outz, _ = ring_flash_attention(qz, kz, vz, mesh, qv=qvz, causal=True,
+                                   softmax_scale=scale, layout="zigzag")
+    assert jnp.abs(zigzag_unshard(outz, 4) - ref).max() < 1e-3

@@ -568,7 +568,7 @@ def flash_attention_sparse_bwd(
     lists for dQ, their inverse for dK/dV)."""
     batch, num_heads, seqlen_q, head_dim = q.shape
     _, num_heads_kv, seqlen_k, _ = k.shape
-    assert num_heads == num_heads_kv, "sparse bwd: GQA not supported yet"
+    group_size = num_heads // num_heads_kv
     if softmax_scale is None:
         softmax_scale = head_dim**-0.5
     if interpret is None:
@@ -616,10 +616,14 @@ def flash_attention_sparse_bwd(
         lens = jnp.stack([lq, lk])
 
     def mk_specs(q_index, kv_index, bm_index):
+        def kv_grouped(*a):
+            b_, h_, ki_, z_ = kv_index(*a)
+            return (b_, h_ // group_size, ki_, z_)
+
         specs = [
             pl.BlockSpec((1, 1, block_q, d_pad), q_index),
-            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
-            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_grouped),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_grouped),
             pl.BlockSpec((1, 1, block_q, d_pad), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
@@ -687,8 +691,15 @@ def flash_attention_sparse_bwd(
         ),
         interpret=interpret,
     )(qtile_list, qtile_count, *args)
-    dk = dk[:, :, :seqlen_k, :head_dim].astype(out_dtype)
-    dv = dv[:, :, :seqlen_k, :head_dim].astype(out_dtype)
+    dk = dk[:, :, :seqlen_k, :head_dim]
+    dv = dv[:, :, :seqlen_k, :head_dim]
+    if group_size > 1:
+        dk = dk.reshape(
+            batch, num_heads_kv, group_size, seqlen_k, head_dim).sum(axis=2)
+        dv = dv.reshape(
+            batch, num_heads_kv, group_size, seqlen_k, head_dim).sum(axis=2)
+    dk = dk.astype(out_dtype)
+    dv = dv.astype(out_dtype)
 
     # ---- dQ: grid (b, h, q_tile, kv_step) — forward tile lists ----
     def dq_kv(b, h, qi, ti, tref, cref):

@@ -323,3 +323,39 @@ def test_sparse_backward(causal):
     for name, a, bb in zip(("dq", "dk", "dv"), g, go):
         err = jnp.abs(a - bb).max()
         assert err < 1e-3 * max(float(jnp.abs(bb).max()), 1.0), (name, err)
+
+
+def test_sparse_backward_gqa():
+    """Sparse backward with GQA (grouped kv heads): grads match the
+    repeat-expanded masked oracle, dk/dv group-reduced."""
+    from flash_attn_tpu import sparse_attn_func as saf
+
+    b, h, hk, sq, sk, d = 1, 4, 2, 64, 128, 32
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, hk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, hk, d) * 0.3, jnp.float32)
+    bc = jnp.ones((b, h, 1), jnp.int32)
+    bo = jnp.zeros((b, h, 1, 1), jnp.int32)
+    cc = jnp.full((b, h, 1), 30, jnp.int32)
+    ci = jnp.broadcast_to(64 + jnp.arange(30, dtype=jnp.int32), (b, h, 1, 30))
+    keep = np.zeros((sq, sk), bool)
+    keep[:, :64] = True
+    keep[:, 64:94] = True
+
+    def loss(q, k, v):
+        return (saf(q, k, v, bc, bo, cc, ci).astype(jnp.float32) ** 2).sum()
+
+    def oloss(q, k, v):
+        qt = q.transpose(0, 2, 1, 3)
+        kt = jnp.repeat(k.transpose(0, 2, 1, 3), h // hk, axis=1)
+        vt = jnp.repeat(v.transpose(0, 2, 1, 3), h // hk, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kt) * (d ** -0.5)
+        s = jnp.where(jnp.asarray(keep)[None, None], s, -jnp.inf)
+        o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vt)
+        return (o ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(oloss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip(("dq", "dk", "dv"), g, go):
+        assert jnp.abs(a - bb).max() < 1e-3, name

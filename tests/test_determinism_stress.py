@@ -58,3 +58,34 @@ def test_decode_bitwise_stable():
     ref = step(q)
     for _ in range(ITERS):
         assert jnp.array_equal(step(q), ref)
+
+
+def test_sparse_bwd_bitwise_deterministic():
+    """New sparse backward kernels: bitwise-identical grads across reruns
+    (the reference's race-condition test pattern applied to every new
+    kernel; TPU grid-sequential accumulation must be exactly stable)."""
+    import numpy as np
+
+    from flash_attn_tpu import sparse_attn_func
+
+    b, h, sq, sk, d = 1, 2, 128, 256, 64
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    bc = jnp.ones((b, h, 2), jnp.int32)
+    bo = jnp.zeros((b, h, 2, 1), jnp.int32)
+    cc = jnp.full((b, h, 2), 40, jnp.int32)
+    ci = jnp.broadcast_to(64 + jnp.arange(40, dtype=jnp.int32), (b, h, 2, 40))
+
+    gfn = jax.jit(jax.grad(
+        lambda q, k, v: (sparse_attn_func(
+            q, k, v, bc, bo, cc, ci, causal=True
+        ).astype(jnp.float32) ** 2).sum(),
+        argnums=(0, 1, 2),
+    ))
+    base = gfn(q, k, v)
+    for _ in range(10):
+        again = gfn(q, k, v)
+        for a, bb in zip(base, again):
+            assert jnp.array_equal(a, bb)

@@ -54,10 +54,27 @@ def benchmark_forward(
     trials: int = 3,
 ) -> float:
     """Seconds per call of fn(primal, *args). fn's first output must have
-    primal's shape (it is fed back to defeat dispatch dedup)."""
-    t_lo = _time_chained(fn, primal, args, iters_lo, trials)
-    t_hi = _time_chained(fn, primal, args, iters_hi, trials)
-    return max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-9)
+    primal's shape (it is fed back to defeat dispatch dedup).
+
+    Degenerate slopes (t_hi ~ t_lo — the tunnel's early-return/dedup
+    artifact) are NOT silently clamped: the measurement escalates the
+    iteration counts once, and if still degenerate returns NaN with a
+    warning so garbage numbers can't masquerade as results."""
+    for scale in (1, 4):
+        lo, hi = iters_lo * scale, iters_hi * scale
+        t_lo = _time_chained(fn, primal, args, lo, trials)
+        t_hi = _time_chained(fn, primal, args, hi, trials)
+        slope = (t_hi - t_lo) / (hi - lo)
+        # Real per-iter time should make the long chain measurably longer.
+        if t_hi - t_lo > 0.05 * max(t_hi, 1e-9) and slope > 0:
+            return slope
+    import warnings
+
+    warnings.warn(
+        "benchmark_forward: degenerate timing slope (t_hi ~ t_lo) — remote "
+        "runtime deduped/early-returned; result is unreliable", stacklevel=2,
+    )
+    return float("nan")
 
 
 def benchmark_backward(fn, primal, *args, **kw) -> float:

@@ -286,5 +286,7 @@ def test_sparse_attn_varlen_backward():
 
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     go = jax.grad(oloss, argnums=(0, 1, 2))(q, k, v)
+    # fp32-exact on CPU interpret; TPU f32 matmuls run in bf16 passes.
+    tol = 1e-3 if jax.default_backend() == "cpu" else 5e-3
     for name, a, bb in zip(("dq", "dk", "dv"), g, go):
-        assert jnp.abs(a - bb).max() < 1e-3, name
+        assert jnp.abs(a - bb).max() < tol, name

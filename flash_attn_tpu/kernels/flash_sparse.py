@@ -111,6 +111,22 @@ def _plan_sparse(
     )
 
 
+def _plan_sparse_pairs(active, b, h, nqb64, nkb, t_max):
+    """Merge consecutive 64-row metadata blocks into 128-row kernel
+    super-blocks: union tile lists (the MXU wants >=128 q rows per matmul;
+    the metadata granularity stays 64 via two bitmap rows per block)."""
+    nqb128 = nqb64 // 2
+    act2 = active.reshape(b * h * nqb128, 2, nkb).max(axis=1)
+    t2 = min(nkb, 2 * t_max)
+    order = jnp.argsort(-act2.astype(jnp.int32), axis=1, stable=True)
+    tile_list = order[:, :t2].astype(jnp.int32)
+    tile_count = act2.astype(jnp.int32).sum(axis=1)
+    return (
+        tile_list.reshape(b, h, nqb128, t2),
+        tile_count.reshape(b, h, nqb128),
+    )
+
+
 def _sparse_fwd_kernel(
     tile_ref, count_ref,  # scalar prefetch
     *refs,
@@ -118,7 +134,7 @@ def _sparse_fwd_kernel(
     block_q: int, block_kv: int, num_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
     group_size: int, has_alibi: bool, alibi_batched: bool,
-    has_lens: bool, out_dtype,
+    has_lens: bool, meta_per_blk: int = 1, out_dtype=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -182,17 +198,34 @@ def _sparse_fwd_kernel(
         mask = jnp.logical_and(cols < len_k, rows < len_q)
         if causal:
             mask = jnp.logical_and(mask, cols <= rows + (len_k - len_q))
-        # Column membership from the bitmap row of this (b, h, qi). Mosaic
-        # cannot prove alignment of a dynamic sublane index, so select the
-        # row with a vectorized reduce instead of a dynamic slice.
-        row_id = (b * pl.num_programs(1) + h) * nqb + qi
+        # Column membership from the bitmap row(s) of this (b, h, qi).
+        # Mosaic cannot prove alignment of a dynamic sublane index, so rows
+        # are selected with a vectorized reduce instead of a dynamic slice.
+        # With meta_per_blk == 2, one 128-row kernel block spans TWO 64-row
+        # metadata rows (base even => both live in the same 32-row bitmap
+        # block) — the MXU wants >= 128 q rows per matmul.
+        base_row = (b * pl.num_programs(1) + h) * nqb + meta_per_blk * qi
         bm_tile = bm_ref[...]  # (32, block_kv) int8
-        row_sel = jax.lax.broadcasted_iota(jnp.int32, bm_tile.shape, 0) \
-            == (row_id % 32)
-        bm = jnp.max(
-            jnp.where(row_sel, bm_tile, jnp.int8(0)).astype(jnp.int32), axis=0
+        sub = jax.lax.broadcasted_iota(jnp.int32, bm_tile.shape, 0)
+        bm0 = jnp.max(
+            jnp.where(sub == (base_row % 32), bm_tile, jnp.int8(0))
+            .astype(jnp.int32), axis=0,
         )
-        mask = jnp.logical_and(mask, (bm > 0)[None, :])
+        if meta_per_blk == 2:
+            bm1 = jnp.max(
+                jnp.where(sub == (base_row % 32 + 1), bm_tile, jnp.int8(0))
+                .astype(jnp.int32), axis=0,
+            )
+            r_local = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            bm_full = jnp.where(
+                r_local < 64,
+                jnp.broadcast_to(bm0[None, :], s.shape),
+                jnp.broadcast_to(bm1[None, :], s.shape),
+            )
+            bm_mask = bm_full > 0
+        else:
+            bm_mask = (bm0 > 0)[None, :]
+        mask = jnp.logical_and(mask, bm_mask)
 
         s2 = jnp.where(mask, s2, _MASK2)
         m_prev = m_scr[...]
@@ -258,11 +291,17 @@ def flash_attention_sparse_fwd(
         interpret = interpret_mode()
     out_dtype = q.dtype
 
-    block_q = meta_block_m  # q tiling must match the metadata granularity
-    block_kv = NUM_LANES
+    nqb64 = cdiv(seqlen_q, meta_block_m)
+    # MXU efficiency: fold TWO 64-row metadata blocks into one 128-row
+    # kernel block whenever the per-(b,h) metadata row count is even.
+    meta_per_blk = 2 if nqb64 % 2 == 0 else 1
+    block_q = meta_block_m * meta_per_blk
+    # Wide KV tiles collapse the per-grid-step overhead (the sparse loop is
+    # step-bound, not FLOP-bound); element masking keeps semantics exact.
+    block_kv = 512 if seqlen_k >= 2048 else NUM_LANES
     nqb = cdiv(seqlen_q, block_q)
     nkb = cdiv(seqlen_k, block_kv)
-    assert block_count.shape[2] == nqb, (block_count.shape, nqb)
+    assert block_count.shape[2] == nqb64, (block_count.shape, nqb64)
 
     d_pad = round_up(head_dim, NUM_LANES)
     qp = pad_to_block(pad_to_block(q, 3, d_pad), 2, block_q)
@@ -273,6 +312,14 @@ def flash_attention_sparse_fwd(
         block_count, block_offset, column_count, column_index,
         num_kv_blocks=nkb, block_kv=block_kv, meta_block_n=meta_block_n,
     )
+    if meta_per_blk == 2:
+        rows = batch * num_heads * nqb64
+        active64 = bitmap[:rows].reshape(
+            rows, nkb, block_kv
+        ).max(axis=2)
+        tile_list, tile_count = _plan_sparse_pairs(
+            active64, batch, num_heads, nqb64, nkb, tile_list.shape[-1]
+        )
     num_tiles = tile_list.shape[-1]
 
     def kv_index(b, h, qi, ti, tref, cref):
@@ -287,7 +334,7 @@ def flash_attention_sparse_fwd(
         pl.BlockSpec(
             (32, block_kv),
             lambda b, h, qi, ti, tref, cref: (
-                ((b * num_heads + h) * nqb + qi) // 32,
+                ((b * num_heads + h) * nqb64 + meta_per_blk * qi) // 32,
                 kv_index(b, h, qi, ti, tref, cref)[2],
             ),
         ),
@@ -325,10 +372,11 @@ def flash_attention_sparse_fwd(
     kernel = functools.partial(
         _sparse_fwd_kernel,
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
-        block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb,
+        block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb64,
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         group_size=group_size, has_alibi=has_alibi,
-        alibi_batched=alibi_batched, has_lens=has_lens, out_dtype=out_dtype,
+        alibi_batched=alibi_batched, has_lens=has_lens,
+        meta_per_blk=meta_per_blk, out_dtype=out_dtype,
     )
 
     sq_pad = nqb * block_q

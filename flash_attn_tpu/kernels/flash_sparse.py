@@ -281,8 +281,35 @@ def flash_attention_sparse_fwd(
     With seqlens_q/seqlens_k, each batch entry is a left-aligned varlen
     sequence: validity bounds and the bottom-right causal diagonal use that
     entry's own lengths (varlen path of the reference sparse API).
+
+    Routing: patterns the DMA-gather kernel handles (no alibi/lens, even
+    64-row block count, compact KV fits VMEM) take the gather fast path
+    (flash_sparse_gather.py) — it pays only for attended 64-blocks instead
+    of masking inside fixed tiles.
     """
     batch, num_heads, seqlen_q, head_dim = q.shape
+    _nqb64 = cdiv(seqlen_q, meta_block_m)
+    _n64 = cdiv(k.shape[2], 64)
+    _G_est = max(1, min(
+        _n64, 2 * (block_offset.shape[-1] + column_index.shape[-1])
+    ))
+    if (
+        alibi_slopes is None and seqlens_q is None and seqlens_k is None
+        and meta_block_m == 64 and meta_block_n == 64
+        and _nqb64 % 2 == 0 and _G_est * 64 <= 4096
+    ):
+        from flash_attn_tpu.kernels.flash_sparse_gather import (
+            flash_attention_sparse_gather_fwd,
+        )
+        from flash_attn_tpu.utils.fa_logging import log_dispatch
+
+        log_dispatch("sparse", route="dma-gather", G=_G_est,
+                     shape=q.shape)
+        return flash_attention_sparse_gather_fwd(
+            q, k, v, block_count, block_offset, column_count, column_index,
+            softmax_scale=softmax_scale, causal=causal, softcap=softcap,
+            interpret=interpret,
+        )
     _, num_heads_kv, seqlen_k, _ = k.shape
     group_size = num_heads // num_heads_kv
     if softmax_scale is None:

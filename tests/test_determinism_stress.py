@@ -89,3 +89,33 @@ def test_sparse_bwd_bitwise_deterministic():
         again = gfn(q, k, v)
         for a, bb in zip(base, again):
             assert jnp.array_equal(a, bb)
+
+
+def test_sparse_gather_bitwise_deterministic():
+    """DMA-gather sparse kernel: bitwise-identical outputs across reruns
+    (async gather issue/wait ordering must not introduce races)."""
+    import numpy as np
+
+    from flash_attn_tpu.kernels.flash_sparse_gather import (
+        flash_attention_sparse_gather_fwd,
+    )
+
+    b, h, sq, sk, d = 1, 2, 128, 384, 64
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    nqb = sq // 64
+    bc = jnp.ones((b, h, nqb), jnp.int32)
+    bo = jnp.broadcast_to(
+        jnp.asarray([64, 192], jnp.int32)[None, None, :nqb, None],
+        (b, h, nqb, 1),
+    )
+    cc = jnp.full((b, h, nqb), 17, jnp.int32)
+    ci = jnp.broadcast_to(jnp.arange(17, dtype=jnp.int32), (b, h, nqb, 17))
+
+    fn = jax.jit(lambda q, k, v: flash_attention_sparse_gather_fwd(
+        q, k, v, bc, bo, cc, ci, causal=True)[0])
+    base = fn(q, k, v)
+    for _ in range(10):
+        assert jnp.array_equal(fn(q, k, v), base)

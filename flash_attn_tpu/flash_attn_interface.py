@@ -527,6 +527,7 @@ def _varlen_fwd(tensors, config):
         tensors["q"], tensors["k"], tensors["v"],
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
         qv=tensors.get("qv"),
+        seqused_q=tensors.get("seqused_q"),
         seqused_k=tensors.get("seqused_k"),
         alibi_slopes=tensors.get("alibi_slopes"),
         softmax_scale=config.softmax_scale,
@@ -555,6 +556,7 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
         qv=tensors.get("qv"),
+        seqused_q=tensors.get("seqused_q"),
         seqused_k=tensors.get("seqused_k"),
         alibi_slopes=tensors.get("alibi_slopes"),
         softmax_scale=config.softmax_scale,
@@ -606,6 +608,7 @@ def flash_attn_varlen_func(
     *,
     qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
     gather_kv_indices: Optional[jnp.ndarray] = None,  # (total_q, topk)
+    seqused_q: Optional[jnp.ndarray] = None,
     seqused_k: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
     block_q: int = 256,
@@ -639,6 +642,8 @@ def flash_attn_varlen_func(
     }
     if qv is not None:
         tensors["qv"] = qv
+    if seqused_q is not None:
+        tensors["seqused_q"] = jnp.asarray(seqused_q, jnp.int32)
     if seqused_k is not None:
         tensors["seqused_k"] = jnp.asarray(seqused_k, jnp.int32)
     if alibi_slopes is not None:
@@ -794,6 +799,7 @@ def sparse_attn_func(
     return_softmax_lse: bool = False,
     seqlens_q: Optional[jnp.ndarray] = None,  # (b,) varlen per-entry lens
     seqlens_k: Optional[jnp.ndarray] = None,
+    dropout_seed: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     interpret: Optional[bool] = None,
 ):
@@ -805,8 +811,6 @@ def sparse_attn_func(
     semantics per MInference (arXiv 2407.02490) Appendix C.4.2 with
     BLOCK_M = BLOCK_N = 64."""
     del deterministic, return_attn_probs
-    if dropout_p > 0.0:
-        raise NotImplementedError("sparse attention does not support dropout")
 
     if layout == "bshd":
         q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
@@ -825,9 +829,14 @@ def sparse_attn_func(
         tensors["seqlens_q"] = jnp.asarray(seqlens_q, jnp.int32)
     if seqlens_k is not None:
         tensors["seqlens_k"] = jnp.asarray(seqlens_k, jnp.int32)
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        tensors["dropout_seed"] = jnp.asarray(dropout_seed, jnp.int32)
     config = _SparseConfig(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
-        causal=bool(causal), softcap=float(softcap), interpret=interpret,
+        causal=bool(causal), softcap=float(softcap),
+        dropout_p=float(dropout_p), interpret=interpret,
     )
     out, lse = _sparse_attn_core(tensors, config)
     if layout == "bshd":
@@ -840,6 +849,7 @@ class _SparseConfig:
     softmax_scale: Optional[float]
     causal: bool
     softcap: float
+    dropout_p: float
     interpret: Optional[bool]
 
 
@@ -860,6 +870,8 @@ def _sparse_fwd_impl(tensors, config):
         softcap=config.softcap, interpret=config.interpret,
         seqlens_q=tensors.get("seqlens_q"),
         seqlens_k=tensors.get("seqlens_k"),
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
     )
 
 
@@ -883,6 +895,8 @@ def _sparse_bwd_vjp(config, residuals, cotangents):
         softcap=config.softcap, interpret=config.interpret,
         seqlens_q=tensors.get("seqlens_q"),
         seqlens_k=tensors.get("seqlens_k"),
+        dropout_p=config.dropout_p,
+        dropout_seed=tensors.get("dropout_seed"),
     )
     grads = {}
     for name, val in tensors.items():

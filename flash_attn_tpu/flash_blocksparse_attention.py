@@ -37,13 +37,13 @@ def flash_blocksparse_attn_func(
     causal: bool = False,
     *,
     block_size: int = 64,
+    dropout_seed: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ):
     """Fixed blockmask flash attention. The mask is shared across batch and
-    heads (the legacy Triton kernel's contract). Differentiable, like the
-    legacy FlashBlocksparseMHA used for training."""
-    if dropout_p > 0.0:
-        raise NotImplementedError("blocksparse dropout not implemented")
+    heads (the legacy Triton kernel's contract). Differentiable and
+    trainable with dropout, like the legacy FlashBlocksparseMHA
+    (flash_attn/flash_blocksparse_attention.py:15)."""
     assert block_size == 64, "legacy blocksparse blockmask granularity is 64"
     b, sq, h, d = q.shape
     counts, offsets = convert_blockmask(blockmask, block_size)
@@ -55,5 +55,6 @@ def flash_blocksparse_attn_func(
     column_index = jnp.zeros((b, h, nqb, 1), jnp.int32)
     return sparse_attn_func(
         q, k, v, block_count, block_offset, column_count, column_index,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
         softmax_scale=softmax_scale, causal=causal, interpret=interpret,
     )

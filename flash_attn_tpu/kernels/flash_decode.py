@@ -190,9 +190,12 @@ def _decode_kernel(
             )
 
         if has_alibi:
-            slope2 = slopes_ref[b if alibi_batched else 0, hk] * LOG2E
+            # Per-row slopes in PackGQA order (row r holds q-head r % group
+            # of kv group hk), so ALiBi works for any GQA packing — maps
+            # mha_fwd_kvcache's unconditional alibi (flash_api.cpp:375,1309).
+            slope_rows = slopes_ref[0, 0] * LOG2E  # (rows, 1)
             rel = jnp.abs((cols - pos_r).astype(jnp.float32))
-            s2 = s2 - slope2 * rel
+            s2 = s2 - slope_rows * rel
 
         if with_mask:
             mask = cols < seqused
@@ -444,21 +447,30 @@ def flash_attention_decode(
         if slopes.ndim == 1:
             slopes = slopes[None, :]
         alibi_batched = slopes.shape[0] > 1
-        # Decode folds q-heads; alibi slope is per q-head but within one kv
-        # group all rows share hk only if group==1. For group>1 per-row slopes
-        # are needed; use SMEM full array and index by absolute head below.
-        in_specs.append(
-            pl.BlockSpec(
-                slopes.shape,
-                lambda b, hk, ki, s, lp, bi, tb: (0, 0),
-                memory_space=pltpu.SMEM,
-            )
+        # Decode folds q-heads into rows (PackGQA): row r = si*group + gi of
+        # kv group hk carries q-head hk*group + gi. Precompute per-row slopes
+        # in that order so any group size works.
+        db = slopes.shape[0]
+        s_hg = slopes.reshape(db, num_heads_kv, 1, group)
+        srows = jnp.tile(s_hg, (1, 1, sq, 1)).reshape(
+            db, num_heads_kv, sq * group
         )
-        args.append(slopes)
-        if group > 1:
-            raise NotImplementedError(
-                "alibi with GQA packing in decode not yet supported"
+        srows = pad_to_block(srows, 2, rows)[..., None]  # (db, hk, rows, 1)
+        if alibi_batched:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows, 1),
+                    lambda b, hk, ki, s, lp, bi, tb: (b, hk, 0, 0),
+                )
             )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows, 1),
+                    lambda b, hk, ki, s, lp, bi, tb: (0, hk, 0, 0),
+                )
+            )
+        args.append(srows)
     has_sink = sink is not None
     if has_sink:
         # Precompute per-row sinks in PackGQA row order r = si*group + gi.

@@ -2,12 +2,21 @@
 
 The index-map paged decode (flash_decode.py) fetches ONE page per grid step;
 at vLLM-style page sizes (16-128 tokens) the fixed per-step cost dominates
-and bandwidth collapses (~140 GB/s at page=128 vs ~750 at page>=256 on v5e).
-This variant keeps K/V page pools in HBM (memory_space=ANY) and gathers
-SUPER-blocks of many pages per step with explicit double-buffered
-`make_async_copy` DMAs — the hand-rolled analog of the reference's
-PagedKVManager TMA pipeline (hopper/paged_kv.h) and the Pallas
-double-buffering pattern from the TPU guide.
+and bandwidth collapses. This kernel is the second generation of the
+multi-page path (the TPU analog of the reference's PagedKVManager TMA
+pipeline + `get_pagedkv_tma` routing, hopper/paged_kv.h,
+hopper/flash_api.cpp:464):
+
+  * One DMA fetches a page across ALL KV heads (the grid runs over batch
+    only; heads are computed in-kernel) — DMA size scales with hk.
+  * The host planner marks chunks of C pages whose block-table entries are
+    consecutive; those chunks ride ONE contiguous DMA (~64KB+). Serving
+    allocators hand out mostly-consecutive pages, so the common case gets
+    big DMAs while arbitrary tables still work page-by-page.
+  * One semaphore per pipeline slot with a single aggregate byte-count wait
+    (TPU DMA semaphores count bytes), instead of a wait per page.
+  * The DMA pipeline prefetches ACROSS batch boundaries (slot parity carried
+    in SMEM scratch), so the engine never idles between grid steps.
 
 Feature scope: causal decode with per-batch lengths and sliding window (the
 serving hot path). Exotic extras (sinks, alibi, leftpad, quantized cache)
@@ -37,139 +46,209 @@ from flash_attn_tpu.kernels.common import (
 
 _MASK2 = DEFAULT_MASK_VALUE
 
+# Target contiguous-chunk size for coalesced page DMAs: big enough for
+# near-peak HBM bandwidth on v5e.
+_TARGET_CHUNK_BYTES = 64 * 1024
+
 
 def _mp_decode_kernel(
-    seq_ref, table_ref,     # scalar prefetch: (b,), (b, max_pages)
+    seq_ref, table_ref, contig_ref,  # scalar prefetch
     *refs,
-    sq: int, group: int, rows: int,
-    page: int, pages_per_sup: int, max_pages: int,
+    sq: int, group: int, rows: int, hk: int,
+    page: int, pages_per_sup: int, chunk_pages: int, max_pages: int,
     scale: float, window_left: int, softcap: float,
     has_qv: bool, out_dtype,
 ):
     idx = 0
-    q_ref = refs[idx]; idx += 1          # (1, 1, rows, d) VMEM
+    q_ref = refs[idx]; idx += 1          # (1, hk, rows, d) VMEM
     qv_ref = None
     if has_qv:
-        qv_ref = refs[idx]; idx += 1     # (1, 1, rows, d_v) VMEM
+        qv_ref = refs[idx]; idx += 1     # (1, hk, rows, d_v) VMEM
     k_hbm = refs[idx]; idx += 1          # (npages, hk, page, d) HBM/ANY
     v_hbm = refs[idx]; idx += 1
-    o_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1          # (1, hk, rows, d_v)
     lse_ref = refs[idx]; idx += 1
-    kbuf = refs[idx]; idx += 1           # (2, sup, d) VMEM scratch
-    vbuf = refs[idx]; idx += 1           # (2, sup, d_v)
-    ksem = refs[idx]; idx += 1
+    kbuf = refs[idx]; idx += 1           # (2, P, hk, page, d) VMEM scratch
+    vbuf = refs[idx]; idx += 1           # (2, P, hk, page, d_v)
+    ksem = refs[idx]; idx += 1           # DMA sem (2,)
     vsem = refs[idx]; idx += 1
-    m_scr = refs[idx]; idx += 1
+    state = refs[idx]; idx += 1          # SMEM (2,): next slot, prefetched?
+    m_scr = refs[idx]; idx += 1          # (hk, rows, NUM_LANES)
     l_scr = refs[idx]; idx += 1
-    acc_scr = refs[idx]; idx += 1
+    acc_scr = refs[idx]; idx += 1        # (hk, rows, d_v)
+
     b = pl.program_id(0)
-    hk = pl.program_id(1)
+    batch = pl.num_programs(0)
+    P = pages_per_sup
+    C = chunk_pages
+    sup = page * P
+
+    def first_sup_of(bb):
+        seql = seq_ref[bb]
+        if window_left >= 0:
+            return jnp.maximum(seql - sq - window_left, 0) // sup
+        return jnp.int32(0)
+
+    def nsup_of(bb):
+        return jnp.maximum(pl.cdiv(seq_ref[bb], sup), 1)
+
+    def issue(bb, sup_idx, slot):
+        """Fetch super-block `sup_idx` of batch `bb` into pipeline `slot`.
+
+        Chunks of C consecutive-in-table pages ride one contiguous DMA; the
+        rest fall back to per-page (all-head) DMAs. Both paths transfer the
+        same byte count into the slot, so one aggregate wait suffices.
+        """
+        base = sup_idx * P
+        for c in range(P // C):
+            cbase = base + c * C
+            chunk_id = cbase // C
+            pg0 = table_ref[bb, jnp.minimum(cbase, max_pages - 1)]
+            is_contig = contig_ref[bb, chunk_id] == 1
+            if C > 1:
+                @pl.when(is_contig)
+                def _big():
+                    pltpu.make_async_copy(
+                        k_hbm.at[pl.ds(pg0, C)],
+                        kbuf.at[slot, pl.ds(c * C, C)],
+                        ksem.at[slot],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_hbm.at[pl.ds(pg0, C)],
+                        vbuf.at[slot, pl.ds(c * C, C)],
+                        vsem.at[slot],
+                    ).start()
+
+                @pl.when(jnp.logical_not(is_contig))
+                def _small():
+                    for j in range(C):
+                        pidx = jnp.minimum(cbase + j, max_pages - 1)
+                        pg = table_ref[bb, pidx]
+                        pltpu.make_async_copy(
+                            k_hbm.at[pg], kbuf.at[slot, c * C + j],
+                            ksem.at[slot],
+                        ).start()
+                        pltpu.make_async_copy(
+                            v_hbm.at[pg], vbuf.at[slot, c * C + j],
+                            vsem.at[slot],
+                        ).start()
+            else:
+                pltpu.make_async_copy(
+                    k_hbm.at[pg0], kbuf.at[slot, c], ksem.at[slot],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pg0], vbuf.at[slot, c], vsem.at[slot],
+                ).start()
+
+    def wait_slot(slot):
+        # Aggregate wait: DMA semaphores count bytes; one wait for the whole
+        # slot regardless of how many descriptors filled it.
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(0, P)], kbuf.at[slot], ksem.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(0, P)], vbuf.at[slot], vsem.at[slot]
+        ).wait()
+
+    @pl.when(b == 0)
+    def _reset():
+        state[0] = 0
+        state[1] = 0
+
     seqused = seq_ref[b]
-    sup = page * pages_per_sup
-    nsup = jnp.maximum(pl.cdiv(seqused, sup), 1)
-    if window_left >= 0:
-        first_sup = jnp.maximum(seqused - sq - window_left, 0) // sup
-    else:
-        first_sup = jnp.int32(0)
+    first_sup = first_sup_of(b)
+    nsup = nsup_of(b)
+    count = nsup - first_sup
+    slot0 = state[0]
 
-    def issue(sup_idx, slot):
-        base = sup_idx * pages_per_sup
-        for j in range(pages_per_sup):
-            pidx = jnp.minimum(base + j, max_pages - 1)
-            pg = table_ref[b, pidx]
-            pltpu.make_async_copy(
-                k_hbm.at[pg, hk], kbuf.at[slot, pl.ds(j * page, page)],
-                ksem.at[slot, j],
-            ).start()
-            pltpu.make_async_copy(
-                v_hbm.at[pg, hk], vbuf.at[slot, pl.ds(j * page, page)],
-                vsem.at[slot, j],
-            ).start()
-
-    def wait(sup_idx, slot):
-        base = sup_idx * pages_per_sup
-        for j in range(pages_per_sup):
-            pidx = jnp.minimum(base + j, max_pages - 1)
-            pg = table_ref[b, pidx]
-            pltpu.make_async_copy(
-                k_hbm.at[pg, hk], kbuf.at[slot, pl.ds(j * page, page)],
-                ksem.at[slot, j],
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[pg, hk], vbuf.at[slot, pl.ds(j * page, page)],
-                vsem.at[slot, j],
-            ).wait()
+    @pl.when(state[1] == 0)
+    def _warmup():
+        issue(b, first_sup, slot0)
 
     m_scr[...] = jnp.full_like(m_scr, _MASK2)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    issue(first_sup, 0)
+    bnext = jnp.minimum(b + 1, batch - 1)
+    has_next = b + 1 < batch
 
-    q = q_ref[0, 0]  # (rows, d)
-
-    def body(i, _):
+    def body(i, slot):
         sup_idx = first_sup + i
-        slot = jax.lax.rem(i, 2)
+        nxt_slot = 1 - slot
+        is_last = i == count - 1
 
-        @pl.when(sup_idx + 1 < nsup)
-        def _prefetch():
-            issue(sup_idx + 1, jax.lax.rem(i + 1, 2))
+        @pl.when(jnp.logical_not(is_last))
+        def _prefetch_same():
+            issue(b, sup_idx + 1, nxt_slot)
 
-        wait(sup_idx, slot)
-        k = kbuf[slot]  # (sup, d)
-        v = vbuf[slot]  # (sup, d_v)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (rows, sup)
-        if has_qv:
-            # MLA absorbed decode: S += Qv V^T with the latent V reused below.
-            s = s + jax.lax.dot_general(
-                qv_ref[0, 0], v, (((1,), (1,)), ((), ())),
+        @pl.when(jnp.logical_and(is_last, has_next))
+        def _prefetch_next_batch():
+            issue(bnext, first_sup_of(bnext), nxt_slot)
+
+        wait_slot(slot)
+
+        for h in range(hk):
+            k = kbuf[slot, :, h].reshape(sup, kbuf.shape[-1])  # (sup, d)
+            v = vbuf[slot, :, h].reshape(sup, vbuf.shape[-1])  # (sup, d_v)
+            q = q_ref[0, h]  # (rows, d)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, sup)
+            if has_qv:
+                # MLA absorbed decode: S += Qv V^T, latent V reused below.
+                s = s + jax.lax.dot_general(
+                    qv_ref[0, h], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if softcap > 0.0:
+                s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+            else:
+                s2 = s * (scale * LOG2E)
+
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            pos_r = seqused - sq + r_ids // group
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + sup_idx * sup
+            )
+            mask = jnp.logical_and(cols < seqused, cols <= pos_r)
+            if window_left >= 0:
+                mask = jnp.logical_and(mask, cols >= pos_r - window_left)
+            s2 = jnp.where(mask, s2, _MASK2)
+
+            m_prev = m_scr[h]
+            m_next = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_next)
+            if s2.shape[1] >= m_next.shape[1]:
+                rep = s2.shape[1] // m_next.shape[1]
+                m_full = pltpu.repeat(m_next, rep, axis=1) if rep > 1 else m_next
+            else:
+                m_full = m_next[:, : s2.shape[1]]
+            p = jnp.exp2(s2 - m_full)
+            p = jnp.where(mask, p, 0.0)
+            l_scr[h] = alpha * l_scr[h] + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[h] = m_next
+            d_rep = acc_scr.shape[-1] // alpha.shape[-1]
+            alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
+            acc_scr[h] = acc_scr[h] * alpha_full + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        if softcap > 0.0:
-            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
-        else:
-            s2 = s * (scale * LOG2E)
+        return nxt_slot
 
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        pos_r = seqused - sq + r_ids // group
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sup_idx * sup
-        mask = jnp.logical_and(cols < seqused, cols <= pos_r)
-        if window_left >= 0:
-            mask = jnp.logical_and(mask, cols >= pos_r - window_left)
-        s2 = jnp.where(mask, s2, _MASK2)
+    slot_final = jax.lax.fori_loop(0, count, body, slot0)
+    state[0] = slot_final
+    state[1] = jnp.where(has_next, jnp.int32(1), jnp.int32(0))
 
-        m_prev = m_scr[...]
-        m_next = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
-        alpha = jnp.exp2(m_prev - m_next)
-        if s2.shape[1] >= m_next.shape[1]:
-            rep = s2.shape[1] // m_next.shape[1]
-            m_full = pltpu.repeat(m_next, rep, axis=1) if rep > 1 else m_next
-        else:
-            m_full = m_next[:, : s2.shape[1]]
-        p = jnp.exp2(s2 - m_full)
-        p = jnp.where(mask, p, 0.0)
-        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        d_rep = acc_scr.shape[1] // alpha.shape[1]
-        alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
-        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    for h in range(hk):
+        m = m_scr[h][:, 0:1]
+        l = l_scr[h][:, 0:1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, h] = (acc_scr[h] * l_inv).astype(out_dtype)
+        lse_ref[0, h] = jnp.where(
+            l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
         )
-        return 0
-
-    jax.lax.fori_loop(0, nsup - first_sup, body, 0)
-
-    m = m_scr[...][:, 0:1]
-    l = l_scr[...][:, 0:1]
-    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
-    lse_ref[0, 0] = jnp.where(
-        l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
-    )
 
 
 def flash_attention_decode_multipage(
@@ -186,7 +265,7 @@ def flash_attention_decode_multipage(
     super_block: int = 1024,
     interpret: Optional[bool] = None,
 ):
-    """Small-page decode. Returns (out (b, sq, h, d), lse (b, h, sq))."""
+    """Small-page decode. Returns (out (b, sq, h, d_v), lse (b, h, sq))."""
     batch, sq, num_heads, head_dim = q.shape
     npages, num_heads_kv, page, _ = k_pages.shape
     group = num_heads // num_heads_kv
@@ -200,8 +279,19 @@ def flash_attention_decode_multipage(
         interpret = interpret_mode()
     out_dtype = q.dtype
 
+    d_pad = round_up(head_dim, NUM_LANES)
+    head_dim_v = v_pages.shape[3]  # may differ (MLA absorbed decode)
+    dv_pad = round_up(head_dim_v, NUM_LANES)
+    k_pages = pad_to_block(k_pages, 3, d_pad)
+    v_pages = pad_to_block(v_pages, 3, dv_pad)
+    itemsize = k_pages.dtype.itemsize
+
+    # Super-block sizing under a VMEM budget (two slots of K and V buffers).
     sup = max(super_block, page)
-    assert sup % page == 0
+    per_tok = num_heads_kv * (d_pad + dv_pad) * itemsize
+    while sup > page and 2 * sup * per_tok > 8 * 1024 * 1024:
+        sup //= 2
+    sup = max(page, (sup // page) * page)
     pages_per_sup = sup // page
     max_pages = block_table.shape[1]
     # Pad the table so every super-block has full page indices to prefetch.
@@ -210,11 +300,22 @@ def flash_attention_decode_multipage(
         block_table = jnp.pad(block_table, ((0, 0), (0, pad)))
         max_pages += pad
 
-    d_pad = round_up(head_dim, NUM_LANES)
-    head_dim_v = v_pages.shape[3]  # may differ (MLA absorbed decode)
-    dv_pad = round_up(head_dim_v, NUM_LANES)
-    k_pages = pad_to_block(k_pages, 3, d_pad)
-    v_pages = pad_to_block(v_pages, 3, dv_pad)
+    # Coalescing chunk: C pages per contiguous DMA, targeting >=64KB.
+    page_bytes = num_heads_kv * page * d_pad * itemsize
+    chunk_pages = max(1, min(pages_per_sup,
+                             _TARGET_CHUNK_BYTES // max(page_bytes, 1)))
+    while pages_per_sup % chunk_pages != 0:
+        chunk_pages -= 1
+
+    table = jnp.asarray(block_table, jnp.int32)
+    if chunk_pages > 1:
+        tt = table.reshape(batch, -1, chunk_pages)
+        contig = jnp.all(
+            tt == tt[..., :1] + jnp.arange(chunk_pages, dtype=jnp.int32),
+            axis=-1,
+        ).astype(jnp.int32)
+    else:
+        contig = jnp.zeros((batch, max_pages), jnp.int32)
 
     def fold(x, dim, pad):
         xr = x.reshape(batch, sq, num_heads_kv, group, dim)
@@ -227,13 +328,14 @@ def flash_attention_decode_multipage(
     qr = fold(q, head_dim, d_pad)
 
     in_specs = [
-        pl.BlockSpec((1, 1, rows, d_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
+        pl.BlockSpec((1, num_heads_kv, rows, d_pad),
+                     lambda b, s, t, c: (b, 0, 0, 0)),
     ]
     args = [qr]
     if has_qv:
         in_specs.append(
-            pl.BlockSpec((1, 1, rows, dv_pad),
-                         lambda b, hk, s, t: (b, hk, 0, 0))
+            pl.BlockSpec((1, num_heads_kv, rows, dv_pad),
+                         lambda b, s, t, c: (b, 0, 0, 0))
         )
         args.append(fold(qv, head_dim_v, dv_pad))
     in_specs += [
@@ -244,28 +346,34 @@ def flash_attention_decode_multipage(
 
     kernel = functools.partial(
         _mp_decode_kernel,
-        sq=sq, group=group, rows=rows,
-        page=page, pages_per_sup=pages_per_sup, max_pages=max_pages,
+        sq=sq, group=group, rows=rows, hk=num_heads_kv,
+        page=page, pages_per_sup=pages_per_sup, chunk_pages=chunk_pages,
+        max_pages=max_pages,
         scale=float(softmax_scale), window_left=int(window_left),
         softcap=float(softcap), has_qv=has_qv, out_dtype=out_dtype,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(batch, num_heads_kv),
+        num_scalar_prefetch=3,
+        grid=(batch,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, rows, dv_pad), lambda b, hk, s, t: (b, hk, 0, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, hk, s, t: (b, hk, 0, 0)),
+            pl.BlockSpec((1, num_heads_kv, rows, dv_pad),
+                         lambda b, s, t, c: (b, 0, 0, 0)),
+            pl.BlockSpec((1, num_heads_kv, rows, 1),
+                         lambda b, s, t, c: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, sup, d_pad), k_pages.dtype),
-            pltpu.VMEM((2, sup, dv_pad), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, pages_per_sup)),
-            pltpu.SemaphoreType.DMA((2, pages_per_sup)),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, dv_pad), jnp.float32),
+            pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, d_pad),
+                       k_pages.dtype),
+            pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, dv_pad),
+                       v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((num_heads_kv, rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((num_heads_kv, rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((num_heads_kv, rows, dv_pad), jnp.float32),
         ],
     )
 
@@ -273,15 +381,16 @@ def flash_attention_decode_multipage(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, dv_pad), out_dtype),
-            jax.ShapeDtypeStruct((batch, num_heads_kv, rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads_kv, rows, dv_pad), out_dtype),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads_kv, rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(jnp.asarray(cache_seqlens, jnp.int32),
-      jnp.asarray(block_table, jnp.int32), *args)
+    )(jnp.asarray(cache_seqlens, jnp.int32), table, contig, *args)
 
     out = out[:, :, : sq * group, :head_dim_v]
     out = out.reshape(batch, num_heads_kv, sq, group, head_dim_v)

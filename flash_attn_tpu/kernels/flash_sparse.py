@@ -134,18 +134,21 @@ def _sparse_fwd_kernel(
     block_q: int, block_kv: int, num_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
     group_size: int, has_alibi: bool, alibi_batched: bool,
-    has_lens: bool, meta_per_blk: int = 1, out_dtype=None,
+    has_lens: bool, dropout_p: float = 0.0, meta_per_blk: int = 1,
+    out_dtype=None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
     k_ref = refs[idx]; idx += 1
     v_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1  # (32, block_kv) int8 bitmap rows
-    slopes_ref = lens_ref = None
+    slopes_ref = lens_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
     if has_lens:
         lens_ref = refs[idx]; idx += 1  # (2, b) int32: per-seq len_q/len_k
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     m_scr = refs[idx]; idx += 1
@@ -238,6 +241,14 @@ def _sparse_fwd_kernel(
         p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
+        if dropout_p > 0.0:
+            from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
+
+            keep = _dropout_keep_mask(
+                seed_ref, b, h, qi * block_q, ki * block_kv, p.shape,
+                1.0 - dropout_p,
+            )
+            p = jnp.where(keep, p, 0.0)
         v = v_ref[0, 0]
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
@@ -251,6 +262,8 @@ def _sparse_fwd_kernel(
         m = m_scr[...][:, 0:1]
         l = l_scr[...][:, 0:1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if dropout_p > 0.0:
+            l_inv = l_inv * (1.0 / (1.0 - dropout_p))
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse_ref[0, 0] = jnp.where(
             l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
@@ -272,6 +285,8 @@ def flash_attention_sparse_fwd(
     softcap: float = 0.0,
     seqlens_q: Optional[jnp.ndarray] = None,  # (b,) per-seq q lengths
     seqlens_k: Optional[jnp.ndarray] = None,  # (b,) per-seq k lengths
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
     meta_block_m: int = 64,  # reference BLOCK_M (flash_api_sparse.cpp)
     meta_block_n: int = 64,  # reference BLOCK_N (slash tile width)
     interpret: Optional[bool] = None,
@@ -295,6 +310,7 @@ def flash_attention_sparse_fwd(
     ))
     if (
         alibi_slopes is None and seqlens_q is None and seqlens_k is None
+        and dropout_p == 0.0
         and meta_block_m == 64 and meta_block_n == 64
         and _nqb64 % 2 == 0 and _G_est * 64 <= 4096
     ):
@@ -396,6 +412,15 @@ def flash_attention_sparse_fwd(
         )
         args.append(lens)
 
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda b, h, qi, ti, tref, cref: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
+
     kernel = functools.partial(
         _sparse_fwd_kernel,
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
@@ -403,6 +428,7 @@ def flash_attention_sparse_fwd(
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         group_size=group_size, has_alibi=has_alibi,
         alibi_batched=alibi_batched, has_lens=has_lens,
+        dropout_p=float(dropout_p),
         meta_per_blk=meta_per_blk, out_dtype=out_dtype,
     )
 
@@ -471,6 +497,7 @@ def _sparse_mask_tile(
 
 def _sparse_recompute(
     q, k, v, do, lse2, delta, mask, *, scale, softcap,
+    dropout_p=0.0, seed_ref=None, b=0, h=0, q_start=0, k_start=0,
 ):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -484,15 +511,27 @@ def _sparse_recompute(
     s2 = jnp.where(mask, s2, _MASK2)
     p = jnp.exp2(s2 - lse2)
     p = jnp.where(mask, p, 0.0)
+    if dropout_p > 0.0:
+        from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
+
+        keep = _dropout_keep_mask(
+            seed_ref, b, h, q_start, k_start, p.shape, 1.0 - dropout_p
+        )
+        inv = 1.0 / (1.0 - dropout_p)
+        p_drop = jnp.where(keep, p, 0.0) * inv
+    else:
+        p_drop = p
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
     ds = p * (dp - delta)
     if softcap > 0.0:
         ds = ds * ((1.0 - t * t) * scale)
     else:
         ds = ds * scale
-    return p, ds
+    return p_drop, ds
 
 
 def _sparse_dkv_kernel(
@@ -500,7 +539,7 @@ def _sparse_dkv_kernel(
     *refs,
     block_q: int, block_kv: int, num_q_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
-    seqlen_q: int, seqlen_k: int, has_lens: bool,
+    seqlen_q: int, seqlen_k: int, has_lens: bool, dropout_p: float = 0.0,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -510,9 +549,11 @@ def _sparse_dkv_kernel(
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1
-    lens_ref = None
+    lens_ref = seed_ref = None
     if has_lens:
         lens_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     dk_ref = refs[idx]; idx += 1
     dv_ref = refs[idx]; idx += 1
     dk_scr = refs[idx]; idx += 1
@@ -548,6 +589,8 @@ def _sparse_dkv_kernel(
             q, k_ref[0, 0], v_ref[0, 0], do,
             lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
             scale=scale, softcap=softcap,
+            dropout_p=dropout_p, seed_ref=seed_ref, b=b, h=h,
+            q_start=qi * block_q, k_start=ki * block_kv,
         )
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -570,6 +613,7 @@ def _sparse_dq_kernel(
     block_q: int, block_kv: int, num_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
     seqlen_q: int, seqlen_k: int, has_lens: bool, out_dtype,
+    dropout_p: float = 0.0,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -579,9 +623,11 @@ def _sparse_dq_kernel(
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1
-    lens_ref = None
+    lens_ref = seed_ref = None
     if has_lens:
         lens_ref = refs[idx]; idx += 1
+    if dropout_p > 0.0:
+        seed_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
     dq_scr = refs[idx]; idx += 1
 
@@ -613,6 +659,8 @@ def _sparse_dq_kernel(
             q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0].astype(jnp.float32),
             lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
             scale=scale, softcap=softcap,
+            dropout_p=dropout_p, seed_ref=seed_ref, b=b, h=h,
+            q_start=qi * block_q, k_start=ki * block_kv,
         )
         dq_scr[...] += jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -634,6 +682,8 @@ def flash_attention_sparse_bwd(
     softcap: float = 0.0,
     seqlens_q: Optional[jnp.ndarray] = None,
     seqlens_k: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
     meta_block_m: int = 64,
     meta_block_n: int = 64,
     interpret: Optional[bool] = None,
@@ -709,9 +759,18 @@ def flash_attention_sparse_bwd(
                 pl.BlockSpec(lens.shape, lambda *a: (0, 0),
                              memory_space=pltpu.SMEM)
             )
+        if dropout_p > 0.0:
+            specs.append(
+                pl.BlockSpec((1, 1), lambda *a: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
         return specs
 
     args = [qp, kp, vp, dop, lsep, deltap, bitmap] + ([lens] if has_lens else [])
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            dropout_seed = jnp.zeros((), jnp.int32)
+        args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
 
     # ---- dK/dV: grid (b, h, kv_tile, q_step) ----
     def dkv_q(b, h, ki, ti, tref, cref):
@@ -736,6 +795,7 @@ def flash_attention_sparse_bwd(
         block_q=block_q, block_kv=block_kv, num_q_tiles=num_q_tiles, nqb=nqb,
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
+        dropout_p=float(dropout_p),
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -794,7 +854,7 @@ def flash_attention_sparse_bwd(
         block_q=block_q, block_kv=block_kv, num_tiles=num_tiles, nqb=nqb,
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, dropout_p=float(dropout_p),
     )
     (dq,) = pl.pallas_call(
         dq_kernel,

@@ -56,6 +56,7 @@ def make_varlen_metadata(
     total_q: int,
     total_k: int,
     *,
+    seqused_q: Optional[jnp.ndarray] = None,  # (nseq,) used q rows per seq
     seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) visible k per seq
     block_q: int,
     block_kv: int,
@@ -88,6 +89,12 @@ def make_varlen_metadata(
     used_k = (
         jnp.asarray(seqused_k, jnp.int32) if seqused_k is not None else sk_len
     )
+    # seqused_q (hopper/flash_attn_interface.py:30): only the first used_q
+    # rows of each sequence participate; the bottom-right diagonal aligns
+    # used_q against used_k.
+    used_q = (
+        jnp.asarray(seqused_q, jnp.int32) if seqused_q is not None else sq_len
+    )
     if cp_world_size > 1:
         # Round-robin CP (hopper/mask.h:103, seqlen.h:59): this rank's local
         # key i has absolute index i*W + rank; per-sequence totals come from
@@ -112,11 +119,15 @@ def make_varlen_metadata(
     kpos = kidx - cu_k[kseg_c]
     # seqused_k: keys at pos >= used are invisible.
     kseg = jnp.where(kpos < used_k[kseg_c], kseg, -2)
+    # seqused_q: query rows at pos >= used are inert (masked everywhere;
+    # out rows are zero, lse rows -inf, grads zero).
+    if seqused_q is not None:
+        qseg = jnp.where(qpos < used_q[qseg_c], qseg, -1)
     if cp_world_size > 1:
         kpos = kpos * cp_world_size + cp_rank  # absolute key positions
-        offset = tot_k - sq_len
+        offset = tot_k - used_q
     else:
-        offset = used_k - sq_len  # bottom-right alignment per sequence
+        offset = used_k - used_q  # bottom-right alignment per sequence
     qpos_adj = qpos + offset[qseg_c]
 
     # ---- per-q-block kv bounds ----
@@ -536,6 +547,7 @@ def flash_attention_varlen_fwd(
     cu_seqlens_k: jnp.ndarray,
     *,
     qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
+    seqused_q: Optional[jnp.ndarray] = None,
     seqused_k: Optional[jnp.ndarray] = None,
     alibi_slopes: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
@@ -573,7 +585,8 @@ def flash_attention_varlen_fwd(
 
     (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
-        seqused_k=seqused_k, block_q=block_q, block_kv=block_kv,
+        seqused_q=seqused_q, seqused_k=seqused_k,
+        block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
         cp_world_size=cp_world_size, cp_rank=cp_rank,
         cp_tot_seqused_k=cp_tot_seqused_k,
@@ -683,6 +696,7 @@ def flash_attention_varlen_bwd(
     cu_seqlens_q, cu_seqlens_k,
     *,
     qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
+    seqused_q: Optional[jnp.ndarray] = None,
     seqused_k: Optional[jnp.ndarray] = None,
     alibi_slopes: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
@@ -718,7 +732,8 @@ def flash_attention_varlen_bwd(
 
     (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
-        seqused_k=seqused_k, block_q=block_q, block_kv=block_kv,
+        seqused_q=seqused_q, seqused_k=seqused_k,
+        block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
     )
 

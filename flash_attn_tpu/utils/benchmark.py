@@ -23,7 +23,19 @@ def _chain(fn, primal, args, iters):
             out = fn(carry, *rest)
             if isinstance(out, tuple):
                 out = out[0]
-            return out.astype(carry.dtype).reshape(carry.shape), ()
+            out = out.astype(carry.dtype)
+            if out.size == carry.size:
+                nxt = out.reshape(carry.shape)
+            elif out.size > carry.size:
+                nxt = out.reshape(-1)[: carry.size].reshape(carry.shape)
+            else:
+                # Output smaller than the input (e.g. MLA absorbed decode,
+                # d_v < d_qk): tile it to keep the data-dependence chain.
+                reps = -(-carry.size // out.size)
+                nxt = jnp.tile(out.reshape(-1), reps)[: carry.size].reshape(
+                    carry.shape
+                )
+            return nxt, ()
 
         final, _ = jax.lax.scan(body, x, None, length=iters)
         return jnp.sum(final.astype(jnp.float32))

@@ -171,6 +171,22 @@ def flash_attn_varlen_func(
 
     kc = k.transpose(0, 2, 1, 3)  # (npages, hk, page, d)
     vc = v.transpose(0, 2, 1, 3)
+    if q_descale is not None:
+        # FP8 serving descale (reference hopper/flash_api.cpp FP8 params,
+        # vllm_flash_attn/flash_attn_interface.py:136-169): q_descale is per
+        # (batch, kv-head) and enters the scores multiplicatively, so it
+        # folds exactly into the kernel's k-descale softmax-scale factor.
+        qd = jnp.asarray(q_descale, jnp.float32)
+        if qd.ndim == 1:
+            qd = qd[None, :]
+        kd = (
+            jnp.asarray(k_descale, jnp.float32)
+            if k_descale is not None
+            else jnp.ones((1, kc.shape[1]), jnp.float32)
+        )
+        if kd.ndim == 1:
+            kd = kd[None, :]
+        k_descale = kd * qd
     out_pad, lse_pad = flash_attention_decode(
         q_pad, kc, vc, seqused_k,
         block_table=jnp.asarray(block_table, jnp.int32),
@@ -183,8 +199,6 @@ def flash_attn_varlen_func(
         window_left=int(window_size[0]),
         softcap=softcap,
     )
-    if q_descale is not None:
-        raise NotImplementedError("q_descale on the paged varlen path")
 
     # Repack to (total_q, h, d).
     flat_out = out_pad.reshape(nseq * sq, num_heads, -1)

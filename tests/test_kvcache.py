@@ -260,3 +260,53 @@ def test_kvcache_small_pages_multipage_kernel(page):
     )
     ref, pt = ref_decode(q, kc, vc, seqlens)
     check(out, ref, pt)
+
+
+def alibi_decode_bias(slopes, seqlens, sq, smax, b, h):
+    """ALiBi bias for decode: row i sits at absolute position
+    seqlens_b - sq + i; bias = -slope * |col - pos|."""
+    slopes = jnp.asarray(slopes, jnp.float32)
+    if slopes.ndim == 1:
+        slopes = jnp.broadcast_to(slopes[None], (b, h))
+    pos = seqlens[:, None] - sq + jnp.arange(sq)[None, :]  # (b, sq)
+    rel = jnp.abs(
+        jnp.arange(smax)[None, None, :] - pos[:, :, None]
+    ).astype(jnp.float32)  # (b, sq, sk)
+    return -slopes[:, :, None, None] * rel[:, None, :, :]
+
+
+@pytest.mark.parametrize("hk,h", [(4, 4), (2, 8)])
+def test_kvcache_alibi_gqa(hk, h):
+    """ALiBi in decode for any GQA packing (reference mha_fwd_kvcache
+    supports alibi unconditionally, csrc/flash_attn/flash_api.cpp:375,1309)."""
+    b, smax, d, sq = 2, 512, 64, 3
+    key = jax.random.PRNGKey(40)
+    kq, kc_key = jax.random.split(key)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32).astype(jnp.bfloat16)
+    kc, vc = make_cache(kc_key, b, smax, hk, d)
+    seqlens = jnp.array([317, 128], jnp.int32)
+    slopes = 2.0 ** (-8.0 * (jnp.arange(h, dtype=jnp.float32) + 1) / h)
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=seqlens, causal=True, alibi_slopes=slopes
+    )
+    bias = alibi_decode_bias(slopes, seqlens, sq, smax, b, h)
+    ref, pt = ref_decode(q, kc, vc, seqlens, attn_bias=bias)
+    check(out, ref, pt)
+
+
+def test_kvcache_alibi_gqa_batched_slopes():
+    b, smax, h, hk, d, sq = 2, 384, 8, 2, 64, 1
+    key = jax.random.PRNGKey(41)
+    kq, kc_key, ks = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32).astype(jnp.bfloat16)
+    kc, vc = make_cache(kc_key, b, smax, hk, d)
+    seqlens = jnp.array([220, 97], jnp.int32)
+    slopes = jax.random.uniform(ks, (b, h), jnp.float32, 0.01, 0.2)
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=seqlens, causal=True, alibi_slopes=slopes
+    )
+    bias = alibi_decode_bias(slopes, seqlens, sq, smax, b, h)
+    ref, pt = ref_decode(q, kc, vc, seqlens, attn_bias=bias)
+    check(out, ref, pt)

@@ -359,3 +359,73 @@ def test_sparse_backward_gqa():
     go = jax.grad(oloss, argnums=(0, 1, 2))(q, k, v)
     for name, a, bb in zip(("dq", "dk", "dv"), g, go):
         assert jnp.abs(a - bb).max() < 1e-3, name
+
+
+def test_sparse_dropout_fwd_bwd():
+    """Sparse dropout (legacy blocksparse trains with dropout,
+    flash_attn/flash_blocksparse_attention.py:15): deterministic for a
+    seed, different across seeds, correct keep statistics, and the backward
+    regenerates the identical mask (grad determinism)."""
+    b, h, sq, sk, d = 1, 2, 128, 512, 64
+    p_drop = 0.3
+    q, k, v = make_qkv(jax.random.PRNGKey(50), b, sq, sk, h, h, d)
+    nqb = sq // 64
+    # Full coverage so the dropout statistics are measurable vs dense.
+    nnz_s = sk // 64
+    block_count = jnp.full((b, h, nqb), nnz_s, jnp.int32)
+    block_offset = jnp.broadcast_to(
+        jnp.arange(nnz_s, dtype=jnp.int32) * 64, (b, h, nqb, nnz_s))
+    column_count = jnp.zeros((b, h, nqb), jnp.int32)
+    column_index = jnp.zeros((b, h, nqb, 1), jnp.int32)
+
+    def run(seed):
+        return sparse_attn_func(
+            q, k, v, block_count, block_offset, column_count, column_index,
+            dropout_p=p_drop, dropout_seed=jnp.asarray(seed, jnp.int32),
+        )
+
+    o1, o2 = run(7), run(7)
+    assert jnp.array_equal(o1, o2), "dropout must be deterministic per seed"
+    o3 = run(8)
+    assert not jnp.array_equal(o1, o3), "different seeds must differ"
+    # Mean preserved within drift tolerance (inverted dropout).
+    base = sparse_attn_func(
+        q, k, v, block_count, block_offset, column_count, column_index)
+    drift = jnp.abs(o1.astype(jnp.float32).mean() -
+                    base.astype(jnp.float32).mean())
+    assert drift < 0.05, f"dropout mean drift {drift}"
+
+    g = jax.random.normal(jax.random.PRNGKey(51), q.shape,
+                          jnp.float32).astype(q.dtype)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(run(7).astype(jnp.float32) * g.astype(jnp.float32))
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, c in zip(g1, g2):
+        assert jnp.array_equal(a, c), "bwd must regenerate the same mask"
+
+
+def test_legacy_blocksparse_dropout():
+    """flash_blocksparse_attn_func with dropout (reference legacy module
+    trains with dropout)."""
+    from flash_attn_tpu.flash_blocksparse_attention import (
+        flash_blocksparse_attn_func,
+    )
+
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(52), b, s, s, h, h, d)
+    nb = s // 64
+    blockmask = jax.random.bernoulli(
+        jax.random.PRNGKey(53), 0.6, (nb, nb))
+    blockmask = blockmask.at[:, 0].set(True)  # every row attends something
+    out1 = flash_blocksparse_attn_func(
+        q, k, v, blockmask, dropout_p=0.2,
+        dropout_seed=jnp.asarray(3, jnp.int32))
+    out2 = flash_blocksparse_attn_func(
+        q, k, v, blockmask, dropout_p=0.2,
+        dropout_seed=jnp.asarray(3, jnp.int32))
+    assert jnp.array_equal(out1, out2)
+    base = flash_blocksparse_attn_func(q, k, v, blockmask, dropout_p=0.0)
+    assert not jnp.array_equal(out1, base)

@@ -101,6 +101,64 @@ def test_varlen_seqused_k():
     check(out, ref, pt)
 
 
+def test_varlen_seqused_q():
+    """seqused_q truncates used query rows per sequence (reference
+    hopper/flash_attn_interface.py:30,61): only the first used_q rows
+    participate; the bottom-right diagonal aligns used_q against used_k."""
+    lens = [128, 128]
+    used_q = jnp.array([100, 64], jnp.int32)
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(30), lens, lens, 2, 2, 64)
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=True, seqused_q=used_q,
+                          block_q=128, block_kv=128)
+    qmask_used = jnp.arange(128)[None, :] < used_q[:, None]
+    ref, _ = attention_ref(q, k, v, qmask_used, kmask, causal=True)
+    pt, _ = attention_ref(q, k, v, qmask_used, kmask, causal=True,
+                          upcast=False, reorder_ops=True)
+    # Only the used rows are observable.
+    out = jnp.where(qmask_used[:, :, None, None], out, 0.0)
+    ref = jnp.where(qmask_used[:, :, None, None], ref, 0.0)
+    pt = jnp.where(qmask_used[:, :, None, None], pt, 0.0)
+    check(out, ref, pt)
+
+
+def test_varlen_seqused_q_and_k_bwd():
+    """seqused_q x seqused_k fwd+bwd: inert rows/keys carry zero grads."""
+    lens = [128, 96]
+    used_q = jnp.array([90, 64], jnp.int32)
+    used_k = jnp.array([110, 70], jnp.int32)
+    q, k, v, qmask, kmask = make_varlen(jax.random.PRNGKey(31), lens, lens, 2, 2, 64)
+    qmask_used = (jnp.arange(128)[None, :] < used_q[:, None]) & qmask
+    kmask_used = (jnp.arange(128)[None, :] < used_k[:, None]) & kmask
+    g = jax.random.normal(jax.random.PRNGKey(32), q.shape, jnp.float32).astype(q.dtype)
+    g = jnp.where(qmask_used[:, :, None, None], g, 0.0)
+
+    def loss_kernel(q, k, v):
+        out = pack_run_unpack(q, k, v, qmask, kmask, causal=True,
+                              seqused_q=used_q, seqused_k=used_k,
+                              block_q=128, block_kv=128)
+        out = jnp.where(qmask_used[:, :, None, None], out, 0.0)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v, upcast=True):
+        out, _ = attention_ref(q, k, v, qmask_used, kmask_used, causal=True,
+                               upcast=upcast, reorder_ops=not upcast)
+        out = jnp.where(qmask_used[:, :, None, None], out, 0.0)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    grads = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    grads_pt = jax.grad(lambda a, b, c: loss_ref(a, b, c, upcast=False),
+                        argnums=(0, 1, 2))(q, k, v)
+    for name, a, r, p in zip(("dq", "dk", "dv"), grads, grads_ref, grads_pt):
+        m = qmask_used if name == "dq" else kmask_used
+        a = jnp.where(m[:, :, None, None], a, 0.0)
+        r = jnp.where(m[:, :, None, None], r, 0.0)
+        p = jnp.where(m[:, :, None, None], p, 0.0)
+        err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
+        assert err <= 2.0 * base + 1e-4, f"{name}: err={err} base={base}"
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_varlen_bwd(causal):
     lens = [113, 64]

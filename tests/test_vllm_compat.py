@@ -290,3 +290,55 @@ def test_sparse_attn_varlen_backward():
     tol = 1e-3 if jax.default_backend() == "cpu" else 5e-3
     for name, a, bb in zip(("dq", "dk", "dv"), g, go):
         assert jnp.abs(a - bb).max() < tol, name
+
+
+def test_varlen_paged_q_descale():
+    """FP8-style q_descale on the paged varlen serving path (reference
+    hopper/flash_api.cpp FP8 descale params,
+    vllm_flash_attn/flash_attn_interface.py:136-169): q_descale is per
+    (batch, kv-head) and folds multiplicatively into the score scale."""
+    page = 128
+    h, hk, d = 4, 2, 64
+    seq_lens = [(1, 132), (3, 57)]
+    query_lens = [q for q, _ in seq_lens]
+    kv_lens = [k for _, k in seq_lens]
+    nseq = len(seq_lens)
+    total_q = sum(query_lens)
+    max_klen = max(kv_lens)
+    max_pages = (max_klen + page - 1) // page
+    total_pages = nseq * max_pages + 1
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(total_q, h, d).astype(np.float32)
+    key_cache = rng.randn(total_pages, page, hk, d).astype(np.float32)
+    value_cache = rng.randn(total_pages, page, hk, d).astype(np.float32)
+    block_tables = np.arange(1, nseq * max_pages + 1).reshape(
+        nseq, max_pages).astype(np.int32)
+    cu_q = np.concatenate([[0], np.cumsum(query_lens)]).astype(np.int32)
+    scale = d**-0.5
+
+    # Simulate FP8 serving: q pre-divided by a per-kv-head descale that the
+    # kernel must multiply back in.
+    q_descale = np.array([1.7, 0.6], np.float32)  # (hk,)
+    q_scaled = q.reshape(total_q, hk, h // hk, d) / q_descale[None, :, None, None]
+    q_scaled = q_scaled.reshape(total_q, h, d)
+
+    out = flash_attn_varlen_func(
+        jnp.asarray(q_scaled, jnp.bfloat16),
+        jnp.asarray(key_cache, jnp.bfloat16),
+        jnp.asarray(value_cache, jnp.bfloat16),
+        max_seqlen_q=max(query_lens),
+        cu_seqlens_q=jnp.asarray(cu_q),
+        max_seqlen_k=max_klen,
+        seqused_k=jnp.asarray(kv_lens, jnp.int32),
+        causal=True,
+        block_table=jnp.asarray(block_tables),
+        softmax_scale=scale,
+        q_descale=jnp.asarray(q_descale),
+    )
+    ref = ref_paged_attn(
+        q, np.asarray(key_cache), np.asarray(value_cache),
+        query_lens, kv_lens, block_tables, scale,
+    )
+    err = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert err < 4e-2, err

@@ -18,14 +18,17 @@ from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
 from flash_attn_tpu.utils.benchmark import benchmark_forward
 
 
-def bench_decode_kernel(b, smax, h, hk, d, page=256):
+def bench_decode_kernel(b, smax, h, hk, d, page=256, contiguous=True):
     key = jax.random.PRNGKey(0)
-    kq, kk, kv = jax.random.split(key, 3)
+    kq, kk, kv, kt = jax.random.split(key, 4)
     q = jax.random.normal(kq, (b, 1, h, d), jnp.bfloat16)
     npages = b * (smax // page)
     k_pages = jax.random.normal(kk, (npages, hk, page, d), jnp.bfloat16)
     v_pages = jax.random.normal(kv, (npages, hk, page, d), jnp.bfloat16)
-    table = jnp.arange(npages, dtype=jnp.int32).reshape(b, -1)
+    if contiguous:
+        table = jnp.arange(npages, dtype=jnp.int32).reshape(b, -1)
+    else:
+        table = jax.random.permutation(kt, npages).astype(jnp.int32).reshape(b, -1)
     seqlens = jnp.full((b,), smax, jnp.int32)
 
     def step(q):
@@ -127,6 +130,19 @@ def main():
             "bench": "paged_decode", "b": b, "smax": smax, "h": h,
             "hk": hk, "d": d, **{k: round(v, 2) for k, v in r.items()},
         }))
+    # Small-page grid (the vLLM serving regime, reference block sizes 16-32;
+    # contiguous tables exercise the coalesced-DMA fast path, permuted
+    # tables the per-page fallback).
+    pages = [16, 64] if args.quick else [16, 32, 64, 128, 256]
+    for page in pages:
+        for contig in (True, False):
+            r = bench_decode_kernel(8, 4096, 8, 2, 128, page=page,
+                                    contiguous=contig)
+            print(json.dumps({
+                "bench": "paged_decode_small", "page": page,
+                "contig": contig,
+                **{k: round(v, 2) for k, v in r.items()},
+            }))
     r = bench_mla_absorbed_decode()
     print(json.dumps({"bench": "mla_absorbed_decode",
                       **{k: round(v, 2) for k, v in r.items()}}))

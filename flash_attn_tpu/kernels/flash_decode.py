@@ -295,12 +295,13 @@ def flash_attention_decode(
     query token i of sq attends to cache positions <= seqlen - sq + i)."""
     batch, sq, num_heads, head_dim = q.shape
     paged = block_table is not None
-    # Small pages collapse the index-map pipeline's per-step overhead
-    # (~140 GB/s at page=128); route the serving hot path to the manually
-    # pipelined multi-page gather kernel when its feature set suffices.
+    # The index-map pipeline pays a fixed per-grid-step cost per page; the
+    # manually pipelined multi-page gather kernel (DMA coalescing + aggregate
+    # waits) beats it at every page size measured (16 -> ~640 GB/s,
+    # 256 -> ~650+ on v5e), so ALL paged decodes route there when its
+    # feature set suffices.
     if (
         paged
-        and k_cache.shape[2] < 256
         and causal
         and sink is None and alibi_slopes is None
         and cache_leftpad is None and cache_batch_idx is None

@@ -44,6 +44,7 @@ class _Config:
     softmax_scale: Optional[float]
     causal: bool
     window_size: Tuple[int, int]
+    attention_chunk: int
     sink_token_length: int
     softcap: float
     dropout_p: float
@@ -51,6 +52,8 @@ class _Config:
     has_descale: bool
     score_mod: Optional[object]
     mask_mod: Optional[object]
+    num_aux: int
+    num_aux_scalars: int
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
 
@@ -71,7 +74,15 @@ def _flash_attn_core(tensors: dict, config: _Config):
     return out, lse
 
 
+def _aux_from(tensors, config):
+    return (
+        tuple(tensors[f"aux_t{i}"] for i in range(config.num_aux)),
+        tuple(tensors[f"aux_s{i}"] for i in range(config.num_aux_scalars)),
+    )
+
+
 def _core_fwd(tensors, config):
+    aux_tensors, aux_scalars = _aux_from(tensors, config)
     return flash_attention_fwd(
         tensors["q"], tensors["k"], tensors["v"],
         qv=tensors.get("qv"),
@@ -86,12 +97,15 @@ def _core_fwd(tensors, config):
         softmax_scale=config.softmax_scale,
         causal=config.causal,
         window_size=config.window_size,
+        attention_chunk=config.attention_chunk,
         sink_token_length=config.sink_token_length,
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
         score_mod=config.score_mod,
         mask_mod=config.mask_mod,
+        aux_tensors=aux_tensors,
+        aux_scalars=aux_scalars,
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )
@@ -110,6 +124,7 @@ def _core_bwd_vjp(config, residuals, cotangents):
             "backward through quantized (descaled) attention is not supported"
             " — matches the reference (FP8 is forward-only)"
         )
+    aux_tensors, aux_scalars = _aux_from(tensors, config)
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         qv=tensors.get("qv"),
@@ -121,12 +136,15 @@ def _core_bwd_vjp(config, residuals, cotangents):
         softmax_scale=config.softmax_scale,
         causal=config.causal,
         window_size=config.window_size,
+        attention_chunk=config.attention_chunk,
         sink_token_length=config.sink_token_length,
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
         score_mod=config.score_mod,
         mask_mod=config.mask_mod,
+        aux_tensors=aux_tensors,
+        aux_scalars=aux_scalars,
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )
@@ -234,14 +252,17 @@ def flash_attn_func(
     attn_bias: Optional[jnp.ndarray] = None,
     bias_grad: bool = True,
     sink: Optional[jnp.ndarray] = None,
+    attention_chunk: int = 0,  # chunked causal attention (FA3/FA4 surface)
     sink_token_length: int = 0,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     q_descale: Optional[jnp.ndarray] = None,
     k_descale: Optional[jnp.ndarray] = None,
     v_descale: Optional[jnp.ndarray] = None,
-    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx) -> scores
-    mask_mod=None,   # callable(b, h, q_idx, kv_idx) -> bool keep-mask
+    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx[, aux]) -> scores
+    mask_mod=None,   # callable(b, h, q_idx, kv_idx[, aux]) -> bool keep-mask
+    aux_tensors=(),  # runtime arrays for mods (FA4 aux_tensors; AuxData arg)
+    aux_scalars=(),  # runtime fp32 scalars for mods (FA4 aux_scalars)
     dropout_seed: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     block_sizes: Optional[BlockSizes] = None,
@@ -309,11 +330,18 @@ def flash_attn_func(
         if dropout_seed is None:
             dropout_seed = jnp.zeros((), jnp.int32)
         tensors["dropout_seed"] = jnp.asarray(dropout_seed, jnp.int32)
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    for i, a in enumerate(aux_tensors):
+        tensors[f"aux_t{i}"] = jnp.asarray(a)
+    for i, x in enumerate(aux_scalars):
+        tensors[f"aux_s{i}"] = jnp.asarray(x, jnp.float32)
 
     config = _Config(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal),
         window_size=tuple(int(w) for w in window_size),
+        attention_chunk=int(attention_chunk),
         sink_token_length=int(sink_token_length),
         softcap=float(softcap),
         dropout_p=float(dropout_p),
@@ -321,6 +349,8 @@ def flash_attn_func(
         has_descale=has_descale,
         score_mod=score_mod,
         mask_mod=mask_mod,
+        num_aux=len(aux_tensors),
+        num_aux_scalars=len(aux_scalars),
         block_sizes=block_sizes,
         interpret=interpret,
     )
@@ -395,6 +425,7 @@ def flash_attn_with_kvcache(
     return_softmax_lse: bool = False,
     *,
     sink: Optional[jnp.ndarray] = None,
+    attention_chunk: int = 0,  # chunked causal attention (Llama-4 serving)
     sink_token_length: int = 0,
     k_scale: Optional[jnp.ndarray] = None,  # quantized-cache descales
     v_scale: Optional[jnp.ndarray] = None,
@@ -482,6 +513,7 @@ def flash_attn_with_kvcache(
         softmax_scale=softmax_scale,
         causal=causal or sq == 1,
         window_left=int(window_size[0]),
+        attention_chunk=int(attention_chunk),
         sink_token_length=sink_token_length,
         softcap=softcap,
         block_kv=block_kv,
@@ -508,6 +540,7 @@ class _VarlenConfig:
     softmax_scale: Optional[float]
     causal: bool
     window_size: Tuple[int, int]
+    attention_chunk: int
     softcap: float
     dropout_p: float
     block_q: int
@@ -533,6 +566,7 @@ def _varlen_fwd(tensors, config):
         softmax_scale=config.softmax_scale,
         causal=config.causal,
         window_size=config.window_size,
+        attention_chunk=config.attention_chunk,
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
@@ -562,6 +596,7 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         softmax_scale=config.softmax_scale,
         causal=config.causal,
         window_size=config.window_size,
+        attention_chunk=config.attention_chunk,
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
@@ -608,6 +643,7 @@ def flash_attn_varlen_func(
     *,
     qv: Optional[jnp.ndarray] = None,  # (total_q, h, d_v) MLA absorbed
     gather_kv_indices: Optional[jnp.ndarray] = None,  # (total_q, topk)
+    attention_chunk: int = 0,  # chunked causal attention (FA3/FA4 surface)
     seqused_q: Optional[jnp.ndarray] = None,
     seqused_k: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
@@ -656,6 +692,7 @@ def flash_attn_varlen_func(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal),
         window_size=tuple(int(w) for w in window_size),
+        attention_chunk=int(attention_chunk),
         softcap=float(softcap),
         dropout_p=float(dropout_p),
         block_q=int(block_q),

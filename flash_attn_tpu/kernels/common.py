@@ -20,10 +20,11 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 # Use a large-but-finite mask value instead of -inf so exp(m - m) never sees
 # inf - inf (NaN). Same trick the JAX flash kernels use.
@@ -33,6 +34,99 @@ LOG2E = math.log2(math.e)
 
 NUM_LANES = 128
 NUM_SUBLANES = 8
+
+
+class AuxData(NamedTuple):
+    """Runtime captures for score_mod/mask_mod (FA4 programmable attention:
+    flash_attn/cute/utils.py:27 AuxData, cute/interface.py:363-427
+    aux_tensors/aux_scalars). `tensors` are delivered whole into VMEM per
+    grid cell — keep them small (bias tables, per-head gates, doc-id
+    vectors). `scalars` are runtime fp32 scalars read from SMEM."""
+
+    tensors: tuple = ()
+    scalars: tuple = ()
+
+
+def pad_aux_table(a: jnp.ndarray) -> jnp.ndarray:
+    """Edge-pad a 1-D aux tensor to a lane multiple (host-side).
+
+    Mosaic cannot concatenate/pad lane-unaligned 1-D vectors inside a
+    kernel, so the host pads lookup tables once; edge mode keeps
+    clamped-index semantics at the tail.
+    """
+    n = a.shape[0]
+    np_ = round_up(max(n, NUM_LANES), NUM_LANES)
+    if np_ == n:
+        return a
+    return jnp.pad(a, (0, np_ - n), mode="edge")
+
+
+def aux_take(table, idx):
+    """Gather `table[idx]` in a form Mosaic can lower inside a kernel.
+
+    `table`: 1-D (n,) array with n a lane multiple (the host edge-pads 1-D
+    aux tensors via `pad_aux_table`); `idx`: 2-D (rows, cols) int32 with
+    cols a lane multiple; out-of-range indices clamp. Mosaic only lowers
+    gathers where the index array has the operand's exact shape
+    (take_along_axis with output shape == operand shape), so the table is
+    swept in cols-wide aligned windows, each gathered same-shape and
+    selected in. Cost: ~ceil(n / cols) VPU gathers — fine for bias tables
+    and doc-id vectors; don't use for multi-MB tables. Use inside
+    score_mod/mask_mod:
+        aux_take(aux.tensors[0], kv_idx - q_idx + offset)
+    """
+    table = table.reshape(1, -1)
+    n = table.shape[1]
+    rows, cols = idx.shape
+    idx = jnp.clip(idx, 0, n - 1)
+    zeros_rows = jnp.zeros((rows, 1), table.dtype)
+    out_chunks = []
+    # Mosaic's tpu.dynamic_gather only gathers within one 128-lane tile, and
+    # rejects offset-layout operands — so sweep both the index array and the
+    # table in 128-lane windows, using pltpu.roll (+ offset-0 slices) to
+    # materialize clean operands, then stitch column chunks back together.
+    for cc in range(0, cols, NUM_LANES):
+        ic_src = pltpu.roll(idx, cols - cc, axis=1) if cc else idx
+        ic = jax.lax.slice(ic_src, (0, 0), (rows, NUM_LANES))
+        acc = None
+        for w0 in range(0, n, NUM_LANES):
+            rolled = pltpu.roll(table, n - w0, axis=1) if w0 else table
+            win = jax.lax.slice(rolled, (0, 0), (1, NUM_LANES)) + zeros_rows
+            rel = ic - w0
+            in_rng = jnp.logical_and(rel >= 0, rel < NUM_LANES)
+            vals = jnp.take_along_axis(
+                win, jnp.clip(rel, 0, NUM_LANES - 1), axis=1
+            )
+            acc = vals if acc is None else jnp.where(in_rng, vals, acc)
+        out_chunks.append(acc)
+    if len(out_chunks) == 1:
+        return out_chunks[0]
+    return jnp.concatenate(out_chunks, axis=1)
+
+
+def aux_at(table, i):
+    """Scalar lookup `table[i]` with a traced index, inside a kernel.
+
+    Mosaic can't dynamic-slice a loaded vector value by a traced scalar, so
+    this lowers as a one-hot select + reduce on the VPU — cheap for small
+    per-head/per-batch tables. Use inside score_mod/mask_mod:
+        aux_at(aux.tensors[0], h)
+    """
+    table = table.reshape(1, -1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
+    return jnp.sum(jnp.where(lanes == i, table, jnp.zeros_like(table)))
+
+
+def call_mod(mod, *args, aux: Optional[AuxData] = None):
+    """Invoke a score_mod/mask_mod, appending AuxData when present.
+
+    Mods that consume runtime captures take a trailing `aux` argument:
+        score_mod(scores, b, h, q_idx, kv_idx, aux)
+        mask_mod(b, h, q_idx, kv_idx, aux)
+    Mods without captures keep the plain 4/5-arg signature."""
+    if aux is not None and (aux.tensors or aux.scalars):
+        return mod(*args, aux)
+    return mod(*args)
 
 
 def cdiv(a: int, b: int) -> int:
@@ -91,8 +185,23 @@ def choose_block_sizes(
     # gives 142-151 TF/s non-causal (72-77% MXU), 118 TF/s causal; bwd tiles
     # 1024x1024 give 151 TF/s fwd+bwd effective (3.5x formula) vs 79 at
     # 256x256 — the backward is recompute-heavy, so bigger tiles amortize.
-    block_q = min(round_up(seqlen_q, NUM_LANES), 1024 if head_dim <= 128 else 512)
-    block_kv = min(round_up(seqlen_k, NUM_LANES), 512)
+    #
+    # d<=64 is bounded at 50% of bf16 peak by the MXU itself: every pass
+    # contracts over the full 128-deep systolic array, and exact per-head
+    # attention at d=64 has only 64 useful contraction values in QK^T (and
+    # 64 useful output lanes in PV); any two-head packing scheme must place
+    # zeros in the other half, which burns the same MACs (measured sweep:
+    # (2048,256) -> 70.5 TF/s = 72% of the 98.3 ceiling, matching d=128's
+    # pipeline efficiency; the reference's per-hdim kernel_traits tiling has
+    # no TPU analog because tensor cores contract at K=16 granularity).
+    if head_dim <= 64:
+        block_q = min(round_up(seqlen_q, NUM_LANES), 2048)
+        block_kv = min(round_up(seqlen_k, NUM_LANES), 256)
+    else:
+        block_q = min(
+            round_up(seqlen_q, NUM_LANES), 1024 if head_dim <= 128 else 512
+        )
+        block_kv = min(round_up(seqlen_k, NUM_LANES), 512)
     # Keep the scores tile under ~2MB.
     while block_q * block_kv * 4 > 2 * 1024 * 1024 and block_kv > NUM_LANES:
         block_kv //= 2
@@ -178,11 +287,16 @@ def make_causal_window_bounds(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    attention_chunk: int = 0,
 ):
     """Per-q-block [min_kv_block, max_kv_block] bounds for block skipping.
 
     Bottom-right aligned: query row i attends to keys in
     [i + seqlen_k - seqlen_q - left, i + seqlen_k - seqlen_q + right].
+    `attention_chunk > 0` (Llama-4-style chunked attention,
+    flash_attn/utils/testing.py:195 construct_chunk_mask) further restricts
+    row i to its own chunk [diag - diag % chunk, +chunk); the chunk bounds
+    are intersected with the window bounds.
     Returns two python callables usable both in index_maps (traced ints) and
     in-kernel. A negative window bound means unbounded on that side.
     """
@@ -191,17 +305,29 @@ def make_causal_window_bounds(
 
     def max_kv_block(qi):
         # Highest kv block index any row in q block qi may touch.
-        if right < 0:
-            return num_kv_blocks - 1
         last_row = qi * block_q + block_q - 1
-        hi = last_row + offset + right
+        if right < 0 and attention_chunk <= 0:
+            return num_kv_blocks - 1
+        hi = seqlen_k - 1
+        if right >= 0:
+            hi = last_row + offset + right
+        if attention_chunk > 0:
+            diag = last_row + offset
+            chunk_hi = diag - diag % attention_chunk + attention_chunk - 1
+            hi = jnp.minimum(hi, chunk_hi) if right >= 0 else chunk_hi
         return jnp.clip(hi // block_kv, 0, num_kv_blocks - 1)
 
     def min_kv_block(qi):
-        if left < 0:
-            return 0
         first_row = qi * block_q
-        lo = first_row + offset - left
+        if left < 0 and attention_chunk <= 0:
+            return 0
+        lo = 0
+        if left >= 0:
+            lo = first_row + offset - left
+        if attention_chunk > 0:
+            diag = first_row + offset
+            chunk_lo = diag - diag % attention_chunk
+            lo = jnp.maximum(lo, chunk_lo) if left >= 0 else chunk_lo
         return jnp.clip(lo // block_kv, 0, num_kv_blocks - 1)
 
     return min_kv_block, max_kv_block

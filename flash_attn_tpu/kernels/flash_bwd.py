@@ -36,13 +36,16 @@ from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     LOG2E,
     NUM_LANES,
+    AuxData,
     BlockSizes,
+    call_mod,
     cdiv,
     choose_block_sizes,
     interpret_mode,
     is_local,
     make_causal_window_bounds,
     normalize_window,
+    pad_aux_table,
     pad_to_block,
     round_up,
 )
@@ -57,28 +60,45 @@ def _make_inverse_bounds(
     block_q: int,
     block_kv: int,
     num_q_blocks: int,
+    attention_chunk: int = 0,
 ):
     """Per-kv-block [min_q_block, max_q_block] visibility bounds.
 
     Inverse of make_causal_window_bounds: which q blocks can see kv block ki.
     Row r sees col c iff  r + off - left <= c <= r + off + right  (off =
-    seqlen_k - seqlen_q; negative bound = unbounded).
+    seqlen_k - seqlen_q; negative bound = unbounded). With chunked attention
+    (attention_chunk > 0), additionally floor((r+off)/chunk) == floor(c/chunk),
+    so col c is visible only from rows in
+    [chunk_start(c) - off, chunk_start(c) + chunk - 1 - off].
     """
     offset = seqlen_k - seqlen_q
     left, right = window
 
     def min_q_block(ki):
-        if right < 0:
-            return 0
         first_col = ki * block_kv
-        lo = first_col - offset - right
+        if right < 0 and attention_chunk <= 0:
+            return 0
+        lo = 0
+        if right >= 0:
+            lo = first_col - offset - right
+        if attention_chunk > 0:
+            chunk_lo = first_col - first_col % attention_chunk - offset
+            lo = jnp.maximum(lo, chunk_lo) if right >= 0 else chunk_lo
         return jnp.clip(lo // block_q, 0, num_q_blocks - 1)
 
     def max_q_block(ki):
-        if left < 0:
-            return num_q_blocks - 1
         last_col = ki * block_kv + block_kv - 1
-        hi = last_col - offset + left
+        if left < 0 and attention_chunk <= 0:
+            return num_q_blocks - 1
+        hi = seqlen_q - 1
+        if left >= 0:
+            hi = last_col - offset + left
+        if attention_chunk > 0:
+            chunk_hi = (
+                last_col - last_col % attention_chunk
+                + attention_chunk - 1 - offset
+            )
+            hi = jnp.minimum(hi, chunk_hi) if left >= 0 else chunk_hi
         return jnp.clip(hi // block_q, 0, num_q_blocks - 1)
 
     return min_q_block, max_q_block
@@ -90,13 +110,13 @@ def _recompute_p_and_ds(
     b, h, qi, ki,
     block_q, block_kv,
     seqlen_q, seqlen_k,
-    scale, causal, window, sink_token_length,
+    scale, causal, window, attention_chunk, sink_token_length,
     softcap, has_bias, bias_ref,
     has_alibi, slopes_ref, alibi_batched,
     dropout_p, seed_ref,
     has_segments, qseg_ref, kseg_ref,
     with_mask: bool,
-    score_mod=None, mask_mod=None,
+    score_mod=None, mask_mod=None, aux=None,
     qv=None,
 ):
     """Shared recompute: returns (p, ds_scaled, dbias_tile).
@@ -128,7 +148,9 @@ def _recompute_p_and_ds(
         sm_rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
         sm_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
         s_nat, mod_vjp = jax.vjp(
-            lambda x: score_mod(x, b, h, sm_rows, sm_cols).astype(jnp.float32),
+            lambda x: call_mod(
+                score_mod, x, b, h, sm_rows, sm_cols, aux=aux
+            ).astype(jnp.float32),
             s_nat,
         )
     s2 = s_nat * LOG2E
@@ -159,12 +181,23 @@ def _recompute_p_and_ds(
             if sink_token_length > 0:
                 in_window = jnp.logical_or(in_window, cols < sink_token_length)
             mask = jnp.logical_and(mask, in_window)
+        if attention_chunk > 0:
+            diag = rows + offset
+            chunk_lo = diag - diag % attention_chunk
+            mask = jnp.logical_and(
+                mask,
+                jnp.logical_and(
+                    cols >= chunk_lo, cols < chunk_lo + attention_chunk
+                ),
+            )
         if has_segments:
             qseg = qseg_ref[0, :, 0]
             kseg = kseg_ref[0, :, 0]
             mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
         if mask_mod is not None:
-            mask = jnp.logical_and(mask, mask_mod(b, h, rows, cols))
+            mask = jnp.logical_and(
+                mask, call_mod(mask_mod, b, h, rows, cols, aux=aux)
+            )
         p = jnp.where(mask, p, 0.0)
 
     # Dropout: regenerate the forward keep-mask. The PRNG is keyed on
@@ -203,10 +236,11 @@ def _bwd_dkv_kernel(
     block_q: int, block_kv: int,
     num_q_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    sink_token_length: int, softcap: float, dropout_p: float,
+    attention_chunk: int, sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, has_alibi: bool, alibi_batched: bool,
     has_segments: bool, has_qv: bool = False,
     score_mod=None, mask_mod=None,
+    num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     out_dtype=None,
 ):
     idx = 0
@@ -229,6 +263,12 @@ def _bwd_dkv_kernel(
     if has_segments:
         qseg_ref = refs[idx]; idx += 1
         kseg_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     dk_ref = refs[idx]; idx += 1
     dv_ref = refs[idx]; idx += 1
     dk_scr = refs[idx]; idx += 1
@@ -248,16 +288,27 @@ def _bwd_dkv_kernel(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
         block_q=block_q, block_kv=block_kv,
         num_kv_blocks=cdiv(round_up(seqlen_k, block_kv), block_kv),
+        attention_chunk=attention_chunk,
     )
     should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
     if sink_token_length > 0:
         should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
 
     needs_mask = (
-        causal or is_local(window) or has_segments
+        causal or is_local(window) or attention_chunk > 0 or has_segments
         or (mask_mod is not None)
         or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
     )
+
+    if num_aux or num_aux_scalars:
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(auxsc_ref[0, i] for i in range(num_aux_scalars)),
+        )
+    else:
+        aux = None
 
     def _compute(with_mask: bool):
         q = q_ref[0, 0]
@@ -272,6 +323,7 @@ def _bwd_dkv_kernel(
             block_q=block_q, block_kv=block_kv,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k,
             scale=scale, causal=causal, window=window,
+            attention_chunk=attention_chunk,
             sink_token_length=sink_token_length,
             softcap=softcap, has_bias=has_bias, bias_ref=bias_ref,
             has_alibi=has_alibi, slopes_ref=slopes_ref,
@@ -279,7 +331,7 @@ def _bwd_dkv_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref,
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
-            score_mod=score_mod, mask_mod=mask_mod,
+            score_mod=score_mod, mask_mod=mask_mod, aux=aux,
             qv=qv_ref[0, 0] if has_qv else None,
         )
         # dV += P_drop^T dO   (contract over q rows)
@@ -317,6 +369,20 @@ def _bwd_dkv_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if attention_chunk > 0:
+            d_lo = row_lo + offset
+            d_hi = row_hi + offset
+            cs_lo = d_lo - d_lo % attention_chunk
+            cs_hi = d_hi - d_hi % attention_chunk
+            interior = jnp.logical_and(
+                interior,
+                jnp.logical_and(
+                    cs_lo == cs_hi,
+                    jnp.logical_and(
+                        col_lo >= cs_lo, col_hi < cs_lo + attention_chunk
+                    ),
+                ),
+            )
         if has_segments or mask_mod is not None:
             interior = False
 
@@ -340,10 +406,11 @@ def _bwd_dq_kernel(
     block_q: int, block_kv: int,
     num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
-    sink_token_length: int, softcap: float, dropout_p: float,
+    attention_chunk: int, sink_token_length: int, softcap: float, dropout_p: float,
     has_bias: bool, bias_grad: bool, has_alibi: bool, alibi_batched: bool,
     has_segments: bool, has_qv: bool = False,
     score_mod=None, mask_mod=None,
+    num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     out_dtype=None,
 ):
     idx = 0
@@ -366,6 +433,12 @@ def _bwd_dq_kernel(
     if has_segments:
         qseg_ref = refs[idx]; idx += 1
         kseg_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
     dbias_ref = dqv_ref = None
     if bias_grad:
@@ -391,13 +464,14 @@ def _bwd_dq_kernel(
     min_kv_blk, max_kv_blk = make_causal_window_bounds(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+        attention_chunk=attention_chunk,
     )
     should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
     if sink_token_length > 0:
         should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
 
     needs_mask = (
-        causal or is_local(window) or has_segments
+        causal or is_local(window) or attention_chunk > 0 or has_segments
         or (mask_mod is not None)
         or (seqlen_k % block_kv != 0) or (seqlen_q % block_q != 0)
     )
@@ -405,6 +479,16 @@ def _bwd_dq_kernel(
     if bias_grad:
         # Every (qi, ki) tile is visited exactly once; zero skipped tiles.
         dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    if num_aux or num_aux_scalars:
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(auxsc_ref[0, i] for i in range(num_aux_scalars)),
+        )
+    else:
+        aux = None
 
     def _compute(with_mask: bool):
         q = q_ref[0, 0]
@@ -419,6 +503,7 @@ def _bwd_dq_kernel(
             block_q=block_q, block_kv=block_kv,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k,
             scale=scale, causal=causal, window=window,
+            attention_chunk=attention_chunk,
             sink_token_length=sink_token_length,
             softcap=softcap, has_bias=has_bias, bias_ref=bias_ref,
             has_alibi=has_alibi, slopes_ref=slopes_ref,
@@ -426,7 +511,7 @@ def _bwd_dq_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref,
             has_segments=has_segments, qseg_ref=qseg_ref, kseg_ref=kseg_ref,
             with_mask=with_mask,
-            score_mod=score_mod, mask_mod=mask_mod,
+            score_mod=score_mod, mask_mod=mask_mod, aux=aux,
             qv=qv_ref[0, 0] if has_qv else None,
         )
         # dQ += dS K
@@ -460,6 +545,20 @@ def _bwd_dq_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if attention_chunk > 0:
+            d_lo = row_lo + offset
+            d_hi = row_hi + offset
+            cs_lo = d_lo - d_lo % attention_chunk
+            cs_hi = d_hi - d_hi % attention_chunk
+            interior = jnp.logical_and(
+                interior,
+                jnp.logical_and(
+                    cs_lo == cs_hi,
+                    jnp.logical_and(
+                        col_lo >= cs_lo, col_hi < cs_lo + attention_chunk
+                    ),
+                ),
+            )
         if has_segments or mask_mod is not None:
             interior = False
 
@@ -495,12 +594,15 @@ def flash_attention_bwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
     sink_token_length: int = 0,
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
     score_mod=None,
     mask_mod=None,
+    aux_tensors=(),
+    aux_scalars=(),
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -551,6 +653,23 @@ def flash_attention_bwd(
         if slopes.ndim == 1:
             slopes = slopes[None, :]
         alibi_batched = slopes.shape[0] > 1
+
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    aux_shapes = []
+    aux_arrays = []
+    for a in aux_tensors:
+        a = jnp.asarray(a)
+        if a.ndim <= 1:
+            a = pad_aux_table(a.reshape(-1))
+        aux_shapes.append(a.shape)
+        aux_arrays.append(a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
+    aux_shapes = tuple(aux_shapes)
+    aux_sc = None
+    if aux_scalars:
+        aux_sc = jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in aux_scalars]
+        )[None, :]
 
     def common_specs(block_q, block_kv, clamp_q, clamp_kv):
         """in_specs + args for q,k,v,do,lse,delta and the optional extras."""
@@ -622,6 +741,17 @@ def flash_attention_bwd(
                 pl.BlockSpec((1, block_kv, 1), lambda b, h, i, j: (b, clamp_kv(i, j), 0))
             )
             args.extend([qseg, kseg])
+        for a in aux_arrays:
+            specs.append(
+                pl.BlockSpec(a.shape, lambda b, h, i, j, _n=a.ndim: (0,) * _n)
+            )
+            args.append(a)
+        if aux_scalars:
+            specs.append(
+                pl.BlockSpec(aux_sc.shape, lambda b, h, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            args.append(aux_sc)
         return specs, args, qp.shape[2], kp.shape[2]
 
     # ---------------- dK/dV kernel (grid: b, h, kv, q) ----------------
@@ -630,6 +760,7 @@ def flash_attention_bwd(
     min_qb, max_qb = _make_inverse_bounds(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
         block_q=bq_kv, block_kv=bkv_kv, num_q_blocks=num_q_blocks_kv,
+        attention_chunk=attention_chunk,
     )
 
     def clamp_q_kv(ki, qi):
@@ -648,11 +779,14 @@ def flash_attention_bwd(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
         block_q=bq_kv, block_kv=bkv_kv, num_q_blocks=num_q_blocks_kv,
         scale=float(softmax_scale), causal=causal, window=window,
+        attention_chunk=int(attention_chunk),
         sink_token_length=sink_token_length, softcap=float(softcap),
         dropout_p=float(dropout_p),
         has_bias=has_bias, has_alibi=has_alibi, alibi_batched=alibi_batched,
         has_segments=has_segments, has_qv=has_qv,
         score_mod=score_mod, mask_mod=mask_mod,
+        num_aux=len(aux_tensors), aux_shapes=aux_shapes,
+        num_aux_scalars=len(aux_scalars),
         out_dtype=jnp.float32,
     )
     dk_gh, dv_gh = pl.pallas_call(
@@ -698,6 +832,7 @@ def flash_attention_bwd(
     min_kvb, max_kvb = make_causal_window_bounds(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
         block_q=bq_dq, block_kv=bkv_dq, num_kv_blocks=num_kv_blocks_dq,
+        attention_chunk=attention_chunk,
     )
 
     def clamp_kv_dq(qi, ki):
@@ -717,12 +852,15 @@ def flash_attention_bwd(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
         block_q=bq_dq, block_kv=bkv_dq, num_kv_blocks=num_kv_blocks_dq,
         scale=float(softmax_scale), causal=causal, window=window,
+        attention_chunk=int(attention_chunk),
         sink_token_length=sink_token_length, softcap=float(softcap),
         dropout_p=float(dropout_p),
         has_bias=has_bias, bias_grad=bias_grad,
         has_alibi=has_alibi, alibi_batched=alibi_batched,
         has_segments=has_segments, has_qv=has_qv,
         score_mod=score_mod, mask_mod=mask_mod,
+        num_aux=len(aux_tensors), aux_shapes=aux_shapes,
+        num_aux_scalars=len(aux_scalars),
         out_dtype=out_dtype,
     )
     out_specs = [

@@ -68,6 +68,7 @@ def _decode_kernel(
     scale: float,
     causal: bool,
     window_left: int,
+    attention_chunk: int,
     sink_token_length: int,
     softcap: float,
     has_leftpad: bool,
@@ -121,6 +122,15 @@ def _decode_kernel(
         first_blk = lo // block_kv
     else:
         first_blk = jnp.int32(0)
+    if attention_chunk > 0:
+        # Chunked attention (Llama-4 serving): the earliest position any new
+        # token can see is the chunk start of the first new token. Chunk
+        # coordinates are leftpad-relative (construct_chunk_mask key_leftpad).
+        p0 = seqused - sq
+        chunk_lo0 = p0 - (p0 - leftpad) % attention_chunk
+        first_blk = jnp.maximum(
+            first_blk, jnp.maximum(chunk_lo0, 0) // block_kv
+        )
     should_run = jnp.logical_and(ki >= first_blk, ki <= last_blk)
     should_run = jnp.logical_and(should_run, ki * block_kv < seqused)
     if sink_token_length > 0:
@@ -142,6 +152,22 @@ def _decode_kernel(
         # Fully inside the window for the most restrictive (first) row.
         interior = jnp.logical_and(
             interior, ki * block_kv >= seqused - sq - window_left
+        )
+    if attention_chunk > 0:
+        # Interior iff all rows share one chunk and the tile lies inside it.
+        p0 = seqused - sq
+        p1 = seqused - 1
+        c0 = p0 - (p0 - leftpad) % attention_chunk
+        c1 = p1 - (p1 - leftpad) % attention_chunk
+        interior = jnp.logical_and(
+            interior,
+            jnp.logical_and(
+                c0 == c1,
+                jnp.logical_and(
+                    ki * block_kv >= c0,
+                    (ki + 1) * block_kv <= c0 + attention_chunk,
+                ),
+            ),
         )
 
     def _compute(with_mask):
@@ -210,6 +236,14 @@ def _decode_kernel(
                         in_window, cols < leftpad + sink_token_length
                     )
                 mask = jnp.logical_and(mask, in_window)
+            if attention_chunk > 0:
+                ch_lo = pos_r - (pos_r - leftpad) % attention_chunk
+                mask = jnp.logical_and(
+                    mask,
+                    jnp.logical_and(
+                        cols >= ch_lo, cols < ch_lo + attention_chunk
+                    ),
+                )
             s2 = jnp.where(mask, s2, _MASK2)
 
         m_prev = m_scr[...]
@@ -285,6 +319,7 @@ def flash_attention_decode(
     softmax_scale: Optional[float] = None,
     causal: bool = True,
     window_left: int = -1,
+    attention_chunk: int = 0,
     sink_token_length: int = 0,
     softcap: float = 0.0,
     block_kv: Optional[int] = None,
@@ -307,6 +342,7 @@ def flash_attention_decode(
         and cache_leftpad is None and cache_batch_idx is None
         and k_scale is None and v_scale is None
         and sink_token_length == 0
+        and attention_chunk == 0
         and k_cache.dtype.itemsize >= 2
     ):
         from flash_attn_tpu.kernels.flash_decode_multipage import (
@@ -497,6 +533,7 @@ def flash_attention_decode(
         scale=float(softmax_scale),
         causal=bool(causal),
         window_left=int(window_left),
+        attention_chunk=int(attention_chunk),
         sink_token_length=int(sink_token_length),
         softcap=float(softcap),
         has_leftpad=has_leftpad,

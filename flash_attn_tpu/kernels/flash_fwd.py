@@ -42,13 +42,16 @@ from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     LOG2E,
     NUM_LANES,
+    AuxData,
     BlockSizes,
+    call_mod,
     cdiv,
     choose_block_sizes,
     interpret_mode,
     is_local,
     make_causal_window_bounds,
     normalize_window,
+    pad_aux_table,
     pad_to_block,
     round_up,
 )
@@ -99,6 +102,7 @@ def _fwd_kernel(
     scale: float,
     causal: bool,
     window: Tuple[int, int],
+    attention_chunk: int,
     sink_token_length: int,
     softcap: float,
     dropout_p: float,
@@ -117,6 +121,9 @@ def _fwd_kernel(
     output_scale: float = 1.0,
     score_mod=None,
     mask_mod=None,
+    num_aux: int = 0,
+    aux_shapes: tuple = (),
+    num_aux_scalars: int = 0,
     out_dtype=None,
 ):
     # Unpack refs in canonical order.
@@ -147,6 +154,12 @@ def _fwd_kernel(
     if has_segments:
         qseg_ref = refs[idx]; idx += 1
         kseg_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     m_scr = refs[idx]; idx += 1
@@ -174,6 +187,7 @@ def _fwd_kernel(
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        attention_chunk=attention_chunk if cp_world_size == 1 else 0,
     )
     if cp_world_size > 1:
         should_run = jnp.bool_(True)
@@ -191,12 +205,28 @@ def _fwd_kernel(
     needs_mask = (
         causal
         or is_local(window)
+        or attention_chunk > 0
         or has_segments
         or (mask_mod is not None)
         or (cp_world_size > 1)
         or (seqlen_k % block_kv != 0)
         or (seqlen_q % block_q != 0)
     )
+
+    if num_aux or num_aux_scalars:
+        # Runtime captures for mods (FA4 aux_tensors/aux_scalars): whole
+        # arrays loaded from VMEM, scalars from SMEM, reshaped back to the
+        # caller's original shapes at trace time.
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(
+                auxsc_ref[0, i] for i in range(num_aux_scalars)
+            ),
+        )
+    else:
+        aux = None
 
     def _compute(with_mask: bool):
         q = q_ref[0, 0]  # (block_q, d)
@@ -253,7 +283,9 @@ def _fwd_kernel(
                 + qi * block_q
             sm_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
                 + ki * block_kv
-            s_nat = score_mod(s_nat, b, h, sm_rows, sm_cols).astype(jnp.float32)
+            s_nat = call_mod(
+                score_mod, s_nat, b, h, sm_rows, sm_cols, aux=aux
+            ).astype(jnp.float32)
         s2 = s_nat * LOG2E
 
         if has_alibi:
@@ -289,13 +321,27 @@ def _fwd_kernel(
                 if sink_token_length > 0:
                     in_window = jnp.logical_or(in_window, cols < sink_token_length)
                 mask = jnp.logical_and(mask, in_window)
+            if attention_chunk > 0:
+                # Chunked (Llama-4-style) attention: keep only keys inside
+                # the query row's own chunk (construct_chunk_mask,
+                # flash_attn/utils/testing.py:195).
+                diag = rows + offset
+                chunk_lo = diag - diag % attention_chunk
+                mask = jnp.logical_and(
+                    mask,
+                    jnp.logical_and(
+                        cols >= chunk_lo, cols < chunk_lo + attention_chunk
+                    ),
+                )
             if has_segments:
                 qseg = qseg_ref[0, :, 0]  # (block_q,)
                 kseg = kseg_ref[0, :, 0]  # (block_kv,)
                 mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
             if mask_mod is not None:
                 # flex-attention mask_mod (cute/mask.py:21-49 shim).
-                mask = jnp.logical_and(mask, mask_mod(b, h, rows, cols))
+                mask = jnp.logical_and(
+                    mask, call_mod(mask_mod, b, h, rows, cols, aux=aux)
+                )
             m_in = jnp.where(mask, s2, _MASK2)
         else:
             mask = None
@@ -367,6 +413,22 @@ def _fwd_kernel(
             interior = jnp.logical_and(interior, col_hi <= row_lo + offset + r)
         if left >= 0:
             interior = jnp.logical_and(interior, col_lo >= row_hi + offset - left)
+        if attention_chunk > 0:
+            # Interior iff every row of the tile shares one chunk and the
+            # whole kv tile lies inside it.
+            d_lo = row_lo + offset
+            d_hi = row_hi + offset
+            cs_lo = d_lo - d_lo % attention_chunk
+            cs_hi = d_hi - d_hi % attention_chunk
+            interior = jnp.logical_and(
+                interior,
+                jnp.logical_and(
+                    cs_lo == cs_hi,
+                    jnp.logical_and(
+                        col_lo >= cs_lo, col_hi < cs_lo + attention_chunk
+                    ),
+                ),
+            )
         if has_segments or mask_mod is not None:
             interior = False
         if seqlen_q % block_q != 0:
@@ -425,12 +487,15 @@ def flash_attention_fwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,  # Llama-4-style chunked attention (FA3/FA4)
     sink_token_length: int = 0,
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
-    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx) -> scores
-    mask_mod=None,   # callable(b, h, q_idx, kv_idx) -> bool keep-mask
+    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx[, aux]) -> scores
+    mask_mod=None,   # callable(b, h, q_idx, kv_idx[, aux]) -> bool keep-mask
+    aux_tensors=(),  # runtime arrays consumable by mods (FA4 aux_tensors)
+    aux_scalars=(),  # runtime fp32 scalars (FA4 aux_scalars)
     cp_world_size: int = 1,  # round-robin context parallelism (FA3 CP args)
     cp_rank: int = 0,
     cp_tot_seqlen_k: Optional[int] = None,
@@ -499,6 +564,7 @@ def flash_attention_fwd(
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        attention_chunk=attention_chunk if cp_world_size == 1 else 0,
     )
 
     def clamp_kv(ki, qi):
@@ -623,6 +689,35 @@ def flash_attention_fwd(
         )
         args.extend([qseg, kseg])
 
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    aux_shapes = []
+    for a in aux_tensors:
+        a = jnp.asarray(a)
+        if a.ndim <= 1:
+            # 1-D lookup tables are edge-padded to a lane multiple so
+            # aux_take's aligned-window gather lowers on Mosaic.
+            a = pad_aux_table(a.reshape(-1))
+        aux_shapes.append(a.shape)
+        a2 = a.reshape((1,) * max(0, 2 - a.ndim) + a.shape)  # >=2D for TPU
+        in_specs.append(
+            pl.BlockSpec(
+                a2.shape,
+                lambda b, h, qi, ki, _n=a2.ndim: (0,) * _n,
+            )
+        )
+        args.append(a2)
+    aux_shapes = tuple(aux_shapes)
+    if aux_scalars:
+        sc = jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in aux_scalars]
+        )[None, :]
+        in_specs.append(
+            pl.BlockSpec(sc.shape, lambda b, h, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(sc)
+
     grid = (batch, num_heads, num_q_blocks, num_kv_blocks)
 
     kernel = functools.partial(
@@ -635,6 +730,7 @@ def flash_attention_fwd(
         scale=float(softmax_scale),
         causal=causal,
         window=window,
+        attention_chunk=int(attention_chunk),
         sink_token_length=sink_token_length,
         softcap=float(softcap),
         dropout_p=float(dropout_p),
@@ -653,6 +749,9 @@ def flash_attention_fwd(
         output_scale=float(output_scale),
         score_mod=score_mod,
         mask_mod=mask_mod,
+        num_aux=len(aux_tensors),
+        aux_shapes=aux_shapes,
+        num_aux_scalars=len(aux_scalars),
         out_dtype=out_dtype,
     )
 

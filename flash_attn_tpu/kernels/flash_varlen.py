@@ -62,6 +62,7 @@ def make_varlen_metadata(
     block_kv: int,
     causal: bool,
     window: Tuple[int, int],
+    attention_chunk: int = 0,
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) totals
@@ -149,6 +150,21 @@ def make_varlen_metadata(
         )
     else:
         kmin_g = cu_k[jf]
+    if attention_chunk > 0:
+        # Chunked attention: row r only sees keys in its own chunk
+        # [diag - diag % chunk, +chunk) with diag = qpos_adj.
+        d_last = qpos_adj[r_last]
+        chunk_hi = d_last - d_last % attention_chunk + attention_chunk - 1
+        kmax_g = jnp.minimum(
+            kmax_g,
+            cu_k[jl] + jnp.clip(chunk_hi, 0, jnp.maximum(used_k[jl] - 1, 0)),
+        )
+        d_first = qpos_adj[r_first]
+        chunk_lo = d_first - d_first % attention_chunk
+        kmin_g = jnp.maximum(
+            kmin_g,
+            cu_k[jf] + jnp.clip(chunk_lo, 0, jnp.maximum(used_k[jf] - 1, 0)),
+        )
     kvmax = jnp.clip(kmax_g // block_kv, 0, nkb - 1)
     kvmin = jnp.clip(kmin_g // block_kv, 0, nkb - 1)
     kvmin = jnp.minimum(kvmin, kvmax)
@@ -173,6 +189,23 @@ def make_varlen_metadata(
         )
     else:
         qmax_g = jnp.minimum(cu_q[jkl + 1], total_q) - 1
+    if attention_chunk > 0:
+        # Col c is only visible from rows with qpos_adj in
+        # [c - c % chunk, +chunk).
+        c_lo = kpos[c_first] - kpos[c_first] % attention_chunk
+        qmin_g = jnp.maximum(
+            qmin_g, cu_q[jkf] + jnp.clip(c_lo - offset[jkf], 0, sq_len[jkf])
+        )
+        c_hi = (
+            kpos[c_last] - kpos[c_last] % attention_chunk
+            + attention_chunk - 1
+        )
+        qmax_g = jnp.minimum(
+            qmax_g,
+            cu_q[jkl] + jnp.clip(
+                c_hi - offset[jkl], 0, jnp.maximum(sq_len[jkl] - 1, 0)
+            ),
+        )
     qmax = jnp.clip(qmax_g // block_q, 0, nqb - 1)
     qmin = jnp.clip(qmin_g // block_q, 0, nqb - 1)
     qmin = jnp.minimum(qmin, qmax)
@@ -192,7 +225,8 @@ def make_varlen_metadata(
 # Shared tile math.
 # ---------------------------------------------------------------------------
 
-def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi):
+def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi,
+               attention_chunk: int = 0):
     """Element mask + relative distance for a (bq, bkv) tile from per-token
     metadata columns ((bq,1) and (bkv,1))."""
     left, right = window
@@ -204,6 +238,12 @@ def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi):
         mask = jnp.logical_and(mask, rel <= r)
     if left >= 0:
         mask = jnp.logical_and(mask, rel >= -left)
+    if attention_chunk > 0:
+        # Chunked attention (construct_chunk_mask): same chunk of the
+        # bottom-right-aligned coordinate.
+        mask = jnp.logical_and(
+            mask, kpos.T // attention_chunk == qpos // attention_chunk
+        )
     return mask, rel
 
 
@@ -212,6 +252,7 @@ def _varlen_fwd_kernel(
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
+    attention_chunk: int,
     softcap: float, dropout_p: float, group_size: int,
     has_alibi: bool, has_qv: bool, out_dtype,
 ):
@@ -274,6 +315,7 @@ def _varlen_fwd_kernel(
         mask, rel = _tile_mask(
             qseg, qpos, kseg, kpos,
             causal=causal, window=window, has_alibi=has_alibi,
+            attention_chunk=attention_chunk,
         )
         if has_alibi:
             slope2 = slopes_ref[0, h] * LOG2E
@@ -323,6 +365,7 @@ def _varlen_recompute(
     q, k, v, do, lse2, delta,
     qseg, qpos, kseg, kpos, slopes_ref, h,
     *, scale, causal, window, softcap, has_alibi,
+    attention_chunk=0,
     dropout_p=0.0, seed_ref=None, qi=0, ki=0, block_q=0, block_kv=0,
     qv=None,
 ):
@@ -340,7 +383,8 @@ def _varlen_recompute(
         t = None
         s2 = s * (scale * LOG2E)
     mask, rel = _tile_mask(
-        qseg, qpos, kseg, kpos, causal=causal, window=window, has_alibi=has_alibi
+        qseg, qpos, kseg, kpos, causal=causal, window=window,
+        has_alibi=has_alibi, attention_chunk=attention_chunk,
     )
     if has_alibi:
         slope2 = slopes_ref[0, h] * LOG2E
@@ -376,6 +420,7 @@ def _varlen_dkv_kernel(
     *refs,
     block_q: int, block_kv: int, num_q_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
+    attention_chunk: int,
     softcap: float, dropout_p: float, has_alibi: bool,
     has_qv: bool = False,
 ):
@@ -423,6 +468,7 @@ def _varlen_dkv_kernel(
             qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
+            attention_chunk=attention_chunk,
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
@@ -454,6 +500,7 @@ def _varlen_dq_kernel(
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
+    attention_chunk: int,
     softcap: float, dropout_p: float, has_alibi: bool,
     has_qv: bool = False, out_dtype=None,
 ):
@@ -506,6 +553,7 @@ def _varlen_dq_kernel(
             qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
+            attention_chunk=attention_chunk,
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
@@ -553,6 +601,7 @@ def flash_attention_varlen_fwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
@@ -588,6 +637,7 @@ def flash_attention_varlen_fwd(
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
+        attention_chunk=attention_chunk if cp_world_size == 1 else 0,
         cp_world_size=cp_world_size, cp_rank=cp_rank,
         cp_tot_seqused_k=cp_tot_seqused_k,
     )
@@ -653,6 +703,9 @@ def flash_attention_varlen_fwd(
         _varlen_fwd_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
         scale=float(softmax_scale), causal=causal, window=window,
+        # Element-level chunk masking stays exact under CP: kpos is absolute
+        # and qpos_adj aligns against the CP-total key length.
+        attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         group_size=group_size,
         has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
@@ -702,6 +755,7 @@ def flash_attention_varlen_bwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
@@ -735,6 +789,7 @@ def flash_attention_varlen_bwd(
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
+        attention_chunk=attention_chunk,
     )
 
     qp = _prep_packed(q, block_q, d_pad)
@@ -808,6 +863,7 @@ def flash_attention_varlen_bwd(
         _varlen_dkv_kernel,
         block_q=block_q, block_kv=block_kv, num_q_blocks=nqb,
         scale=float(softmax_scale), causal=causal, window=window,
+        attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv,
     )
@@ -855,6 +911,7 @@ def flash_attention_varlen_bwd(
         _varlen_dq_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
         scale=float(softmax_scale), causal=causal, window=window,
+        attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
     )

@@ -63,6 +63,47 @@ def construct_local_mask(
         )
 
 
+def construct_chunk_mask(
+    seqlen_q: int,
+    seqlen_k: int,
+    attention_chunk: int,
+    query_padding_mask: Optional[jnp.ndarray] = None,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    key_leftpad: Optional[jnp.ndarray] = None,
+):
+    """Boolean mask of entries to DROP for chunked (Llama-4-style) attention.
+
+    Mirrors flash_attn/utils/testing.py:195 `construct_chunk_mask`: query row
+    i (bottom-right aligned via sk - sq) may only attend keys inside its own
+    `attention_chunk`-sized chunk: [diag - diag % chunk, +chunk).
+    """
+    row_idx = jnp.arange(seqlen_q, dtype=jnp.int32)[:, None]  # (sq, 1)
+    col_idx = jnp.arange(seqlen_k, dtype=jnp.int32)  # (sk,)
+    if key_leftpad is not None:
+        key_leftpad = key_leftpad.reshape(-1, 1, 1, 1)
+        col_idx = jnp.broadcast_to(
+            col_idx, (key_leftpad.shape[0], 1, 1, seqlen_k)
+        )
+        col_idx = jnp.where(col_idx >= key_leftpad, col_idx - key_leftpad, 2**30)
+    sk = (
+        seqlen_k
+        if key_padding_mask is None
+        else key_padding_mask.sum(-1).reshape(-1, 1, 1, 1)
+    )
+    sq = (
+        seqlen_q
+        if query_padding_mask is None
+        else query_padding_mask.sum(-1).reshape(-1, 1, 1, 1)
+    )
+    # Subtract the remainder rather than div-then-mul so negative diagonals
+    # round toward -inf the same way the reference does.
+    diag = row_idx + sk - sq
+    col_limit_left = diag - diag % attention_chunk
+    return jnp.logical_or(
+        col_idx < col_limit_left, col_idx >= col_limit_left + attention_chunk
+    )
+
+
 def attention_ref(
     q: jnp.ndarray,  # (b, sq, h, d)
     k: jnp.ndarray,  # (b, sk, h_k, d)
@@ -78,6 +119,7 @@ def attention_ref(
     k_descale: Optional[jnp.ndarray] = None,
     v_descale: Optional[jnp.ndarray] = None,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
+    attention_chunk: int = 0,
     sink_token_length: int = 0,
     learnable_sink: Optional[jnp.ndarray] = None,  # (h,)
     softcap: float = 0.0,
@@ -140,6 +182,16 @@ def attention_ref(
             key_leftpad=key_leftpad,
         )
         scores = jnp.where(local_mask, -jnp.inf, scores)
+    if attention_chunk > 0:
+        chunk_mask = construct_chunk_mask(
+            seqlen_q,
+            seqlen_k,
+            attention_chunk,
+            query_padding_mask,
+            key_padding_mask,
+            key_leftpad=key_leftpad,
+        )
+        scores = jnp.where(chunk_mask, -jnp.inf, scores)
     if attn_bias is not None:
         scores = scores + attn_bias
     if learnable_sink is None:

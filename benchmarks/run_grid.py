@@ -1,0 +1,84 @@
+"""Run the full benchmark grid and commit the results table.
+
+The reference commits sweep configs (benchmarks/configs/*.yaml,
+hopper/benchmark_mla_decode.py); this runs every benchmark script on the
+attached TPU and writes benchmarks/RESULTS.md + RESULTS.jsonl so each
+round's numbers are diffable and regressions are visible.
+
+    python benchmarks/run_grid.py [--quick]
+"""
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+SCRIPTS = [
+    "benchmark_flash_attention.py",
+    "benchmark_decode.py",
+    "benchmark_sparse.py",
+    "benchmark_varlen.py",
+    "benchmark_quant.py",
+    "benchmark_train_mfu.py",
+]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip", action="append", default=[])
+    args = ap.parse_args(argv)
+
+    records = []
+    for script in SCRIPTS:
+        if any(s in script for s in args.skip):
+            continue
+        cmd = [sys.executable, os.path.join(HERE, script)]
+        if args.quick and script != "benchmark_train_mfu.py":
+            cmd.append("--quick")
+        print(f"== {script} ==", flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        sys.stdout.write(proc.stdout)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            records.append({"bench": script, "error": proc.returncode})
+            continue
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    records.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    with open(os.path.join(HERE, "RESULTS.jsonl"), "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(HERE, "RESULTS.md"), "w") as f:
+        f.write(f"# Benchmark grid results\n\nRun: {stamp}\n\n")
+        by_bench = {}
+        for r in records:
+            by_bench.setdefault(r.get("bench", "?"), []).append(r)
+        for bench, rows in by_bench.items():
+            f.write(f"## {bench}\n\n")
+            keys = sorted({k for r in rows for k in r if k != "bench"})
+            f.write("| " + " | ".join(keys) + " |\n")
+            f.write("|" + "---|" * len(keys) + "\n")
+            for r in rows:
+                f.write(
+                    "| " + " | ".join(str(r.get(k, "")) for k in keys)
+                    + " |\n"
+                )
+            f.write("\n")
+    print(f"wrote {len(records)} records to benchmarks/RESULTS.{{md,jsonl}}")
+
+
+if __name__ == "__main__":
+    main()

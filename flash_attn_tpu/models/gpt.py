@@ -67,6 +67,12 @@ class GPTConfig:
     # Attention mixer family: "mha" (default) or "mla" (DeepSeek-style
     # latent attention, modules/mla.py on the absorbed-qv kernels).
     attn_type: str = "mha"
+    # Rematerialization policy for training ("none" | "dots" | "full"):
+    # "dots" saves matmul outputs only (jax.checkpoint
+    # dots_with_no_batch_dims_saveable — the usual MFU/memory sweet spot);
+    # "full" saves nothing. The TPU answer to activation checkpointing in
+    # the reference trainer (Lightning + apex).
+    remat: str = "none"
     kv_lora_rank: int = 512
     q_lora_rank: Optional[int] = None
     qk_nope_head_dim: Optional[int] = None  # default: head_dim
@@ -212,21 +218,49 @@ class GPTModel(nn.Module):
         hidden = self.embeddings(input_ids, position_ids)
         if c.embed_scale is not None:
             hidden = hidden * jnp.asarray(c.embed_scale, c.dtype)
+        # Rematerialize blocks during training: trade recompute FLOPs for
+        # activation memory so bigger batches fit (jax.checkpoint / nn.remat
+        # replaces the reference's activation-checkpoint callbacks).
+        use_remat = c.remat != "none" and inference_params is None
+        if use_remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if c.remat == "dots" else None
+            )
+
         if c.prenorm:
             residual = None
+            if use_remat:
+                def body(mdl, h, r):
+                    return mdl(h, r, None, deterministic=deterministic)
+
+                body = nn.remat(body, prevent_cse=False, policy=policy)
             for layer in self.layers:
-                hidden, residual = layer(
-                    hidden, residual, inference_params=inference_params,
-                    deterministic=deterministic,
-                )
+                if use_remat:
+                    hidden, residual = body(layer, hidden, residual)
+                else:
+                    hidden, residual = layer(
+                        hidden, residual, inference_params=inference_params,
+                        deterministic=deterministic,
+                    )
             residual = residual + hidden.astype(residual.dtype)
             hidden = self.ln_f(residual).astype(c.dtype)
         else:
-            for layer in self.layers:
-                hidden = layer(
-                    hidden, inference_params=inference_params,
-                    deterministic=deterministic,
+            if use_remat:
+                def body_post(mdl, h):
+                    return mdl(h, None, None, deterministic=deterministic)
+
+                body_post = nn.remat(
+                    body_post, prevent_cse=False, policy=policy
                 )
+            for layer in self.layers:
+                if use_remat:
+                    hidden = body_post(layer, hidden)
+                else:
+                    hidden = layer(
+                        hidden, inference_params=inference_params,
+                        deterministic=deterministic,
+                    )
         return hidden
 
 

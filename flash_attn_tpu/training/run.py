@@ -63,7 +63,9 @@ def main(argv=None):
         cfg = yaml.safe_load(f)
     cfg = _apply_overrides(cfg, args.overrides)
 
-    mcfg = dict(cfg["model"])
+    from flash_attn_tpu.training.presets import expand_model_config
+
+    mcfg = expand_model_config(dict(cfg["model"]))
     if "dtype" in mcfg:
         mcfg["dtype"] = _dtype(mcfg["dtype"])
     model_config = GPTConfig(**mcfg)

@@ -186,3 +186,53 @@ def test_image_datamodule_resume():
     rest2 = list(dm2.batches(2))
     for (x1, y1), (x2, y2) in zip(rest, rest2):
         assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+
+def test_remat_matches_no_remat(model_and_params):
+    """remat="dots"/"full" recompute must not change the math: forward
+    logits and gradients agree with the plain path to fp tolerance."""
+    import dataclasses
+
+    model, params = model_and_params
+    x = jnp.asarray(np.arange(32).reshape(1, 32) % 64)
+    logits_plain = model.apply(params, x, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+    for mode in ("dots", "full"):
+        cfg_r = dataclasses.replace(CFG, remat=mode)
+        model_r = GPTLMHeadModel(cfg_r)
+        logits_r = model_r.apply(params, x, deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        np.testing.assert_allclose(
+            np.asarray(logits_plain, np.float32),
+            np.asarray(logits_r, np.float32), rtol=1e-5, atol=1e-5,
+        )
+
+        def loss(m):
+            def f(p):
+                return jnp.sum(m.apply(p, x).astype(jnp.float32) ** 2) * 1e-4
+            return f
+
+        g_plain = jax.grad(loss(model))(params)
+        g_r = jax.grad(loss(model_r))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                        jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+def test_model_presets_expand():
+    from flash_attn_tpu.training.presets import (
+        MODEL_PRESETS,
+        expand_model_config,
+    )
+
+    # preset + override composition: explicit keys win.
+    cfg = expand_model_config({"preset": "gpt2m", "n_layer": 2})
+    assert cfg["n_embd"] == 1024 and cfg["n_layer"] == 2
+    # every preset constructs a valid GPTConfig
+    for name in MODEL_PRESETS:
+        GPTConfig(**expand_model_config({"preset": name}))
+    with pytest.raises(KeyError):
+        expand_model_config({"preset": "nope"})

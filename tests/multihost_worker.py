@@ -88,5 +88,63 @@ g_gold = np.asarray(jax.grad(
     lambda w: ((jnp.asarray(x_all) @ w) ** 2).sum())(jnp.asarray(w_np)))
 assert np.abs(g_local - g_gold).max() < 1e-2 * max(np.abs(g_gold).max(), 1.0)
 
+
+# --- 3. Data-parallel serving: one engine per process ----------------------
+# Each process serves its own requests on its local devices (the DP-serving
+# layout: replicas share nothing, aggregate tokens/s scales with hosts).
+# Greedy decode is deterministic, so every process's outputs must equal the
+# golden outputs; the wall-clock of the parallel phase vs a solo phase gives
+# a CPU-proxy scaling-efficiency number (real DCN hardware untested).
+import time
+
+from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
+
+cfg = GPTConfig(
+    vocab_size=128, n_positions=0, n_embd=32, n_layer=1, n_head=2,
+    rotary_emb_fraction=1.0, rms_norm=True, activation_function="swiglu",
+    qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+    mlp_fc2_bias=False, dtype=jnp.float32,
+)
+model = GPTLMHeadModel(cfg)
+params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+ecfg = EngineConfig(max_batch_size=2, page_size=16, num_pages=32,
+                    max_pages_per_seq=8, prefill_chunk=16, max_seqlen=128,
+                    top_k=1)
+prompts = [[1 + (pid * 7 + i) % 96 for i in range(5 + i)] for i in range(2)]
+NEW = 4
+
+# ONE engine per process: the prefill/decode jits compile once and are
+# reused by every generate() call (the CUDA-graph-cache analog).
+eng = LLMEngine(model, params, ecfg)
+
+
+def serve():
+    t0 = time.perf_counter()
+    toks = eng.generate(prompts, NEW)
+    return toks, time.perf_counter() - t0
+
+
+# Warm (compile) + solo-timed pass, then a barrier-synchronized parallel pass.
+golden_toks, _ = serve()
+_, t_solo = serve()
+multihost_utils.sync_global_devices("engine_parallel_start")
+par_toks, t_par = serve()
+multihost_utils.sync_global_devices("engine_parallel_end")
+assert par_toks == golden_toks, (par_toks, golden_toks)
+
+n_toks = sum(len(t) for t in par_toks)
+# Aggregate throughput across processes vs nproc * solo throughput.
+rates = np.asarray(
+    multihost_utils.process_allgather(jnp.asarray([n_toks / t_par]))
+).reshape(-1)
+solo_rates = np.asarray(
+    multihost_utils.process_allgather(jnp.asarray([n_toks / t_solo]))
+).reshape(-1)
+eff = float(rates.sum() / (nproc * solo_rates.mean()))
+if is_primary():
+    print(f"ENGINE_DP_OK tokens={n_toks * nproc} "
+          f"agg_tps={rates.sum():.1f} scaling_eff={eff:.2f}")
+
 if is_primary():
     print("MULTIHOST_OK", loss)

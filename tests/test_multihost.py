@@ -34,7 +34,8 @@ def test_two_process_distributed():
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=280)[0] for p in procs]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     assert any("MULTIHOST_OK" in o for o in outs)
+    assert any("ENGINE_DP_OK" in o for o in outs), outs[0][-2000:]

@@ -42,6 +42,7 @@ class TrainConfig:
     seed: int = 0
     log_dir: Optional[str] = None  # JSONL run logging (loggers.RunLogger)
     norm_monitor: bool = False  # log per-module param norms at log_every
+    zero_stage: int = 0  # 0=off 1=opt-state 2=+grads 3=+params (parallel.zero)
 
 
 class SpeedMonitor:
@@ -126,7 +127,24 @@ class Trainer:
         self.ema = EMA(params, config.ema_decay) if config.ema_decay > 0 else None
         self.history: list = []
 
+        zero_specs = zero_base_specs = None
+        if config.zero_stage > 0 and mesh is not None:
+            from flash_attn_tpu.parallel.zero import (
+                tp_param_specs, zero_param_specs,
+            )
+
+            zero_specs = zero_param_specs(params, mesh)
+            zero_base_specs = tp_param_specs(params)
+
         def train_step(params, opt_state, input_ids, labels, dropout_rng):
+            if zero_specs is not None and config.zero_stage >= 3:
+                from flash_attn_tpu.parallel.zero import apply_zero
+
+                _, _, params = apply_zero(
+                    stage=config.zero_stage, mesh=mesh,
+                    param_specs=zero_specs, params=params,
+                )
+
             def loss_fn(p):
                 logits = self.model.apply(
                     p, input_ids, deterministic=False,
@@ -137,9 +155,33 @@ class Trainer:
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if zero_specs is not None:
+                from flash_attn_tpu.parallel.zero import apply_zero
+
+                grads, opt_state, _ = apply_zero(
+                    stage=config.zero_stage, mesh=mesh,
+                    param_specs=zero_specs, grads=grads, opt_state=opt_state,
+                )
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if zero_specs is not None:
+                from flash_attn_tpu.parallel.zero import (
+                    apply_zero, constrain_params,
+                )
+
+                _, opt_state, params_out = apply_zero(
+                    stage=config.zero_stage, mesh=mesh,
+                    param_specs=zero_specs, opt_state=opt_state,
+                    params=params if config.zero_stage >= 3 else None,
+                )
+                if params_out is not None:
+                    params = params_out
+                else:
+                    # Stages 1-2: the update math ran on dp shards; gather
+                    # the weights back to their base TP layout so the next
+                    # step's forward sees replicated (over dp) params.
+                    params = constrain_params(params, zero_base_specs, mesh)
             return params, opt_state, loss, gnorm
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))

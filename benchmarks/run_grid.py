@@ -27,6 +27,59 @@ SCRIPTS = [
 ]
 
 
+def _multihost_scaling():
+    """Data-parallel serving scaling across 2 REAL OS processes — a
+    CPU-proxy (virtual devices, no DCN hardware) for the >=85%%-at-2-hosts
+    north star. Reuses the tests/multihost_worker.py harness: engine per
+    process, barrier-synchronized parallel pass, aggregate tokens/s vs
+    nproc * solo tokens/s."""
+    import re
+    import socket
+
+    repo = os.path.dirname(HERE)
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    print("== multihost scaling (2-process CPU proxy) ==", flush=True)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        return [{"bench": "multihost_scaling_cpu_proxy", "error": "timeout"}]
+    m = None
+    for out in outs:
+        m = m or re.search(
+            r"ENGINE_DP_OK tokens=(\d+) agg_tps=([\d.]+) "
+            r"scaling_eff=([\d.]+)", out
+        )
+    if m is None:
+        return [{"bench": "multihost_scaling_cpu_proxy",
+                 "error": outs[0][-500:]}]
+    cpus = os.cpu_count() or 1
+    note = "virtual CPU devices, no DCN — proxy only"
+    if cpus < 2:
+        # Both processes time-share one core, so eff ~ 1/nproc by
+        # construction; the number then validates correctness + overhead
+        # accounting, not scaling.
+        note += f"; host has {cpus} CPU(s): eff is core-limited"
+    return [{"bench": "multihost_scaling_cpu_proxy", "nproc": 2,
+             "host_cpus": cpus,
+             "tokens": int(m.group(1)), "agg_tps": float(m.group(2)),
+             "scaling_eff": float(m.group(3)), "note": note}]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -54,6 +107,9 @@ def main(argv=None):
                     records.append(json.loads(line))
                 except json.JSONDecodeError:
                     pass
+
+    if not any("multihost" in s for s in args.skip):
+        records.extend(_multihost_scaling())
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds"

@@ -56,6 +56,9 @@ def main(argv=None):
                     choices=["none", "dots", "full"])
     ap.add_argument("--steps-lo", type=int, default=4)
     ap.add_argument("--steps-hi", type=int, default=12)
+    ap.add_argument("--fused-ce", type=int, default=0, metavar="CHUNK",
+                    help="fuse lm_head+CE, scanning the sequence in chunks "
+                    "of this many tokens (0 = plain full-vocab logits)")
     args = ap.parse_args(argv)
 
     mcfg = expand_model_config({"preset": args.preset})
@@ -93,7 +96,21 @@ def main(argv=None):
         def loss_fn(p):
             # Roll keeps ids in-vocab while making each step's input fresh
             # (defeats remote dispatch dedup).
-            logits = model.apply(p, jnp.roll(x, seed, axis=1))
+            ids = jnp.roll(x, seed, axis=1)
+            if args.fused_ce > 0:
+                from flash_attn_tpu.losses.cross_entropy import (
+                    fused_linear_cross_entropy,
+                )
+                from flash_attn_tpu.models.gpt import head_weight_from_params
+
+                hidden = model.apply(
+                    p, ids, method=GPTLMHeadModel.forward_hidden
+                )
+                return fused_linear_cross_entropy(
+                    hidden, head_weight_from_params(p, config), y,
+                    chunk=args.fused_ce,
+                )
+            logits = model.apply(p, ids)
             # cross_entropy_loss upcasts internally; casting here would
             # materialize a second full-vocab fp32 logits buffer (OOM at
             # 355M/b8/s2048).
@@ -144,7 +161,8 @@ def main(argv=None):
     rec = {
         "bench": "train_mfu", "preset": args.preset, "params_m":
         round(n_params / 1e6, 1), "batch": b, "seqlen": s,
-        "remat": args.remat, "step_ms": round(step_s * 1e3, 1),
+        "remat": args.remat, "fused_ce": args.fused_ce,
+        "step_ms": round(step_s * 1e3, 1),
         "tokens_per_s": round(tps),
         "mfu_6n": round(tps * f6n / peak, 4),
         "mfu_palm": round(tps * fpalm / peak, 4),

@@ -54,6 +54,67 @@ def cross_entropy_loss(
     return loss.sum() / n
 
 
+def fused_linear_cross_entropy(
+    hidden: jnp.ndarray,   # (b, s, h)
+    weight: jnp.ndarray,   # (vocab, h) — embedding layout (wte / lm_head.T)
+    labels: jnp.ndarray,   # (b, s) int32
+    *,
+    chunk: int = 1024,
+    label_smoothing: float = 0.0,
+    logit_scale: float = 1.0,
+    lse_square_scale: float = 0.0,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+):
+    """Cross-entropy fused with the LM-head projection: the full-vocab
+    logits tensor (b*s, V — several GB in fp32 at GPT-2 scale) is never
+    materialized. The sequence is scanned in chunks; each chunk's logits
+    are computed, reduced to scalars, and REMATERIALIZED in the backward
+    (jax.checkpoint on the chunk body), so peak memory is one
+    (b, chunk, V) tile plus one (V, h) weight-grad accumulator that the
+    scan's backward carries.
+
+    TPU-native form of the memory optimization the reference gets from its
+    Triton CE kernel's inplace_backward + logit recompute
+    (flash_attn/ops/triton/cross_entropy.py:25-292) — extended through the
+    head matmul. Same semantics as cross_entropy_loss for
+    reduction in {"mean", "sum"}.
+    """
+    if reduction not in ("mean", "sum"):
+        raise ValueError("fused CE supports reduction in {'mean','sum'}")
+    b, s, h = hidden.shape
+    chunk = min(chunk, s)
+    pad = (-s) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=ignore_index)
+    n = (s + pad) // chunk
+    # (n, b, chunk, .) scan layout
+    hs = hidden.reshape(b, n, chunk, h).swapaxes(0, 1)
+    ls = labels.reshape(b, n, chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hc, lc = xs
+        logits = hc @ weight.T.astype(hc.dtype)
+        loss = cross_entropy_loss(
+            logits, lc,
+            label_smoothing=label_smoothing, logit_scale=logit_scale,
+            lse_square_scale=lse_square_scale, ignore_index=ignore_index,
+            reduction="sum",
+        )
+        valid = (lc != ignore_index).sum()
+        return (carry[0] + loss, carry[1] + valid), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (hs, ls)
+    )
+    if reduction == "sum":
+        return total
+    return total / jnp.maximum(count, 1)
+
+
 class CrossEntropyLoss:
     """Module-style wrapper matching the reference class
     (flash_attn/losses/cross_entropy.py:9)."""

@@ -310,6 +310,24 @@ class GPTLMHeadModel(nn.Module):
             logits = self.lm_head(hidden)
         return logits
 
+    def forward_hidden(self, input_ids, position_ids=None, *,
+                       deterministic: bool = True):
+        """Final hidden states WITHOUT the lm_head projection — pair with
+        losses.fused_linear_cross_entropy + head_weight_from_params so the
+        full-vocab logits are never materialized during training."""
+        return self.transformer(
+            input_ids, position_ids, deterministic=deterministic
+        )
+
+
+def head_weight_from_params(params, config) -> "jnp.ndarray":
+    """The (padded_vocab, n_embd) LM-head weight from a params pytree
+    (tied: the embedding table; untied: lm_head kernel transposed)."""
+    p = params.get("params", params)
+    if config.tie_word_embeddings:
+        return p["transformer"]["embeddings"]["word_embeddings"]["embedding"]
+    return p["lm_head"]["kernel"].T
+
     def allocate_inference_cache(
         self, batch_size: int, max_seqlen: int, dtype=None
     ) -> InferenceParams:

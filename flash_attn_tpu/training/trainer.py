@@ -43,6 +43,11 @@ class TrainConfig:
     log_dir: Optional[str] = None  # JSONL run logging (loggers.RunLogger)
     norm_monitor: bool = False  # log per-module param norms at log_every
     zero_stage: int = 0  # 0=off 1=opt-state 2=+grads 3=+params (parallel.zero)
+    # >0: fuse lm_head + cross-entropy, scanning the sequence in chunks of
+    # this many tokens so full-vocab logits are never materialized
+    # (losses.fused_linear_cross_entropy). Needs a model exposing
+    # forward_hidden (models/gpt.py).
+    fused_ce_chunk: int = 0
 
 
 class SpeedMonitor:
@@ -146,6 +151,23 @@ class Trainer:
                 )
 
             def loss_fn(p):
+                if config.fused_ce_chunk > 0:
+                    from flash_attn_tpu.losses.cross_entropy import (
+                        fused_linear_cross_entropy,
+                    )
+                    from flash_attn_tpu.models.gpt import (
+                        head_weight_from_params,
+                    )
+
+                    hidden = self.model.apply(
+                        p, input_ids, deterministic=False,
+                        rngs={"dropout": dropout_rng},
+                        method=type(self.model).forward_hidden,
+                    )
+                    return fused_linear_cross_entropy(
+                        hidden, head_weight_from_params(p, self.model.config),
+                        labels, chunk=config.fused_ce_chunk,
+                    )
                 logits = self.model.apply(
                     p, input_ids, deterministic=False,
                     rngs={"dropout": dropout_rng},

@@ -97,6 +97,35 @@ def test_cross_entropy_ignore_and_smoothing_zloss():
     assert float(z) > 0
 
 
+def test_fused_linear_cross_entropy_matches_unfused():
+    """Value AND grads (hidden + head weight) must match computing the full
+    logits then cross_entropy_loss — including a ragged final chunk and
+    ignore_index positions."""
+    from flash_attn_tpu.losses.cross_entropy import fused_linear_cross_entropy
+
+    b, s, h, v = 2, 13, 16, 37
+    hidden = jax.random.normal(jax.random.PRNGKey(0), (b, s, h), jnp.float32)
+    weight = jax.random.normal(jax.random.PRNGKey(1), (v, h), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (b, s), 0, v)
+    labels = labels.at[0, 3].set(-100).at[1, 10].set(-100)
+
+    def unfused(hd, w):
+        return cross_entropy_loss((hd @ w.T).astype(jnp.float32), labels,
+                                  label_smoothing=0.1, lse_square_scale=1e-4)
+
+    def fused(hd, w):
+        return fused_linear_cross_entropy(
+            hd, w, labels, chunk=4, label_smoothing=0.1,
+            lse_square_scale=1e-4,
+        )
+
+    l0, (gh0, gw0) = jax.value_and_grad(unfused, argnums=(0, 1))(hidden, weight)
+    l1, (gh1, gw1) = jax.value_and_grad(fused, argnums=(0, 1))(hidden, weight)
+    assert abs(float(l0 - l1)) < 1e-5
+    assert float(jnp.abs(gh0 - gh1).max()) < 1e-5
+    assert float(jnp.abs(gw0 - gw1).max()) < 1e-5
+
+
 def test_rotary_norm_preserving_and_inverse():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 32), jnp.float32)
     inv = 1.0 / (10000 ** (jnp.arange(0, 32, 2) / 32))

@@ -56,6 +56,38 @@ def test_loss_decreases(model_and_params):
     assert all(np.isfinite(h["grad_norm"]) for h in hist)
 
 
+def test_fused_ce_trainer_matches_plain(model_and_params):
+    """fused_ce_chunk must follow the plain-logits training trajectory
+    (same loss, same params) — it is a memory layout, not a different loss.
+    Both tied (CFG) and untied head weights go through
+    head_weight_from_params."""
+    model, params = model_and_params
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 33), 0, 64)
+    batch = (ids[:, :-1], ids[:, 1:])
+
+    def run(fused_chunk):
+        tr = Trainer(model, params,
+                     TrainConfig(lr=1e-3, warmup_steps=0, total_steps=2,
+                                 schedule="constant",
+                                 fused_ce_chunk=fused_chunk))
+        losses = []
+        for _ in range(2):
+            tr.params, tr.opt_state, loss, _ = tr._train_step(
+                tr.params, tr.opt_state, *batch, jax.random.PRNGKey(0)
+            )
+            losses.append(float(loss))
+        return losses, tr.params
+
+    l0, p0 = run(0)
+    l1, p1 = run(16)  # ragged final chunk: s=32, chunk=16 -> exact split
+    l2, p2 = run(24)  # ragged: 32 = 24 + 8(pad)
+    assert np.allclose(l0, l1, atol=1e-5), (l0, l1)
+    assert np.allclose(l0, l2, atol=1e-5), (l0, l2)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+
 def test_sampler_resume_exact():
     s1 = FaultTolerantSampler(100, seed=3)
     order = list(iter(s1))

@@ -344,3 +344,70 @@ def test_ring_attention_qv_mla():
     outz, _ = ring_flash_attention(qz, kz, vz, mesh, qv=qvz, causal=True,
                                    softmax_scale=scale, layout="zigzag")
     assert jnp.abs(zigzag_unshard(outz, 4) - ref).max() < 1e-3
+
+
+@pytest.mark.parametrize("causal,gqa,window", [
+    (False, False, (-1, -1)),
+    (True, False, (-1, -1)),
+    (True, True, (-1, -1)),
+    (True, False, (128, 0)),  # sliding window — works under Ulysses as-is
+])
+def test_ulysses_attention_matches_dense(causal, gqa, window):
+    """Ulysses all-to-all CP: head-scatter/sequence-gather around one stock
+    kernel call must reproduce dense attention for any feature combo."""
+    from flash_attn_tpu.parallel.ulysses import ulysses_flash_attention
+    from flash_attn_tpu.utils.testing import attention_ref
+
+    mesh = make_mesh(context=8)
+    b, h, s, d = 1, 8, 512, 64
+    hk = 8 // 2 if gqa else 8
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hk, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hk, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    out = ulysses_flash_attention(q, k, v, mesh, causal=causal,
+                                  window_size=window)
+
+    qb, kb, vb = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    ref, _ = attention_ref(qb, kb, vb, causal=causal, window_size=window)
+    pt, _ = attention_ref(qb, kb, vb, causal=causal, window_size=window,
+                          upcast=False, reorder_ops=True)
+    out_b = out.transpose(0, 2, 1, 3)
+    err = jnp.abs(out_b.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    base = jnp.abs(pt.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err <= 2 * base + 1e-4, (err, base)
+
+
+def test_ulysses_attention_backward():
+    """Grads flow through the transposed all-to-alls + kernel custom_vjp;
+    must match the single-device kernel's grads."""
+    from flash_attn_tpu.flash_attn_interface import flash_attn_func
+    from flash_attn_tpu.parallel.ulysses import ulysses_flash_attention
+
+    mesh = make_mesh(context=8)
+    b, h, s, d = 1, 8, 256, 32
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+
+    def loss_u(q, k, v):
+        return ulysses_flash_attention(q, k, v, mesh, causal=True).sum()
+
+    def loss_ref(q, k, v):
+        return flash_attn_func(q, k, v, causal=True, layout="bhsd").sum()
+
+    gu = jax.grad(loss_u, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gu, gr):
+        assert jnp.abs(a - b_).max() < 1e-3
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from flash_attn_tpu.parallel.ulysses import ulysses_flash_attention
+
+    mesh = make_mesh(context=8)
+    q = jnp.zeros((1, 4, 64, 32), jnp.bfloat16)  # h=4 < cp=8
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_flash_attention(q, q, q, mesh)

@@ -191,6 +191,88 @@ class ImageDataModule:
         self.sampler.load_state_dict(state["sampler"])
 
 
+def tokenize_dataset_to_memmap(
+    dataset,
+    tokenize,
+    cache_path: str,
+    *,
+    text_field: str = "text",
+    eos_id: int | None = None,
+    map_batch_size: int = 1000,
+) -> str:
+    """Tokenize a HuggingFace ``datasets.Dataset`` into a flat on-disk
+    token memmap (the reference's concatenate-everything cache layout,
+    training/src/datamodules/language_modeling_hf.py: tokenize -> append
+    eos per document -> one contiguous uint16/uint32 array).
+
+    ``tokenize`` is any callable text -> list[int] (an HF tokenizer's
+    ``.encode`` works directly). Returns ``cache_path``; a sidecar
+    ``<cache_path>.json`` records dtype + length for reload. Idempotent:
+    an existing cache with a valid sidecar is reused.
+    """
+    import json
+    import os
+
+    meta_path = cache_path + ".json"
+    if os.path.exists(cache_path) and os.path.exists(meta_path):
+        return cache_path
+
+    ids_ds = dataset.map(
+        lambda ex: {"_ids": [tokenize(t) for t in ex[text_field]]},
+        batched=True, batch_size=map_batch_size,
+        remove_columns=dataset.column_names,
+    )
+    lens = [len(row) for row in ids_ds["_ids"]]
+    extra = 1 if eos_id is not None else 0
+    total = sum(lens) + extra * len(lens)
+    max_id = max(
+        (max(row) if row else 0 for row in ids_ds["_ids"]), default=0
+    )
+    if eos_id is not None:
+        max_id = max(max_id, eos_id)
+    dtype = np.uint16 if max_id < 2 ** 16 else np.uint32
+
+    mm = np.memmap(cache_path, dtype=dtype, mode="w+", shape=(total,))
+    off = 0
+    for row in ids_ds["_ids"]:
+        mm[off : off + len(row)] = np.asarray(row, dtype)
+        off += len(row)
+        if eos_id is not None:
+            mm[off] = eos_id
+            off += 1
+    mm.flush()
+    with open(meta_path, "w") as f:
+        json.dump({"dtype": np.dtype(dtype).name, "length": total}, f)
+    return cache_path
+
+
+def lm_datamodule_from_hf(
+    dataset,
+    tokenize,
+    seqlen: int,
+    batch_size: int,
+    cache_path: str,
+    *,
+    text_field: str = "text",
+    eos_id: int | None = None,
+    **dm_kwargs,
+) -> "LMDataModule":
+    """LMDataModule over a tokenized-and-cached HF dataset — the TPU-side
+    equivalent of the reference's LanguageModelingDataModule (HF datasets +
+    memmap cache + fault-tolerant sampler)."""
+    import json
+
+    tokenize_dataset_to_memmap(
+        dataset, tokenize, cache_path, text_field=text_field, eos_id=eos_id
+    )
+    with open(cache_path + ".json") as f:
+        meta = json.load(f)
+    ds = TokenDataset.from_memmap(
+        cache_path, seqlen, dtype=np.dtype(meta["dtype"])
+    )
+    return LMDataModule(ds, batch_size, **dm_kwargs)
+
+
 def synthetic_tokens(vocab_size: int, n: int, seed: int = 0) -> np.ndarray:
     """Markov-ish synthetic stream so a model can actually learn structure
     (used by tests and the quickstart config)."""

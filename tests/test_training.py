@@ -201,6 +201,39 @@ def test_run_logger_and_monitors(model_and_params, tmp_path):
     assert check_causality(model, tr.params, prompt)
 
 
+def test_hf_datamodule_tokenize_cache(tmp_path):
+    """HF-datasets pipeline: tokenize -> eos-joined memmap cache -> exact
+    stream round-trip; cache is reused (idempotent) and the datamodule
+    yields shifted (input, label) batches."""
+    datasets = pytest.importorskip("datasets")
+    from flash_attn_tpu.training.data import (
+        lm_datamodule_from_hf,
+        tokenize_dataset_to_memmap,
+    )
+
+    texts = ["hello world", "abc", "", "flash attention on tpu"]
+    ds = datasets.Dataset.from_dict({"text": texts})
+    tokenize = lambda t: [ord(c) % 96 for c in t]  # toy char tokenizer
+    cache = str(tmp_path / "toks.bin")
+
+    tokenize_dataset_to_memmap(ds, tokenize, cache, eos_id=95)
+    expect = []
+    for t in texts:
+        expect.extend(tokenize(t))
+        expect.append(95)
+    got = np.memmap(cache, dtype=np.uint16, mode="r")
+    assert got.tolist() == expect
+
+    # Idempotence: poison the tokenizer — cache must be served, not rebuilt.
+    dm = lm_datamodule_from_hf(
+        ds, lambda t: 1 / 0, seqlen=8, batch_size=2, cache_path=cache,
+        eos_id=95, shuffle=False,
+    )
+    x, y = next(dm.batches(1))
+    assert x.shape == (2, 8) and y.shape == (2, 8)
+    np.testing.assert_array_equal(x[0, 1:], y[0, :-1])  # shift-by-one
+
+
 def test_image_datamodule_resume():
     """ImageClassDataset + ImageDataModule: batch shapes and exact
     mid-epoch resume (fault-tolerant sampler contract)."""

@@ -14,6 +14,7 @@ fault-tolerant-resume contract).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -48,6 +49,10 @@ class TrainConfig:
     # (losses.fused_linear_cross_entropy). Needs a model exposing
     # forward_hidden (models/gpt.py).
     fused_ce_chunk: int = 0
+    # Lightning accumulate_grad_batches analog: >1 scans that many
+    # microbatches inside ONE jitted step (grads averaged, one optimizer
+    # update). fit() groups consecutive datamodule batches accordingly.
+    accumulate_steps: int = 1
 
 
 class SpeedMonitor:
@@ -150,7 +155,7 @@ class Trainer:
                     param_specs=zero_specs, params=params,
                 )
 
-            def loss_fn(p):
+            def loss_fn(p, ids, lbl, rng):
                 if config.fused_ce_chunk > 0:
                     from flash_attn_tpu.losses.cross_entropy import (
                         fused_linear_cross_entropy,
@@ -160,23 +165,50 @@ class Trainer:
                     )
 
                     hidden = self.model.apply(
-                        p, input_ids, deterministic=False,
-                        rngs={"dropout": dropout_rng},
+                        p, ids, deterministic=False,
+                        rngs={"dropout": rng},
                         method=type(self.model).forward_hidden,
                     )
                     return fused_linear_cross_entropy(
                         hidden, head_weight_from_params(p, self.model.config),
-                        labels, chunk=config.fused_ce_chunk,
+                        lbl, chunk=config.fused_ce_chunk,
                     )
                 logits = self.model.apply(
-                    p, input_ids, deterministic=False,
-                    rngs={"dropout": dropout_rng},
+                    p, ids, deterministic=False, rngs={"dropout": rng},
                 )
-                return cross_entropy_loss(
-                    logits.astype(jnp.float32), labels
-                )
+                return cross_entropy_loss(logits.astype(jnp.float32), lbl)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            acc = config.accumulate_steps
+            if acc > 1:
+                # input_ids/labels are (acc, b, s); one grad per microbatch,
+                # averaged, ONE optimizer update (Lightning
+                # accumulate_grad_batches semantics, fp32 accumulator).
+                def micro(carry, xs):
+                    gsum, lsum = carry
+                    ids, lbl, i = xs
+                    l, g = jax.value_and_grad(loss_fn)(
+                        params, ids, lbl, jax.random.fold_in(dropout_rng, i)
+                    )
+                    gsum = jax.tree_util.tree_map(
+                        lambda a, b: a + b.astype(jnp.float32), gsum, g
+                    )
+                    return (gsum, lsum + l), None
+
+                zero_g = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros(x.shape, jnp.float32), params
+                )
+                (gsum, lsum), _ = jax.lax.scan(
+                    micro, (zero_g, jnp.float32(0.0)),
+                    (input_ids, labels, jnp.arange(acc)),
+                )
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: (g / acc).astype(p.dtype), gsum, params
+                )
+                loss = lsum / acc
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, input_ids, labels, dropout_rng
+                )
             if zero_specs is not None:
                 from flash_attn_tpu.parallel.zero import apply_zero
 
@@ -226,9 +258,24 @@ class Trainer:
                 self.config.log_dir, config=dataclasses.asdict(self.config)
             )
         first = True
+        acc = self.config.accumulate_steps
+
+        def grouped(it):
+            if acc <= 1:
+                yield from it
+                return
+            while True:
+                mbs = list(itertools.islice(it, acc))
+                if len(mbs) < acc:
+                    return
+                yield (np.stack([m[0] for m in mbs]),
+                       np.stack([m[1] for m in mbs]))
+
         cm = self.mesh if self.mesh is not None else _nullcontext()
         with cm:
-            for input_ids, labels in datamodule.batches(steps):
+            for input_ids, labels in grouped(
+                iter(datamodule.batches(steps * acc))
+            ):
                 self._rng, k = jax.random.split(self._rng)
                 self.params, self.opt_state, loss, gnorm = self._train_step(
                     self.params, self.opt_state,

@@ -201,6 +201,47 @@ def test_run_logger_and_monitors(model_and_params, tmp_path):
     assert check_causality(model, tr.params, prompt)
 
 
+def test_grad_accumulation_matches_big_batch(model_and_params):
+    """accumulate_steps=2 over two half-batches must equal one step on the
+    concatenated batch (mean-of-means == global mean at equal microbatch
+    sizes; fp32 accumulator)."""
+    model, params = model_and_params
+    ids = jax.random.randint(jax.random.PRNGKey(9), (4, 33), 0, 64)
+    x, y = ids[:, :-1], ids[:, 1:]
+
+    big = Trainer(model, params, TrainConfig(lr=1e-3, warmup_steps=0,
+                                             total_steps=1,
+                                             schedule="constant"))
+    bp, _, bloss, _ = big._train_step(
+        big.params, big.opt_state, x, y, jax.random.PRNGKey(0)
+    )
+
+    accum = Trainer(model, params,
+                    TrainConfig(lr=1e-3, warmup_steps=0, total_steps=1,
+                                schedule="constant", accumulate_steps=2))
+    ap, _, aloss, _ = accum._train_step(
+        accum.params, accum.opt_state,
+        x.reshape(2, 2, 32), y.reshape(2, 2, 32), jax.random.PRNGKey(0),
+    )
+
+    assert abs(float(bloss) - float(aloss)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(ap),
+                    jax.tree_util.tree_leaves(bp)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_grad_accumulation_fit_groups_batches(model_and_params):
+    """fit() groups acc consecutive datamodule batches into one update;
+    loss still decreases and step count equals total_steps."""
+    model, params = model_and_params
+    tr = Trainer(model, params,
+                 TrainConfig(lr=1e-3, total_steps=20, warmup_steps=2,
+                             log_every=5, accumulate_steps=2))
+    hist = tr.fit(make_dm())
+    assert tr.step_idx == 20
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_hf_datamodule_tokenize_cache(tmp_path):
     """HF-datasets pipeline: tokenize -> eos-joined memmap cache -> exact
     stream round-trip; cache is reused (idempotent) and the datamodule

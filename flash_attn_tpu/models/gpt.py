@@ -320,14 +320,6 @@ class GPTLMHeadModel(nn.Module):
         )
 
 
-def head_weight_from_params(params, config) -> "jnp.ndarray":
-    """The (padded_vocab, n_embd) LM-head weight from a params pytree
-    (tied: the embedding table; untied: lm_head kernel transposed)."""
-    p = params.get("params", params)
-    if config.tie_word_embeddings:
-        return p["transformer"]["embeddings"]["word_embeddings"]["embedding"]
-    return p["lm_head"]["kernel"].T
-
     def allocate_inference_cache(
         self, batch_size: int, max_seqlen: int, dtype=None
     ) -> InferenceParams:
@@ -365,3 +357,12 @@ def head_weight_from_params(params, config) -> "jnp.ndarray":
             seqlen_offset=0,
             key_value_memory_dict=caches,
         )
+
+
+def head_weight_from_params(params, config) -> "jnp.ndarray":
+    """The (padded_vocab, n_embd) LM-head weight from a params pytree
+    (tied: the embedding table; untied: lm_head kernel transposed)."""
+    p = params.get("params", params)
+    if config.tie_word_embeddings:
+        return p["transformer"]["embeddings"]["word_embeddings"]["embedding"]
+    return p["lm_head"]["kernel"].T

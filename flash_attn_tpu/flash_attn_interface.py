@@ -922,14 +922,13 @@ def _sparse_bwd_vjp(config, residuals, cotangents):
 
     tensors, out, lse = residuals
     do, _ = cotangents
-    if tensors.get("alibi_slopes") is not None:
-        raise NotImplementedError("sparse backward with alibi")
     dq, dk, dv = flash_attention_sparse_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         tensors["block_count"], tensors["block_offset"],
         tensors["column_count"], tensors["column_index"],
         softmax_scale=config.softmax_scale, causal=config.causal,
         softcap=config.softcap, interpret=config.interpret,
+        alibi_slopes=tensors.get("alibi_slopes"),
         seqlens_q=tensors.get("seqlens_q"),
         seqlens_k=tensors.get("seqlens_k"),
         dropout_p=config.dropout_p,

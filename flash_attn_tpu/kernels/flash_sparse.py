@@ -498,6 +498,7 @@ def _sparse_mask_tile(
 def _sparse_recompute(
     q, k, v, do, lse2, delta, mask, *, scale, softcap,
     dropout_p=0.0, seed_ref=None, b=0, h=0, q_start=0, k_start=0,
+    bias2=None,
 ):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -508,6 +509,10 @@ def _sparse_recompute(
     else:
         t = None
         s2 = s * (scale * LOG2E)
+    if bias2 is not None:
+        # Additive position bias (alibi), base-2 scaled, applied after
+        # softcap exactly like the forward; contributes no d(q.k) term.
+        s2 = s2 + bias2
     s2 = jnp.where(mask, s2, _MASK2)
     p = jnp.exp2(s2 - lse2)
     p = jnp.where(mask, p, 0.0)
@@ -540,6 +545,7 @@ def _sparse_dkv_kernel(
     block_q: int, block_kv: int, num_q_tiles: int, nqb: int,
     scale: float, causal: bool, softcap: float,
     seqlen_q: int, seqlen_k: int, has_lens: bool, dropout_p: float = 0.0,
+    has_alibi: bool = False, alibi_batched: bool = False,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -549,7 +555,9 @@ def _sparse_dkv_kernel(
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1
-    lens_ref = seed_ref = None
+    slopes_ref = lens_ref = seed_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
     if has_lens:
         lens_ref = refs[idx]; idx += 1
     if dropout_p > 0.0:
@@ -585,12 +593,19 @@ def _sparse_dkv_kernel(
         )
         q = q_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
+        bias2 = None
+        if has_alibi:
+            bias2 = _sparse_alibi_bias2(
+                slopes_ref, b, h, qi, ki, (block_q, block_kv),
+                block_q=block_q, block_kv=block_kv,
+                len_q=len_q, len_k=len_k, alibi_batched=alibi_batched,
+            )
         p, ds = _sparse_recompute(
             q, k_ref[0, 0], v_ref[0, 0], do,
             lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
             scale=scale, softcap=softcap,
             dropout_p=dropout_p, seed_ref=seed_ref, b=b, h=h,
-            q_start=qi * block_q, k_start=ki * block_kv,
+            q_start=qi * block_q, k_start=ki * block_kv, bias2=bias2,
         )
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -607,6 +622,19 @@ def _sparse_dkv_kernel(
         dv_ref[0, 0] = dv_scr[...]
 
 
+def _sparse_alibi_bias2(
+    slopes_ref, b, h, qi, ki, s_shape, *,
+    block_q, block_kv, len_q, len_k, alibi_batched,
+):
+    """Base-2-scaled alibi tile bias, matching the forward's
+    -slope * |cols - rows - (len_k - len_q)| (bottom-right aligned)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0) + qi * block_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + ki * block_kv
+    slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E
+    rel = jnp.abs((cols - rows - (len_k - len_q)).astype(jnp.float32))
+    return -slope2 * rel
+
+
 def _sparse_dq_kernel(
     tile_ref, count_ref,  # scalar prefetch: forward tile lists
     *refs,
@@ -614,6 +642,7 @@ def _sparse_dq_kernel(
     scale: float, causal: bool, softcap: float,
     seqlen_q: int, seqlen_k: int, has_lens: bool, out_dtype,
     dropout_p: float = 0.0,
+    has_alibi: bool = False, alibi_batched: bool = False,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -623,7 +652,9 @@ def _sparse_dq_kernel(
     lse_ref = refs[idx]; idx += 1
     delta_ref = refs[idx]; idx += 1
     bm_ref = refs[idx]; idx += 1
-    lens_ref = seed_ref = None
+    slopes_ref = lens_ref = seed_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
     if has_lens:
         lens_ref = refs[idx]; idx += 1
     if dropout_p > 0.0:
@@ -655,12 +686,19 @@ def _sparse_dq_kernel(
             len_q=len_q, len_k=len_k, causal=causal,
         )
         k = k_ref[0, 0]
+        bias2 = None
+        if has_alibi:
+            bias2 = _sparse_alibi_bias2(
+                slopes_ref, b, h, qi, ki, (block_q, block_kv),
+                block_q=block_q, block_kv=block_kv,
+                len_q=len_q, len_k=len_k, alibi_batched=alibi_batched,
+            )
         _, ds = _sparse_recompute(
             q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0].astype(jnp.float32),
             lse_ref[0, 0] * LOG2E, delta_ref[0, 0], mask,
             scale=scale, softcap=softcap,
             dropout_p=dropout_p, seed_ref=seed_ref, b=b, h=h,
-            q_start=qi * block_q, k_start=ki * block_kv,
+            q_start=qi * block_q, k_start=ki * block_kv, bias2=bias2,
         )
         dq_scr[...] += jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -680,6 +718,7 @@ def flash_attention_sparse_bwd(
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
     seqlens_q: Optional[jnp.ndarray] = None,
     seqlens_k: Optional[jnp.ndarray] = None,
     dropout_p: float = 0.0,
@@ -731,6 +770,15 @@ def flash_attention_sparse_bwd(
     lsep = pad_to_block(lse, 2, block_q)[..., None]
     deltap = pad_to_block(delta, 2, block_q)[..., None]
 
+    has_alibi = alibi_slopes is not None
+    alibi_batched = False
+    slopes = None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = slopes[None, :]
+        alibi_batched = slopes.shape[0] > 1
+
     has_lens = seqlens_q is not None or seqlens_k is not None
     lens = None
     if has_lens:
@@ -754,6 +802,11 @@ def flash_attention_sparse_bwd(
             pl.BlockSpec((1, 1, block_q, 1), q_index),
             pl.BlockSpec((32, block_kv), bm_index),
         ]
+        if has_alibi:
+            specs.append(
+                pl.BlockSpec(slopes.shape, lambda *a: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
         if has_lens:
             specs.append(
                 pl.BlockSpec(lens.shape, lambda *a: (0, 0),
@@ -766,7 +819,8 @@ def flash_attention_sparse_bwd(
             )
         return specs
 
-    args = [qp, kp, vp, dop, lsep, deltap, bitmap] + ([lens] if has_lens else [])
+    args = [qp, kp, vp, dop, lsep, deltap, bitmap] \
+        + ([slopes] if has_alibi else []) + ([lens] if has_lens else [])
     if dropout_p > 0.0:
         if dropout_seed is None:
             dropout_seed = jnp.zeros((), jnp.int32)
@@ -796,6 +850,7 @@ def flash_attention_sparse_bwd(
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
         dropout_p=float(dropout_p),
+        has_alibi=has_alibi, alibi_batched=alibi_batched,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -855,6 +910,7 @@ def flash_attention_sparse_bwd(
         scale=float(softmax_scale), causal=causal, softcap=float(softcap),
         seqlen_q=seqlen_q, seqlen_k=seqlen_k, has_lens=has_lens,
         out_dtype=out_dtype, dropout_p=float(dropout_p),
+        has_alibi=has_alibi, alibi_batched=alibi_batched,
     )
     (dq,) = pl.pallas_call(
         dq_kernel,

@@ -325,6 +325,71 @@ def test_sparse_backward(causal):
         assert err < 1e-3 * max(float(jnp.abs(bb).max()), 1.0), (name, err)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_sparse_backward_alibi(causal):
+    """Sparse backward with ALiBi slopes (reference supports alibi on every
+    kernel path, csrc/flash_attn/flash_api.cpp:375): grads match a masked
+    oracle with the additive -slope*|j - i - (sk-sq)| bias."""
+    b, h, sq, sk, d = 1, 2, 128, 384, 64
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, h, d) * 0.3, jnp.float32)
+    slopes = jnp.asarray([0.0625, 0.25], jnp.float32)
+    nqb = sq // 64
+    nnz_s, nnz_v = 2, 37
+    block_offset = np.zeros((b, h, nqb, nnz_s), np.int32)
+    column_index = np.zeros((b, h, nqb, nnz_v), np.int32)
+    keep = np.zeros((b, h, sq, sk), bool)
+    for bi in range(b):
+        for hi in range(h):
+            for qb in range(nqb):
+                blocks = rng.choice(sk // 64, nnz_s, replace=False) * 64
+                block_offset[bi, hi, qb] = np.sort(blocks)
+                taken = set()
+                for off in blocks:
+                    taken.update(range(off, off + 64))
+                avail = [c for c in range(sk) if c not in taken]
+                cols = np.sort(rng.choice(avail, nnz_v, replace=False))
+                column_index[bi, hi, qb] = cols
+                rows = slice(qb * 64, (qb + 1) * 64)
+                for off in blocks:
+                    keep[bi, hi, rows, off:off + 64] = True
+                keep[bi, hi, rows, cols] = True
+    bc = jnp.full((b, h, nqb), nnz_s, jnp.int32)
+    bo = jnp.asarray(block_offset)
+    cc = jnp.full((b, h, nqb), nnz_v, jnp.int32)
+    ci = jnp.asarray(column_index)
+    kp = jnp.asarray(keep)
+    if causal:
+        rr = jnp.arange(sq)[:, None]
+        ccol = jnp.arange(sk)[None, :]
+        kp = jnp.logical_and(kp, (ccol <= rr + (sk - sq))[None, None])
+
+    def loss(q, k, v):
+        o = sparse_attn_func(q, k, v, bc, bo, cc, ci, causal=causal,
+                             alibi_slopes=slopes)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def oloss(q, k, v):
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kt) * (d ** -0.5)
+        rr = jnp.arange(sq)[:, None]
+        ccol = jnp.arange(sk)[None, :]
+        rel = jnp.abs(ccol - rr - (sk - sq)).astype(jnp.float32)
+        s = s - slopes[None, :, None, None] * rel[None, None]
+        s = jnp.where(kp, s, -jnp.inf)
+        p = jax.nn.softmax(s, -1)
+        p = jnp.where(jnp.any(kp, -1, keepdims=True), p, 0.0)
+        return (jnp.einsum("bhqk,bhkd->bhqd", p, vt) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(oloss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip(("dq", "dk", "dv"), g, go):
+        err = jnp.abs(a - bb).max()
+        assert err < 1e-3 * max(float(jnp.abs(bb).max()), 1.0), (name, err)
+
+
 def test_sparse_backward_gqa():
     """Sparse backward with GQA (grouped kv heads): grads match the
     repeat-expanded masked oracle, dk/dv group-reduced."""

@@ -37,6 +37,13 @@ class BertConfig:
     hidden_dropout_prob: float = 0.0
     attention_probs_dropout_prob: float = 0.0
     pad_vocab_size_multiple: int = 1
+    # Run only the MLM positions (+ CLS) through the final transformer layer
+    # and head (reference models/bert.py:427 last_layer_subset). TPU-native
+    # form: the caller passes a STATIC-width `masked_positions` (b, m) — the
+    # original TPU BERT's max_predictions_per_seq contract — so the gather
+    # keeps shapes static; the last layer runs as cross-attention (subset
+    # queries over all keys) with the same per-projection weights.
+    last_layer_subset: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -64,6 +71,7 @@ class BertModel(nn.Module):
         )
         import functools
 
+        last = c.num_hidden_layers - 1
         self.layers = [
             Block(
                 dim=c.hidden_size,
@@ -73,6 +81,10 @@ class BertModel(nn.Module):
                     num_heads=c.num_attention_heads,
                     dropout=c.attention_probs_dropout_prob,
                     causal=False,
+                    # Subset MLM: the final layer attends subset queries over
+                    # the full sequence (params are identical either way —
+                    # Wq/Wk/Wv are separate Dense modules).
+                    cross_attn=c.last_layer_subset and i == last,
                     dtype=c.dtype,
                     layer_idx=i,
                 ),
@@ -104,28 +116,55 @@ class BertModel(nn.Module):
         token_type_ids=None,
         position_ids=None,
         *,
+        masked_positions: Optional[jnp.ndarray] = None,  # (b, m) int32
         deterministic: bool = True,
     ):
+        """With ``masked_positions`` (static width, the TPU
+        max_predictions_per_seq contract) and config.last_layer_subset, the
+        final layer runs only on those rows (+ CLS, prepended so the pooler
+        works) with keys over the full sequence — the reference's
+        last-layer-subset MLM optimization (models/bert.py:427) without
+        dynamic shapes. Returns (hidden, pooled) where hidden is (b, m, h)
+        aligned with masked_positions on the subset path, (b, s, h) otherwise."""
+        c = self.config
         hidden = self.embeddings(input_ids, position_ids, token_type_ids)
-        hidden = self.emb_ln(hidden).astype(self.config.dtype)
+        hidden = self.emb_ln(hidden).astype(c.dtype)
         mixer_kwargs = {}
         if attention_mask is not None:
             mixer_kwargs["key_padding_mask"] = attention_mask.astype(bool)
-        for layer in self.layers:
+        subset = c.last_layer_subset and masked_positions is not None
+        body = self.layers[:-1] if subset else self.layers
+        for layer in body:
             hidden = layer(
                 hidden, deterministic=deterministic, mixer_kwargs=mixer_kwargs
             )
+        if not subset:
+            pooled = None
+            if self.add_pooling_layer:
+                pooled = jnp.tanh(self.pooler_dense(hidden[:, 0]))
+            return hidden, pooled
+
+        b = hidden.shape[0]
+        pos = jnp.concatenate(
+            [jnp.zeros((b, 1), masked_positions.dtype), masked_positions],
+            axis=1,
+        )
+        sub = jnp.take_along_axis(hidden, pos[:, :, None], axis=1)
+        sub = self.layers[-1](
+            sub, deterministic=deterministic,
+            mixer_kwargs={**mixer_kwargs, "x_kv": hidden},
+        )
         pooled = None
         if self.add_pooling_layer:
-            pooled = jnp.tanh(self.pooler_dense(hidden[:, 0]))
-        return hidden, pooled
+            pooled = jnp.tanh(self.pooler_dense(sub[:, 0]))
+        return sub[:, 1:], pooled
 
 
 class BertForPreTraining(nn.Module):
-    """MLM + NSP heads (reference models/bert.py:427). The reference's
-    last_layer_subset optimization (only run MLM positions through the last
-    layer) trades gather cost for compute — on TPU the masked tokens are a
-    static fraction and XLA prefers the dense path, so it is not replicated."""
+    """MLM + NSP heads (reference models/bert.py:427). With
+    config.last_layer_subset and ``masked_positions``, only the masked rows
+    run through the final layer and the vocab-size MLM matmul — the
+    dominant saving is the head matmul going from s to m rows."""
 
     config: BertConfig
 
@@ -139,9 +178,10 @@ class BertForPreTraining(nn.Module):
         self.nsp = nn.Dense(2, dtype=c.dtype, name="nsp")
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 *, deterministic: bool = True):
+                 *, masked_positions=None, deterministic: bool = True):
         hidden, pooled = self.bert(
             input_ids, attention_mask, token_type_ids,
+            masked_positions=masked_positions,
             deterministic=deterministic,
         )
         x = self.mlm_ln(jax.nn.gelu(self.mlm_dense(hidden)))

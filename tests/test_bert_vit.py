@@ -117,6 +117,27 @@ def test_bert_pretraining_heads():
     assert nsp.shape == (2, 2)
 
 
+def test_bert_last_layer_subset_parity():
+    """The subset path (final layer + MLM head on masked rows only,
+    reference models/bert.py:427) must reproduce the dense path's logits at
+    the masked positions, and the NSP head must see the same pooled CLS."""
+    cfg = dataclasses.replace(CFG, last_layer_subset=True)
+    model = BertForPreTraining(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 99)
+    mask = jnp.arange(16)[None, :] < jnp.array([[12], [16]])
+    params = model.init(jax.random.PRNGKey(1), ids)
+    # static-width masked positions (padded with 0 like masked_lm_positions)
+    pos = jnp.array([[3, 5, 9, 0], [1, 7, 13, 15]], jnp.int32)
+
+    dense_mlm, dense_nsp = model.apply(params, ids, mask)
+    sub_mlm, sub_nsp = model.apply(params, ids, mask, masked_positions=pos)
+
+    assert sub_mlm.shape == (2, 4, cfg.padded_vocab_size)
+    ref = jnp.take_along_axis(dense_mlm, pos[:, :, None], axis=1)
+    assert jnp.abs(sub_mlm - ref).max() < 1e-4
+    assert jnp.abs(sub_nsp - dense_nsp).max() < 1e-4
+
+
 def test_vit_forward():
     cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=48, depth=2,
                     num_heads=4, num_classes=10)

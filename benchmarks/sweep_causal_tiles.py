@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--bq", type=int, nargs="*",
                     default=[512, 1024, 2048, 4096])
     ap.add_argument("--bkv", type=int, nargs="*", default=[256, 512, 1024])
+    ap.add_argument("--iters", type=int, nargs=2, default=[2, 6],
+                    metavar=("LO", "HI"))
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args(argv)
 
     b, h, s, d = args.b, args.h, args.s, args.d
@@ -56,7 +59,9 @@ def main(argv=None):
                 q, k, v, causal=True, block_sizes=_bs)[0]
 
         try:
-            sec = benchmark_forward(fn, q, k, v)
+            sec = benchmark_forward(fn, q, k, v, iters_lo=args.iters[0],
+                                    iters_hi=args.iters[1],
+                                    trials=args.trials)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             print(f"bq={bq:5d} bkv={bkv:5d}  FAILED: {type(e).__name__}")
             continue

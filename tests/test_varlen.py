@@ -237,6 +237,38 @@ def test_varlen_gqa_bwd():
         assert err <= 2.0 * base + 1e-4, f"{name}: err={err} base={base}"
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "lens_q,lens_k,h,hk",
+    [
+        ([1], [1], 2, 2),                      # minimal problem
+        ([0, 77], [0, 77], 2, 2),              # zero-length leading sequence
+        ([128, 0, 1], [128, 0, 1], 2, 2),      # tile-exact + empty + 1-token
+        ([127, 129], [127, 129], 2, 2),        # tile boundary +-1
+        ([1] * 8, [1] * 8, 2, 2),              # many tiny sequences
+        ([5, 63, 17], [257, 31, 2], 8, 1),     # cross lengths, extreme GQA
+        ([64, 32], [0, 96], 4, 2),             # empty K under live Q
+    ],
+    ids=["min", "lead0", "mid0", "tile_pm1", "tiny8", "cross_gqa", "emptyk"],
+)
+def test_varlen_adversarial_shapes(causal, lens_q, lens_k, h, hk):
+    """Deterministic adversarial coverage of scheduler-sensitive varlen
+    shapes (the reference's CLC fuzz posture, tests/cute/test_clc_fuzz.py:1-8:
+    mismatched lengths, non-aligned tiles, GQA ratios, minimal problems).
+    Zero-length sequences must produce zero rows, not NaN."""
+    q, k, v, qmask, kmask = make_varlen(
+        jax.random.PRNGKey(42), lens_q, lens_k, h, hk, 64
+    )
+    out = pack_run_unpack(q, k, v, qmask, kmask, causal=causal,
+                          block_q=128, block_kv=128)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal)
+    pt, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                          upcast=False, reorder_ops=True)
+    out = jnp.where(qmask[:, :, None, None], out, 0.0)
+    assert not bool(jnp.isnan(out).any()), "NaN in observable output"
+    check(out, ref, pt)
+
+
 def test_pad_unpad_roundtrip():
     key = jax.random.PRNGKey(8)
     x = jax.random.normal(key, (3, 17, 4), jnp.float32)

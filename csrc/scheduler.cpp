@@ -41,6 +41,7 @@ struct Scheduler {
   int max_pages_per_seq;
   int chunk_size;
   std::vector<int> free_pages;  // LIFO free list
+  std::vector<int> ref;         // per-page refcount (0 = free)
   std::unordered_map<int, Request> requests;
   std::deque<int> waiting;      // FIFO admission queue
   std::vector<int> active;      // prefilling or running, admission order
@@ -56,14 +57,23 @@ struct Scheduler {
     if (need > max_pages_per_seq) return false;
     while ((int)r.pages.size() < need) {
       if (free_pages.empty()) return false;
-      r.pages.push_back(free_pages.back());
+      int p = free_pages.back();
       free_pages.pop_back();
+      ref[p] = 1;
+      r.pages.push_back(p);
     }
     return true;
   }
 
+  void decref(int p) {
+    if (--ref[p] == 0) free_pages.push_back(p);
+  }
+
   void release(Request& r) {
-    for (int p : r.pages) free_pages.push_back(p);
+    // Shared (prefix-cache) pages may outlive this request: only pages
+    // whose refcount reaches zero return to the free list, in r.pages
+    // order (identical to the Python twin).
+    for (int p : r.pages) decref(p);
     r.pages.clear();
   }
 };
@@ -84,24 +94,75 @@ void* sched_create(int num_pages, int page_size, int max_batch,
   // Descending so pages allocate in ascending order (easier to debug and
   // identical to the Python twin).
   for (int i = 0; i < num_pages; ++i) s->free_pages[i] = num_pages - 1 - i;
+  s->ref.assign(num_pages, 0);
   return s;
 }
 
 void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 
-int sched_add_request(void* h, int request_id, int prompt_len,
-                      int max_new_tokens) {
+// Admission with prefix-cache page sharing: the first num_shared pages of
+// the request are existing pages (already holding its first
+// num_shared*page_size prompt tokens, e.g. from the engine's prefix
+// registry). Their refcounts are incremented and the request's prefill
+// cursor starts after them, so those tokens are never re-prefilled.
+int sched_add_request_shared(void* h, int request_id, int prompt_len,
+                             int max_new_tokens, int num_shared,
+                             const int* shared_pages) {
   auto* s = static_cast<Scheduler*>(h);
   if (s->requests.count(request_id)) return -1;
   if (s->pages_needed(prompt_len + max_new_tokens) > s->max_pages_per_seq)
     return -2;  // can never fit
+  if (num_shared * s->page_size > prompt_len || num_shared > s->max_pages_per_seq)
+    return -3;  // shared pages must cover only full prompt pages
+  for (int i = 0; i < num_shared; ++i) {
+    int p = shared_pages[i];
+    if (p < 0 || p >= s->num_pages || s->ref[p] == 0) return -4;  // not live
+  }
   Request r;
   r.id = request_id;
   r.prompt_len = prompt_len;
   r.max_new_tokens = max_new_tokens;
+  for (int i = 0; i < num_shared; ++i) {
+    int p = shared_pages[i];
+    ++s->ref[p];
+    r.pages.push_back(p);
+  }
+  r.prefilled = num_shared * s->page_size;
   s->requests.emplace(request_id, std::move(r));
   s->waiting.push_back(request_id);
   return 0;
+}
+
+int sched_add_request(void* h, int request_id, int prompt_len,
+                      int max_new_tokens) {
+  return sched_add_request_shared(h, request_id, prompt_len, max_new_tokens,
+                                  0, nullptr);
+}
+
+// Pin/unpin live pages (prefix-cache registry holds a reference so a page
+// survives its owning request). Returns the number actually (un)pinned.
+int sched_pin_pages(void* h, int n, const int* page_ids) {
+  auto* s = static_cast<Scheduler*>(h);
+  int done = 0;
+  for (int i = 0; i < n; ++i) {
+    int p = page_ids[i];
+    if (p < 0 || p >= s->num_pages || s->ref[p] == 0) continue;  // not live
+    ++s->ref[p];
+    ++done;
+  }
+  return done;
+}
+
+int sched_unpin_pages(void* h, int n, const int* page_ids) {
+  auto* s = static_cast<Scheduler*>(h);
+  int done = 0;
+  for (int i = 0; i < n; ++i) {
+    int p = page_ids[i];
+    if (p < 0 || p >= s->num_pages || s->ref[p] == 0) continue;
+    s->decref(p);
+    ++done;
+  }
+  return done;
 }
 
 // Assemble the next step. Returns the number of batch entries written (n).
@@ -121,9 +182,9 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
   // Admit waiting requests while pages for their first chunk exist.
   while (!s->waiting.empty()) {
     Request& r = s->requests.at(s->waiting.front());
-    int first = std::min(r.prompt_len, s->chunk_size);
+    int first = std::min(r.prompt_len, r.prefilled + s->chunk_size);
     if (!s->ensure_pages(r, first)) break;
-    r.state = r.prompt_len > 0 ? PREFILLING : RUNNING;
+    r.state = r.prefilled < r.prompt_len ? PREFILLING : RUNNING;
     s->active.push_back(r.id);
     s->waiting.pop_front();
   }

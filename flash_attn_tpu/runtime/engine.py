@@ -54,6 +54,10 @@ class EngineConfig:
     temperature: float = 1.0
     eos_token_id: Optional[int] = None
     prefer_native_scheduler: bool = True
+    # Reuse KV pages across requests sharing a page-aligned prompt prefix
+    # (vLLM automatic-prefix-caching; see runtime/prefix_cache.py).
+    enable_prefix_caching: bool = False
+    prefix_cache_pages: Optional[int] = None  # budget; None -> num_pages//4
 
 
 @dataclasses.dataclass
@@ -105,6 +109,14 @@ class LLMEngine:
             config.max_pages_per_seq, config.prefill_chunk,
             prefer_native=config.prefer_native_scheduler,
         )
+        self.prefix_cache = None
+        if config.enable_prefix_caching:
+            from flash_attn_tpu.runtime.prefix_cache import PrefixCache
+
+            budget = (config.prefix_cache_pages
+                      if config.prefix_cache_pages is not None
+                      else max(1, config.num_pages // 4))
+            self.prefix_cache = PrefixCache(config.page_size, budget)
         self.outputs: Dict[int, RequestOutput] = {}
         self._prompts: Dict[int, List[int]] = {}
         self._max_new: Dict[int, int] = {}
@@ -147,7 +159,15 @@ class LLMEngine:
     def add_request(self, request_id: int, prompt_tokens: List[int],
                     max_new_tokens: int):
         assert len(prompt_tokens) >= 1
+        shared: List[int] = []
+        if self.prefix_cache is not None:
+            # Only the prefill portion (prompt[:-1]) lives in the cache
+            # before decode, so match full pages of that.
+            shared = self.prefix_cache.lookup(prompt_tokens[:-1])
         rc = self.sched.add_request(
+            request_id, len(prompt_tokens) - 1, max_new_tokens,
+            shared_pages=shared,
+        ) if shared else self.sched.add_request(
             request_id, len(prompt_tokens) - 1, max_new_tokens
         )
         if rc != 0:
@@ -164,7 +184,19 @@ class LLMEngine:
         cfg = self.config
         touched: List[RequestOutput] = []
         if batch.kind == 0:
-            return touched
+            # Page pressure: unfinished work but no schedulable batch means
+            # the pool is starved — drop the prefix registry's pins and
+            # retry once before reporting idle.
+            if (self.prefix_cache is not None and len(self.prefix_cache) > 0
+                    and (self.sched.num_active() > 0 or any(
+                        self.sched.request_state(r) in (0, 1)
+                        for r in self.outputs))):
+                self.prefix_cache.evict(
+                    len(self.prefix_cache), self.sched.unpin_pages
+                )
+                batch = self.sched.next_batch()
+            if batch.kind == 0:
+                return touched
 
         if batch.kind == 1:  # batched prefill chunks (fixed (mb, chunk) shape)
             n = len(batch.request_ids)
@@ -189,6 +221,18 @@ class LLMEngine:
             )
             ids = list(map(int, batch.request_ids))
             self.sched.report(ids, [0] * n, [0] * n)
+            if self.prefix_cache is not None:
+                # Register full prompt pages of requests whose prefill just
+                # completed (state RUNNING); raw tables (-1 padded), not the
+                # trash-substituted copy.
+                for i, rid in enumerate(ids):
+                    if self.sched.request_state(rid) == 2:
+                        self.prefix_cache.register(
+                            self._prompts[rid][:-1],
+                            [int(p) for p in batch.block_tables[i]],
+                            self.sched.pin_pages,
+                        )
+                self.prefix_cache.evict_to_budget(self.sched.unpin_pages)
             touched.extend(self.outputs[r] for r in ids)
             return touched
 

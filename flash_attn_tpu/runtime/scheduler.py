@@ -43,6 +43,16 @@ def _build_native() -> Optional[ctypes.CDLL]:
         lib.sched_destroy.argtypes = [ctypes.c_void_p]
         lib.sched_add_request.restype = ctypes.c_int
         lib.sched_add_request.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 3
+        lib.sched_add_request_shared.restype = ctypes.c_int
+        lib.sched_add_request_shared.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int] * 4
+            + [np.ctypeslib.ndpointer(np.int32)]
+        )
+        for name in ("sched_pin_pages", "sched_unpin_pages"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                           np.ctypeslib.ndpointer(np.int32)]
         lib.sched_next_batch.restype = ctypes.c_int
         lib.sched_next_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
@@ -106,10 +116,20 @@ class NativeScheduler:
             self._h = None
 
     def add_request(self, request_id: int, prompt_len: int,
-                    max_new_tokens: int) -> int:
-        return self._lib.sched_add_request(
-            self._h, request_id, prompt_len, max_new_tokens
+                    max_new_tokens: int, shared_pages=()) -> int:
+        ids = np.ascontiguousarray(list(shared_pages) or [0], np.int32)
+        return self._lib.sched_add_request_shared(
+            self._h, request_id, prompt_len, max_new_tokens,
+            len(shared_pages), ids
         )
+
+    def pin_pages(self, page_ids) -> int:
+        ids = np.ascontiguousarray(list(page_ids) or [0], np.int32)
+        return self._lib.sched_pin_pages(self._h, len(page_ids), ids)
+
+    def unpin_pages(self, page_ids) -> int:
+        ids = np.ascontiguousarray(list(page_ids) or [0], np.int32)
+        return self._lib.sched_unpin_pages(self._h, len(page_ids), ids)
 
     def next_batch(self) -> Batch:
         mb, mp = self.max_batch, self.max_pages_per_seq
@@ -160,11 +180,13 @@ class PyScheduler:
 
     def __init__(self, num_pages, page_size, max_batch, max_pages_per_seq,
                  chunk_size):
+        self.num_pages = num_pages
         self.page_size = page_size
         self.max_batch = max_batch
         self.max_pages_per_seq = max_pages_per_seq
         self.chunk_size = chunk_size
         self.free_pages = list(range(num_pages - 1, -1, -1))
+        self.ref = [0] * num_pages  # per-page refcount (0 = free)
         self.requests: Dict[int, _PyRequest] = {}
         self.waiting: deque = deque()
         self.active: List[int] = []
@@ -179,26 +201,66 @@ class PyScheduler:
         while len(r.pages) < need:
             if not self.free_pages:
                 return False
-            r.pages.append(self.free_pages.pop())
+            p = self.free_pages.pop()
+            self.ref[p] = 1
+            r.pages.append(p)
         return True
 
-    def add_request(self, request_id, prompt_len, max_new_tokens) -> int:
+    def _decref(self, p):
+        self.ref[p] -= 1
+        if self.ref[p] == 0:
+            self.free_pages.append(p)
+
+    def add_request(self, request_id, prompt_len, max_new_tokens,
+                    shared_pages=()) -> int:
+        """Admission; `shared_pages` are live prefix-cache pages already
+        holding the first len(shared_pages)*page_size prompt tokens — their
+        refcounts rise and the prefill cursor starts after them."""
         if request_id in self.requests:
             return -1
         if self._pages_needed(prompt_len + max_new_tokens) > self.max_pages_per_seq:
             return -2
-        self.requests[request_id] = _PyRequest(
-            request_id, prompt_len, max_new_tokens
-        )
+        ns = len(shared_pages)
+        if ns * self.page_size > prompt_len or ns > self.max_pages_per_seq:
+            return -3
+        if any(p < 0 or p >= self.num_pages or self.ref[p] == 0
+               for p in shared_pages):
+            return -4
+        r = _PyRequest(request_id, prompt_len, max_new_tokens)
+        for p in shared_pages:
+            self.ref[p] += 1
+            r.pages.append(p)
+        r.prefilled = ns * self.page_size
+        self.requests[request_id] = r
         self.waiting.append(request_id)
         return 0
+
+    def pin_pages(self, page_ids) -> int:
+        done = 0
+        for p in page_ids:
+            if p < 0 or p >= self.num_pages or self.ref[p] == 0:
+                continue
+            self.ref[p] += 1
+            done += 1
+        return done
+
+    def unpin_pages(self, page_ids) -> int:
+        done = 0
+        for p in page_ids:
+            if p < 0 or p >= self.num_pages or self.ref[p] == 0:
+                continue
+            self._decref(p)
+            done += 1
+        return done
 
     def next_batch(self) -> Batch:
         while self.waiting:
             r = self.requests[self.waiting[0]]
-            if not self._ensure(r, min(r.prompt_len, self.chunk_size)):
+            if not self._ensure(
+                r, min(r.prompt_len, r.prefilled + self.chunk_size)
+            ):
                 break
-            r.state = PREFILLING if r.prompt_len > 0 else RUNNING
+            r.state = PREFILLING if r.prefilled < r.prompt_len else RUNNING
             self.active.append(r.id)
             self.waiting.popleft()
 
@@ -258,7 +320,11 @@ class PyScheduler:
             r.generated += int(p)
             if (d or r.generated >= r.max_new_tokens) and r.state != DONE:
                 r.state = DONE
-                self.free_pages.extend(r.pages)
+                # Shared (prefix-cache) pages may outlive this request:
+                # only refcount-zero pages return, in r.pages order
+                # (identical to the native twin).
+                for pg in r.pages:
+                    self._decref(pg)
                 r.pages = []
                 self.active.remove(r.id)
 

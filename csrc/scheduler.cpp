@@ -40,6 +40,7 @@ struct Scheduler {
   int max_batch;
   int max_pages_per_seq;
   int chunk_size;
+  int decode_depth = 1;  // decode tokens planned per step (multi-step decode)
   std::vector<int> free_pages;  // LIFO free list
   std::vector<int> ref;         // per-page refcount (0 = free)
   std::unordered_map<int, Request> requests;
@@ -235,18 +236,29 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
     }
   }
 
-  // Decode batch over running sequences.
+  // Decode batch over running sequences. With multi-step decode
+  // (decode_depth > 1) each entry is planned for `depth` tokens — pages are
+  // ensured up front and the engine reports how many were actually kept
+  // (EOS / max_new may truncate).
   int n = 0;
   for (int id : s->active) {
     if (n >= s->max_batch) break;
     Request& r = s->requests.at(id);
     if (r.state != RUNNING) continue;
-    if (!s->ensure_pages(r, s->total_len(r) + 1)) continue;  // room for token
-    emit(n, r, s->total_len(r), 1);
+    int depth = s->decode_depth;
+    int remaining = r.max_new_tokens - r.generated;
+    if (depth > remaining) depth = remaining;
+    if (depth < 1) depth = 1;
+    if (!s->ensure_pages(r, s->total_len(r) + depth)) continue;
+    emit(n, r, s->total_len(r), depth);
     ++n;
   }
   if (n > 0) *kind = 2;
   return n;
+}
+
+void sched_set_decode_depth(void* h, int depth) {
+  static_cast<Scheduler*>(h)->decode_depth = depth < 1 ? 1 : depth;
 }
 
 // Report step results: for each entry, one token was produced (decode) or a

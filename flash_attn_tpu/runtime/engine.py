@@ -58,6 +58,12 @@ class EngineConfig:
     # (vLLM automatic-prefix-caching; see runtime/prefix_cache.py).
     enable_prefix_caching: bool = False
     prefix_cache_pages: Optional[int] = None  # budget; None -> num_pages//4
+    # Multi-step decode: run this many decode steps inside ONE jitted
+    # dispatch (lax.scan feeding samples forward) — amortizes the
+    # host<->device round trip that dominates small-batch decode (the
+    # vLLM multi-step-scheduling analog). EOS/max_new truncation is
+    # handled host-side; overshoot writes land on the trash page.
+    decode_depth: int = 1
 
 
 @dataclasses.dataclass
@@ -117,6 +123,8 @@ class LLMEngine:
                       if config.prefix_cache_pages is not None
                       else max(1, config.num_pages // 4))
             self.prefix_cache = PrefixCache(config.page_size, budget)
+        if config.decode_depth > 1:
+            self.sched.set_decode_depth(config.decode_depth)
         self.outputs: Dict[int, RequestOutput] = {}
         self._prompts: Dict[int, List[int]] = {}
         self._max_new: Dict[int, int] = {}
@@ -146,13 +154,31 @@ class LLMEngine:
         return caches
 
     def _decode_impl(self, caches, tokens, offsets, block_tables, rng):
-        logits, caches = self._apply(caches, tokens, offsets, block_tables)
-        nxt = sample_tokens(
-            logits[:, -1], rng,
-            top_k=self.config.top_k, top_p=self.config.top_p,
-            temperature=self.config.temperature,
+        depth = self.config.decode_depth
+
+        def one(caches, toks, offs, key):
+            logits, caches = self._apply(caches, toks, offs, block_tables)
+            nxt = sample_tokens(
+                logits[:, -1], key,
+                top_k=self.config.top_k, top_p=self.config.top_p,
+                temperature=self.config.temperature,
+            )
+            return nxt, caches
+
+        if depth == 1:
+            nxt, caches = one(caches, tokens, offsets, rng)
+            return nxt[:, None], caches
+
+        def body(carry, key):
+            caches, toks, offs = carry
+            nxt, caches = one(caches, toks, offs, key)
+            return (caches, nxt[:, None], offs + 1), nxt
+
+        keys = jax.random.split(rng, depth)
+        (caches, _, _), toks = jax.lax.scan(
+            body, (caches, tokens, offsets), keys
         )
-        return nxt, caches
+        return toks.T, caches  # (mb, depth)
 
     # -- public API ---------------------------------------------------------
 
@@ -256,18 +282,27 @@ class LLMEngine:
             self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
             jnp.asarray(tables), k,
         )
-        nxt = np.asarray(nxt)
+        nxt = np.asarray(nxt)  # (mb, decode_depth)
         produced, done = [], []
         for i, rid in enumerate(batch.request_ids):
             rid = int(rid)
             out = self.outputs[rid]
-            tok = int(nxt[i])
-            out.tokens.append(tok)
-            fin = (
-                cfg.eos_token_id is not None and tok == cfg.eos_token_id
-            ) or len(out.tokens) >= self._max_new[rid]
+            # Keep at most the scheduler-planned count (clamped to the
+            # request's remaining budget), stopping at EOS; overshoot
+            # tokens beyond that were written to invisible cache slots.
+            kept = 0
+            fin = False
+            for j in range(int(batch.chunk_lens[i])):
+                tok = int(nxt[i, j])
+                out.tokens.append(tok)
+                kept += 1
+                if ((cfg.eos_token_id is not None
+                     and tok == cfg.eos_token_id)
+                        or len(out.tokens) >= self._max_new[rid]):
+                    fin = True
+                    break
             out.finished = fin
-            produced.append(1)
+            produced.append(kept)
             done.append(1 if fin else 0)
             touched.append(out)
         self.sched.report(list(map(int, batch.request_ids)), produced, done)

@@ -53,6 +53,8 @@ def _build_native() -> Optional[ctypes.CDLL]:
             fn.restype = ctypes.c_int
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int,
                            np.ctypeslib.ndpointer(np.int32)]
+        lib.sched_set_decode_depth.restype = None
+        lib.sched_set_decode_depth.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.sched_next_batch.restype = ctypes.c_int
         lib.sched_next_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
@@ -123,6 +125,9 @@ class NativeScheduler:
             len(shared_pages), ids
         )
 
+    def set_decode_depth(self, depth: int):
+        self._lib.sched_set_decode_depth(self._h, int(depth))
+
     def pin_pages(self, page_ids) -> int:
         ids = np.ascontiguousarray(list(page_ids) or [0], np.int32)
         return self._lib.sched_pin_pages(self._h, len(page_ids), ids)
@@ -187,9 +192,13 @@ class PyScheduler:
         self.chunk_size = chunk_size
         self.free_pages = list(range(num_pages - 1, -1, -1))
         self.ref = [0] * num_pages  # per-page refcount (0 = free)
+        self.decode_depth = 1  # decode tokens planned per step
         self.requests: Dict[int, _PyRequest] = {}
         self.waiting: deque = deque()
         self.active: List[int] = []
+
+    def set_decode_depth(self, depth: int):
+        self.decode_depth = max(1, int(depth))
 
     def _pages_needed(self, tokens):
         return -(-tokens // self.page_size)
@@ -302,9 +311,11 @@ class PyScheduler:
             if r.state != RUNNING:
                 continue
             total = r.prompt_len + r.generated
-            if not self._ensure(r, total + 1):
+            depth = max(1, min(self.decode_depth,
+                               r.max_new_tokens - r.generated))
+            if not self._ensure(r, total + depth):
                 continue
-            entries.append((r, total, 1))
+            entries.append((r, total, depth))
         if entries:
             ids, pos, lens, tables = emit(entries)
             return Batch(2, ids, pos, lens, pos.copy(), tables)

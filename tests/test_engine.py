@@ -243,6 +243,35 @@ def test_engine_matches_generate(model_and_params, native):
         assert tokens == ref_tokens, (tokens, ref_tokens)
 
 
+@pytest.mark.parametrize("native", [True, False])
+def test_engine_multistep_decode(model_and_params, native):
+    """Multi-step decode (k jitted decode steps per host dispatch, the
+    vLLM multi-step-scheduling analog): greedy tokens must match the
+    single-step engine exactly, including a max_new not divisible by the
+    depth (final truncated chunk) and mixed prompt lengths."""
+    if native and _lib() is None:
+        pytest.skip("native scheduler unavailable")
+    model, params = model_and_params
+    rng = np.random.RandomState(5)
+    prompts = [rng.randint(0, CFG.vocab_size, n).tolist() for n in (21, 44)]
+    max_new = 8  # depth 3 -> chunks of 3, 3, 2
+
+    def run(depth):
+        engine = LLMEngine(
+            model, params,
+            EngineConfig(max_batch_size=4, page_size=16, num_pages=64,
+                         max_pages_per_seq=16, prefill_chunk=32,
+                         max_seqlen=256, prefer_native_scheduler=native,
+                         decode_depth=depth),
+        )
+        return engine.generate(prompts, max_new)
+
+    base = run(1)
+    multi = run(3)
+    assert multi == base
+    assert all(len(t) == max_new for t in multi)
+
+
 def test_engine_mla_model():
     """DeepSeek-style MLA model through the paged continuous-batching
     engine (latent page pools, absorbed-qv decode): tokens equal the

@@ -23,6 +23,7 @@ SCRIPTS = [
     "benchmark_sparse.py",
     "benchmark_varlen.py",
     "benchmark_quant.py",
+    "benchmark_serving.py",
     "benchmark_train_mfu.py",
 ]
 

@@ -41,6 +41,7 @@ struct Scheduler {
   int max_pages_per_seq;
   int chunk_size;
   int decode_depth = 1;  // decode tokens planned per step (multi-step decode)
+  int window_tokens = 0;  // sliding-window visible keys; 0 = no eviction
   std::vector<int> free_pages;  // LIFO free list
   std::vector<int> ref;         // per-page refcount (0 = free)
   std::unordered_map<int, Request> requests;
@@ -70,11 +71,30 @@ struct Scheduler {
     if (--ref[p] == 0) free_pages.push_back(p);
   }
 
+  // Sliding-window KV eviction: with window attention, no query from
+  // next_pos onward ever reads keys below next_pos - (window_tokens - 1),
+  // so pages wholly beneath that are dead — release them to the pool,
+  // leaving -1 placeholders to keep the block table positional (the
+  // engine redirects -1 to its trash page; window masking means the
+  // kernel never reads them).
+  void evict_window(Request& r, int next_pos) {
+    if (window_tokens <= 0) return;
+    int64_t keep_from = (int64_t)next_pos - (window_tokens - 1);
+    for (size_t j = 0; j < r.pages.size(); ++j) {
+      if (r.pages[j] < 0) continue;
+      if ((int64_t)(j + 1) * page_size <= keep_from) {
+        decref(r.pages[j]);
+        r.pages[j] = -1;
+      }
+    }
+  }
+
   void release(Request& r) {
     // Shared (prefix-cache) pages may outlive this request: only pages
     // whose refcount reaches zero return to the free list, in r.pages
     // order (identical to the Python twin).
-    for (int p : r.pages) decref(p);
+    for (int p : r.pages)
+      if (p >= 0) decref(p);
     r.pages.clear();
   }
 };
@@ -224,6 +244,7 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
       if (n >= s->max_batch) break;
       Request& r = s->requests.at(id);
       int len = std::min(s->chunk_size, r.prompt_len - r.prefilled);
+      s->evict_window(r, r.prefilled);
       if (!s->ensure_pages(r, r.prefilled + len)) continue;
       emit(n, r, r.prefilled, len);
       r.prefilled += len;
@@ -249,6 +270,7 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
     int remaining = r.max_new_tokens - r.generated;
     if (depth > remaining) depth = remaining;
     if (depth < 1) depth = 1;
+    s->evict_window(r, s->total_len(r));
     if (!s->ensure_pages(r, s->total_len(r) + depth)) continue;
     emit(n, r, s->total_len(r), depth);
     ++n;
@@ -259,6 +281,11 @@ int sched_next_batch(void* h, int* kind, int* batch_ids, int* positions,
 
 void sched_set_decode_depth(void* h, int depth) {
   static_cast<Scheduler*>(h)->decode_depth = depth < 1 ? 1 : depth;
+}
+
+void sched_set_window(void* h, int window_tokens) {
+  static_cast<Scheduler*>(h)->window_tokens =
+      window_tokens < 0 ? 0 : window_tokens;
 }
 
 // Report step results: for each entry, one token was produced (decode) or a

@@ -64,6 +64,11 @@ class EngineConfig:
     # vLLM multi-step-scheduling analog). EOS/max_new truncation is
     # handled host-side; overshoot writes land on the trash page.
     decode_depth: int = 1
+    # Sliding-window KV page eviction: pages wholly beneath the model's
+    # attention window return to the pool (the block table keeps -1
+    # placeholders -> trash page; window masking never reads them). Must
+    # be >= the model's visible span (window_left + 1). 0 disables.
+    kv_window_tokens: int = 0
 
 
 @dataclasses.dataclass
@@ -125,6 +130,8 @@ class LLMEngine:
             self.prefix_cache = PrefixCache(config.page_size, budget)
         if config.decode_depth > 1:
             self.sched.set_decode_depth(config.decode_depth)
+        if config.kv_window_tokens > 0:
+            self.sched.set_window(config.kv_window_tokens)
         self.outputs: Dict[int, RequestOutput] = {}
         self._prompts: Dict[int, List[int]] = {}
         self._max_new: Dict[int, int] = {}

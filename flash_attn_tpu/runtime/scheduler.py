@@ -55,6 +55,8 @@ def _build_native() -> Optional[ctypes.CDLL]:
                            np.ctypeslib.ndpointer(np.int32)]
         lib.sched_set_decode_depth.restype = None
         lib.sched_set_decode_depth.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.sched_set_window.restype = None
+        lib.sched_set_window.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.sched_next_batch.restype = ctypes.c_int
         lib.sched_next_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
@@ -128,6 +130,9 @@ class NativeScheduler:
     def set_decode_depth(self, depth: int):
         self._lib.sched_set_decode_depth(self._h, int(depth))
 
+    def set_window(self, window_tokens: int):
+        self._lib.sched_set_window(self._h, int(window_tokens))
+
     def pin_pages(self, page_ids) -> int:
         ids = np.ascontiguousarray(list(page_ids) or [0], np.int32)
         return self._lib.sched_pin_pages(self._h, len(page_ids), ids)
@@ -193,12 +198,28 @@ class PyScheduler:
         self.free_pages = list(range(num_pages - 1, -1, -1))
         self.ref = [0] * num_pages  # per-page refcount (0 = free)
         self.decode_depth = 1  # decode tokens planned per step
+        self.window_tokens = 0  # sliding-window visible keys; 0 = off
         self.requests: Dict[int, _PyRequest] = {}
         self.waiting: deque = deque()
         self.active: List[int] = []
 
     def set_decode_depth(self, depth: int):
         self.decode_depth = max(1, int(depth))
+
+    def set_window(self, window_tokens: int):
+        self.window_tokens = max(0, int(window_tokens))
+
+    def _evict_window(self, r: _PyRequest, next_pos: int):
+        """Release pages wholly beneath the sliding-attention window
+        (identical to the native twin): -1 placeholders keep the block
+        table positional; the kernel's window mask never reads them."""
+        if self.window_tokens <= 0:
+            return
+        keep_from = next_pos - (self.window_tokens - 1)
+        for j, p in enumerate(r.pages):
+            if p >= 0 and (j + 1) * self.page_size <= keep_from:
+                self._decref(p)
+                r.pages[j] = -1
 
     def _pages_needed(self, tokens):
         return -(-tokens // self.page_size)
@@ -293,6 +314,7 @@ class PyScheduler:
             if len(entries) >= self.max_batch:
                 break
             ln = min(self.chunk_size, r.prompt_len - r.prefilled)
+            self._evict_window(r, r.prefilled)
             if not self._ensure(r, r.prefilled + ln):
                 continue
             entries.append((r, r.prefilled, ln))
@@ -313,6 +335,7 @@ class PyScheduler:
             total = r.prompt_len + r.generated
             depth = max(1, min(self.decode_depth,
                                r.max_new_tokens - r.generated))
+            self._evict_window(r, total)
             if not self._ensure(r, total + depth):
                 continue
             entries.append((r, total, depth))
@@ -335,7 +358,8 @@ class PyScheduler:
                 # only refcount-zero pages return, in r.pages order
                 # (identical to the native twin).
                 for pg in r.pages:
-                    self._decref(pg)
+                    if pg >= 0:
+                        self._decref(pg)
                 r.pages = []
                 self.active.remove(r.id)
 

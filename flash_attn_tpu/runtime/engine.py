@@ -69,6 +69,11 @@ class EngineConfig:
     # placeholders -> trash page; window masking never reads them). Must
     # be >= the model's visible span (window_left + 1). 0 disables.
     kv_window_tokens: int = 0
+    # Speculative decoding inside continuous batching: a draft model
+    # proposes this many tokens per round and the target verifies them in
+    # ONE forward (greedy acceptance). Requires draft_model/draft_params
+    # at engine construction and greedy sampling (top_k=1). 0 disables.
+    speculative_k: int = 0
 
 
 @dataclasses.dataclass
@@ -83,38 +88,56 @@ class LLMEngine:
     """Continuous-batching engine for GPTLMHeadModel-compatible flax models."""
 
     def __init__(self, model, params, config: EngineConfig,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 draft_model=None, draft_params=None):
         self.model = model
         self.params = params
         self.config = config
         c = model.config
-        hk = c.n_head_kv if c.n_head_kv is not None else c.n_head
-        d = c.head_dim if c.head_dim is not None else c.n_embd // c.n_head
         # One extra "trash" page absorbs writes from padded chunk tails and
         # padded decode slots (block-table entries of -1 are redirected to it).
         self._trash_page = config.num_pages
-        if getattr(c, "attn_type", "mha") == "mla":
-            # Latent page pools: rope-key pool + latent pool, ONE kv head.
-            self.caches = {
-                i: (
-                    allocate_paged_kv_cache(
-                        config.num_pages + 1, config.page_size, 1,
-                        c.qk_rope_head_dim, c.dtype,
-                    )[0],
-                    allocate_paged_kv_cache(
-                        config.num_pages + 1, config.page_size, 1,
-                        c.kv_lora_rank, c.dtype,
-                    )[0],
-                )
-                for i in range(c.n_layer)
-            }
-        else:
-            self.caches = {
+
+        def alloc_caches(mc):
+            hk = mc.n_head_kv if mc.n_head_kv is not None else mc.n_head
+            d = (mc.head_dim if mc.head_dim is not None
+                 else mc.n_embd // mc.n_head)
+            if getattr(mc, "attn_type", "mha") == "mla":
+                # Latent page pools: rope-key pool + latent pool, ONE kv head.
+                return {
+                    i: (
+                        allocate_paged_kv_cache(
+                            config.num_pages + 1, config.page_size, 1,
+                            mc.qk_rope_head_dim, mc.dtype,
+                        )[0],
+                        allocate_paged_kv_cache(
+                            config.num_pages + 1, config.page_size, 1,
+                            mc.kv_lora_rank, mc.dtype,
+                        )[0],
+                    )
+                    for i in range(mc.n_layer)
+                }
+            return {
                 i: allocate_paged_kv_cache(
-                    config.num_pages + 1, config.page_size, hk, d, c.dtype
+                    config.num_pages + 1, config.page_size, hk, d, mc.dtype
                 )
-                for i in range(c.n_layer)
+                for i in range(mc.n_layer)
             }
+
+        self.caches = alloc_caches(c)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.draft_caches = None
+        if config.speculative_k > 0:
+            if draft_model is None or draft_params is None:
+                raise ValueError("speculative_k needs draft_model/draft_params")
+            if config.top_k != 1:
+                raise ValueError(
+                    "engine speculative decoding is greedy-only (top_k=1)"
+                )
+            # Draft KV pages mirror the target's block tables: same page
+            # ids, a parallel pool per draft layer.
+            self.draft_caches = alloc_caches(draft_model.config)
         self.sched = make_scheduler(
             config.num_pages, config.page_size, config.max_batch_size,
             config.max_pages_per_seq, config.prefill_chunk,
@@ -128,8 +151,13 @@ class LLMEngine:
                       if config.prefix_cache_pages is not None
                       else max(1, config.num_pages // 4))
             self.prefix_cache = PrefixCache(config.page_size, budget)
+        if config.speculative_k > 0 and config.decode_depth > 1:
+            raise ValueError("speculative_k and decode_depth are exclusive")
         if config.decode_depth > 1:
             self.sched.set_decode_depth(config.decode_depth)
+        if config.speculative_k > 0:
+            # Page planning per round: k accepted drafts + the bonus token.
+            self.sched.set_decode_depth(config.speculative_k + 1)
         if config.kv_window_tokens > 0:
             self.sched.set_window(config.kv_window_tokens)
         self.outputs: Dict[int, RequestOutput] = {}
@@ -138,10 +166,20 @@ class LLMEngine:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(0,))
         self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(0,))
+        if config.speculative_k > 0:
+            self._prefill_spec_fn = jax.jit(
+                self._prefill_spec_impl, donate_argnums=(0, 1)
+            )
+            self._spec_decode_fn = jax.jit(
+                self._spec_decode_impl, donate_argnums=(0, 1)
+            )
 
     # -- jitted steps -------------------------------------------------------
 
-    def _apply(self, caches, tokens, offsets, block_tables):
+    def _apply(self, caches, tokens, offsets, block_tables, *,
+               model=None, params=None, num_last_tokens=1):
+        model = self.model if model is None else model
+        params = self.params if params is None else params
         ip = InferenceParams(
             max_seqlen=self.config.max_seqlen,
             max_batch_size=tokens.shape[0],
@@ -149,8 +187,9 @@ class LLMEngine:
             key_value_memory_dict=dict(caches),
             block_table=block_tables,
         )
-        logits = self.model.apply(
-            self.params, tokens, inference_params=ip, num_last_tokens=1
+        logits = model.apply(
+            params, tokens, inference_params=ip,
+            num_last_tokens=num_last_tokens,
         )
         return logits.astype(jnp.float32), ip.key_value_memory_dict
 
@@ -159,6 +198,43 @@ class LLMEngine:
         # last prompt token is fed through decode instead).
         _, caches = self._apply(caches, tokens, offset, block_table)
         return caches
+
+    def _prefill_spec_impl(self, caches, draft_caches, tokens, offset,
+                           block_table):
+        _, caches = self._apply(caches, tokens, offset, block_table)
+        _, draft_caches = self._apply(
+            draft_caches, tokens, offset, block_table,
+            model=self.draft_model, params=self.draft_params,
+        )
+        return caches, draft_caches
+
+    def _spec_decode_impl(self, caches, draft_caches, tokens, offsets,
+                          block_tables):
+        """One speculative round: the draft scans k greedy tokens, the
+        target verifies all k (+ the newest known token) in ONE forward.
+        Rejected-suffix cache writes land beyond the kept length and are
+        overwritten before exposure (position-accounting invariant)."""
+        k = self.config.speculative_k
+
+        def dbody(carry, _):
+            dc, toks, offs = carry
+            logits, dc = self._apply(
+                dc, toks, offs, block_tables,
+                model=self.draft_model, params=self.draft_params,
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (dc, nxt[:, None], offs + 1), nxt
+
+        (draft_caches, _, _), dtoks = jax.lax.scan(
+            dbody, (draft_caches, tokens, offsets), None, length=k
+        )
+        dtoks = dtoks.T  # (mb, k)
+        seq = jnp.concatenate([tokens, dtoks], axis=1)  # (mb, k+1)
+        logits, caches = self._apply(
+            caches, seq, offsets, block_tables, num_last_tokens=k + 1
+        )
+        gtoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (mb, k+1)
+        return dtoks, gtoks, caches, draft_caches
 
     def _decode_impl(self, caches, tokens, offsets, block_tables, rng):
         depth = self.config.decode_depth
@@ -246,12 +322,20 @@ class LLMEngine:
                 offsets[i] = pos
             tables[:n] = np.where(batch.block_tables < 0, self._trash_page,
                                   batch.block_tables)
-            self.caches = self._prefill_fn(
-                self.caches,
-                jnp.asarray(tokens),
-                jnp.asarray(offsets),
-                jnp.asarray(tables),
-            )
+            if self.config.speculative_k > 0:
+                self.caches, self.draft_caches = self._prefill_spec_fn(
+                    self.caches, self.draft_caches,
+                    jnp.asarray(tokens),
+                    jnp.asarray(offsets),
+                    jnp.asarray(tables),
+                )
+            else:
+                self.caches = self._prefill_fn(
+                    self.caches,
+                    jnp.asarray(tokens),
+                    jnp.asarray(offsets),
+                    jnp.asarray(tables),
+                )
             ids = list(map(int, batch.request_ids))
             self.sched.report(ids, [0] * n, [0] * n)
             if self.prefix_cache is not None:
@@ -284,12 +368,27 @@ class LLMEngine:
                          np.int32)
         tables[:n] = np.where(batch.block_tables < 0, self._trash_page,
                               batch.block_tables)
-        self._rng, k = jax.random.split(self._rng)
-        nxt, self.caches = self._decode_fn(
-            self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
-            jnp.asarray(tables), k,
-        )
-        nxt = np.asarray(nxt)  # (mb, decode_depth)
+        if self.config.speculative_k > 0:
+            dt, gt, self.caches, self.draft_caches = self._spec_decode_fn(
+                self.caches, self.draft_caches, jnp.asarray(tokens),
+                jnp.asarray(offsets), jnp.asarray(tables),
+            )
+            dt, gt = np.asarray(dt), np.asarray(gt)
+            K = self.config.speculative_k
+            cand = []
+            for i in range(n):
+                a = 0
+                while a < K and int(dt[i, a]) == int(gt[i, a]):
+                    a += 1  # greedy acceptance: draft matches target pred
+                cand.append([int(t) for t in gt[i, : a + 1]])
+        else:
+            self._rng, k = jax.random.split(self._rng)
+            nxt, self.caches = self._decode_fn(
+                self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
+                jnp.asarray(tables), k,
+            )
+            nxt = np.asarray(nxt)  # (mb, decode_depth)
+            cand = [[int(t) for t in nxt[i]] for i in range(n)]
         produced, done = [], []
         for i, rid in enumerate(batch.request_ids):
             rid = int(rid)
@@ -299,8 +398,8 @@ class LLMEngine:
             # tokens beyond that were written to invisible cache slots.
             kept = 0
             fin = False
-            for j in range(int(batch.chunk_lens[i])):
-                tok = int(nxt[i, j])
+            for j in range(min(int(batch.chunk_lens[i]), len(cand[i]))):
+                tok = cand[i][j]
                 out.tokens.append(tok)
                 kept += 1
                 if ((cfg.eos_token_id is not None

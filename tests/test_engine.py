@@ -346,6 +346,43 @@ def test_engine_window_eviction_parity(model_and_params):
     assert free_evict > free_base  # pages actually returned mid-run
 
 
+@pytest.mark.parametrize("same_draft", [False, True])
+def test_engine_speculative_decode(model_and_params, same_draft):
+    """Speculative decoding inside continuous batching (draft proposes k,
+    target verifies in one forward): greedy outputs must equal the plain
+    engine regardless of draft quality. same_draft=True (draft == target)
+    must accept every proposal; a weak independent draft exercises
+    mid-round rejection and the invisible-slot overwrite invariant."""
+    model, params = model_and_params
+    if same_draft:
+        draft_model, draft_params = model, params
+    else:
+        draft_model = GPTLMHeadModel(CFG)
+        draft_params = draft_model.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 8), jnp.int32)
+        )
+    rng = np.random.RandomState(8)
+    prompts = [rng.randint(0, CFG.vocab_size, n).tolist() for n in (19, 33)]
+    max_new = 10  # k=3 -> rounds of up to 4 kept tokens, final truncation
+
+    def run(spec):
+        engine = LLMEngine(
+            model, params,
+            EngineConfig(max_batch_size=4, page_size=16, num_pages=64,
+                         max_pages_per_seq=16, prefill_chunk=32,
+                         max_seqlen=256, prefer_native_scheduler=False,
+                         speculative_k=3 if spec else 0),
+            draft_model=draft_model if spec else None,
+            draft_params=draft_params if spec else None,
+        )
+        return engine.generate(prompts, max_new)
+
+    base = run(False)
+    spec = run(True)
+    assert spec == base
+    assert all(len(t) == max_new for t in spec)
+
+
 def test_engine_mla_model():
     """DeepSeek-style MLA model through the paged continuous-batching
     engine (latent page pools, absorbed-qv decode): tokens equal the

@@ -42,14 +42,17 @@ def build_model(n_embd=256, n_layer=4, n_head=8, vocab=512):
 
 
 def run_engine(model, params, prompts, max_new, *, decode_depth=1,
-               prefix_caching=False, repeats=1):
+               prefix_caching=False, speculative_k=0, draft=None,
+               repeats=1):
     from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
 
     engine = LLMEngine(model, params, EngineConfig(
         max_batch_size=8, page_size=64, num_pages=512,
         max_pages_per_seq=32, prefill_chunk=256, max_seqlen=2048,
         decode_depth=decode_depth, enable_prefix_caching=prefix_caching,
-    ))
+        speculative_k=speculative_k,
+    ), draft_model=draft[0] if draft else None,
+       draft_params=draft[1] if draft else None)
     # Warm-up wave compiles prefill + decode programs (and, with caching,
     # seeds the prefix registry — deliberately included so wave 2 hits it).
     engine.generate(prompts, max_new)
@@ -108,6 +111,23 @@ def main(argv=None):
             row["prefix_hits"] = engine.prefix_cache.hits
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+    # Speculative round: a 2-layer draft of the same family. Acceptance on
+    # random-weight models is low — on trained pairs it is the headline
+    # serving speedup; this row tracks the machinery's overhead floor.
+    draft_model, draft_params, _ = build_model(n_layer=2)
+    tps, engine = run_engine(
+        model, params, prompts, args.max_new,
+        speculative_k=4, draft=(draft_model, draft_params),
+    )
+    row = {
+        "bench": "serving_engine", "speculative_k": 4,
+        "tokens_per_s": round(tps, 1), "nprompts": args.nprompts,
+        "prompt_len": args.prompt_len, "max_new": args.max_new,
+        "backend": jax.default_backend(),
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
     base = rows[0]["tokens_per_s"]
     best = max(r["tokens_per_s"] for r in rows)
     print(json.dumps({

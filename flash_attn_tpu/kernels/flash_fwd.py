@@ -125,6 +125,8 @@ def _fwd_kernel(
     aux_shapes: tuple = (),
     num_aux_scalars: int = 0,
     out_dtype=None,
+    fold_r: int = 0,
+    fold_num_q: int = 0,
 ):
     # Unpack refs in canonical order.
     idx = 0
@@ -168,36 +170,60 @@ def _fwd_kernel(
 
     b = pl.program_id(0)
     h = pl.program_id(1)
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    if fold_r > 0:
+        # Folded causal grid (see flash_attention_fwd): q tile p is paired
+        # with q tile N-1-p so every (pair, j) row covers exactly
+        # r*(N+1) visible tiles — no predicated-off grid steps, closed-form
+        # index arithmetic (the TPU answer to the reference's per-CTA
+        # variable trip count, flash_fwd_kernel.h:55 n_block_max).
+        p = pl.program_id(2)
+        j = pl.program_id(3)
+        fold_j_total = fold_r * (fold_num_q + 1)
+        cross = fold_r * (p + 1)
+        in_first = j < cross
+        qi = jnp.where(in_first, p, fold_num_q - 1 - p)
+        ki = jnp.where(in_first, j, j - cross)
+        chain_start = jnp.logical_or(j == 0, j == cross)
+        chain_end = jnp.logical_or(j == cross - 1, j == fold_j_total - 1)
+        should_run = jnp.bool_(True)
+    else:
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+        chain_start = ki == 0
+        chain_end = ki == num_kv_blocks - 1
 
-    @pl.when(ki == 0)
+    @pl.when(chain_start)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, _MASK2)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    min_kv_blk, max_kv_blk = make_causal_window_bounds(
-        seqlen_q=seqlen_q,
-        seqlen_k=seqlen_k,
-        # Round-robin CP interleaves absolute columns across ranks, so
-        # local-unit block bounds do not apply; fall back to full range
-        # (element masking stays exact).
-        window=window if cp_world_size == 1 else (-1, -1),
-        block_q=block_q,
-        block_kv=block_kv,
-        num_kv_blocks=num_kv_blocks,
-        attention_chunk=attention_chunk if cp_world_size == 1 else 0,
-    )
-    if cp_world_size > 1:
-        should_run = jnp.bool_(True)
+    if fold_r > 0:
+        pass  # every grid step is a visible tile by construction
     else:
-        should_run = jnp.logical_and(
-            ki >= min_kv_blk(qi), ki <= max_kv_blk(qi)
+        min_kv_blk, max_kv_blk = make_causal_window_bounds(
+            seqlen_q=seqlen_q,
+            seqlen_k=seqlen_k,
+            # Round-robin CP interleaves absolute columns across ranks, so
+            # local-unit block bounds do not apply; fall back to full range
+            # (element masking stays exact).
+            window=window if cp_world_size == 1 else (-1, -1),
+            block_q=block_q,
+            block_kv=block_kv,
+            num_kv_blocks=num_kv_blocks,
+            attention_chunk=attention_chunk if cp_world_size == 1 else 0,
         )
-    # Sink tokens re-enable the first blocks even outside the window.
-    if sink_token_length > 0:
-        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+        if cp_world_size > 1:
+            should_run = jnp.bool_(True)
+        else:
+            should_run = jnp.logical_and(
+                ki >= min_kv_blk(qi), ki <= max_kv_blk(qi)
+            )
+        # Sink tokens re-enable the first blocks even outside the window.
+        if sink_token_length > 0:
+            should_run = jnp.logical_or(
+                should_run, ki * block_kv < sink_token_length
+            )
 
     # Does this (qi, ki) tile need element-level masking at all? Static
     # masking work is skipped entirely for pure-interior tiles of the
@@ -444,7 +470,7 @@ def _fwd_kernel(
         def _body_edge():
             _compute(with_mask=True)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(chain_end)
     def _finalize():
         m = m_scr[...][:, 0:1]  # (block_q, 1), base-2 units
         l = l_scr[...][:, 0:1]
@@ -576,15 +602,55 @@ def flash_attention_fwd(
             lo = 0
         return jnp.clip(ki, lo, hi)
 
+    # Folded causal grid: for the pure-causal aligned case, pair q tile p
+    # with q tile N-1-p. Tile p sees r*(p+1) kv tiles and tile N-1-p sees
+    # r*(N-p), so every pair covers exactly r*(N+1) — a rectangular grid
+    # that enumerates only visible tiles, with closed-form (no
+    # scalar-prefetch) index arithmetic. Removes the ~44% predicated-off
+    # grid steps of the rectangular causal grid (measured +~12% at s=8k).
+    fold_r = 0
+    if (
+        causal
+        and cp_world_size == 1
+        and attention_chunk == 0
+        and sink_token_length == 0
+        and window == (-1, 0)
+        and seqlen_q == seqlen_k
+        and sq_pad == sk_pad
+        and block_q % block_kv == 0
+        and num_q_blocks % 2 == 0
+        and num_q_blocks >= 2
+    ):
+        fold_r = block_q // block_kv
+
+    if fold_r:
+        _N = num_q_blocks
+
+        def q_index(b, h, p, j):
+            return jnp.where(j < fold_r * (p + 1), p, _N - 1 - p)
+
+        def kv_index(b, h, p, j):
+            cross = fold_r * (p + 1)
+            return jnp.where(j < cross, j, j - cross)
+    else:
+        def q_index(b, h, qi, ki):
+            return qi
+
+        def kv_index(b, h, qi, ki):
+            return clamp_kv(ki, qi)
+
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda b, h, qi, ki: (b, h, q_index(b, h, qi, ki), 0),
+        ),
         pl.BlockSpec(
             (1, 1, block_kv, d_pad),
-            lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
+            lambda b, h, qi, ki: (b, h // group_size, kv_index(b, h, qi, ki), 0),
         ),
         pl.BlockSpec(
             (1, 1, block_kv, dv_pad),
-            lambda b, h, qi, ki: (b, h // group_size, clamp_kv(ki, qi), 0),
+            lambda b, h, qi, ki: (b, h // group_size, kv_index(b, h, qi, ki), 0),
         ),
     ]
     args = [qp, kp, vp]
@@ -593,7 +659,7 @@ def flash_attention_fwd(
         qvp = pad_to_block(pad_to_block(qv, 3, dv_pad), 2, block_q)
         in_specs.append(
             pl.BlockSpec((1, 1, block_q, dv_pad),
-                         lambda b, h, qi, ki: (b, h, qi, 0))
+                         lambda b, h, qi, ki: (b, h, q_index(b, h, qi, ki), 0))
         )
         args.append(qvp)
 
@@ -630,8 +696,8 @@ def flash_attention_fwd(
                 lambda b, h, qi, ki, bb=bb, bh=bh: (
                     0 if bb == 0 else b,
                     0 if bh == 0 else h,
-                    qi,
-                    clamp_kv(ki, qi),
+                    q_index(b, h, qi, ki),
+                    kv_index(b, h, qi, ki),
                 ),
             )
         )
@@ -680,11 +746,15 @@ def flash_attention_fwd(
             jnp.asarray(kv_segment_ids, jnp.int32), 1, block_kv, value=-2
         )[..., None]
         in_specs.append(
-            pl.BlockSpec((1, block_q, 1), lambda b, h, qi, ki: (b, qi, 0))
+            pl.BlockSpec(
+                (1, block_q, 1),
+                lambda b, h, qi, ki: (b, q_index(b, h, qi, ki), 0),
+            )
         )
         in_specs.append(
             pl.BlockSpec(
-                (1, block_kv, 1), lambda b, h, qi, ki: (b, clamp_kv(ki, qi), 0)
+                (1, block_kv, 1),
+                lambda b, h, qi, ki: (b, kv_index(b, h, qi, ki), 0),
             )
         )
         args.extend([qseg, kseg])
@@ -718,7 +788,12 @@ def flash_attention_fwd(
         )
         args.append(sc)
 
-    grid = (batch, num_heads, num_q_blocks, num_kv_blocks)
+    if fold_r:
+        grid = (
+            batch, num_heads, num_q_blocks // 2, fold_r * (num_q_blocks + 1)
+        )
+    else:
+        grid = (batch, num_heads, num_q_blocks, num_kv_blocks)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -753,6 +828,8 @@ def flash_attention_fwd(
         aux_shapes=aux_shapes,
         num_aux_scalars=len(aux_scalars),
         out_dtype=out_dtype,
+        fold_r=fold_r,
+        fold_num_q=num_q_blocks,
     )
 
     # LSE carries a trailing singleton lane dim: TPU block shapes must have
@@ -762,8 +839,14 @@ def flash_attention_fwd(
         jax.ShapeDtypeStruct((batch, num_heads, sq_pad, 1), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, dv_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, dv_pad),
+            lambda b, h, qi, ki: (b, h, q_index(b, h, qi, ki), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, 1),
+            lambda b, h, qi, ki: (b, h, q_index(b, h, qi, ki), 0),
+        ),
     ]
     scratch_shapes = [
         pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # running max (base-2)
@@ -772,10 +855,14 @@ def flash_attention_fwd(
     ]
 
     flops_per_block = 4 * block_q * block_kv * d_pad
+    num_compute_blocks = (
+        grid[2] * grid[3] if fold_r else num_q_blocks * num_kv_blocks
+    )
     cost = pl.CostEstimate(
-        flops=flops_per_block * batch * num_heads * num_q_blocks * num_kv_blocks,
+        flops=flops_per_block * batch * num_heads * num_compute_blocks,
         bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-        transcendentals=batch * num_heads * sq_pad * sk_pad,
+        transcendentals=batch * num_heads * sq_pad * sk_pad
+        // (2 if fold_r else 1),
     )
 
     out, lse = pl.pallas_call(

@@ -228,3 +228,33 @@ def test_flash_attn_fp32_inputs():
         v.astype(jnp.bfloat16), causal=True, upcast=False, reorder_ops=True,
     )
     check(out, ref, pt)
+
+
+@pytest.mark.parametrize("sq,bq,bkv", [(512, 128, 128), (1024, 256, 128),
+                                       (960, 256, 128)])
+@pytest.mark.parametrize("dropout_p", [0.0, 0.17])
+def test_flash_attn_causal_fold_parity(sq, bq, bkv, dropout_p):
+    """The folded causal grid (q tile p paired with N-1-p; constant trip
+    count r*(N+1), no predicated-off steps) must be bitwise identical to the
+    rectangular grid. window_size=(sq, -1) is mask-equivalent to causal but
+    disables the fold, giving a same-kernel rectangular control."""
+    q, k, v = make_qkv(jax.random.PRNGKey(60), 2, sq, sq, 4, 2, 64)
+    bs = BlockSizes(block_q=bq, block_kv=bkv)
+    kw = dict(dropout_p=dropout_p, dropout_seed=jnp.int32(3))
+    slopes = default_alibi_slopes(4)
+    folded, lse_f = flash_attention_fwd(
+        bshd(q), bshd(k), bshd(v), causal=True, alibi_slopes=slopes,
+        block_sizes=bs, **kw)
+    rect, lse_r = flash_attention_fwd(
+        bshd(q), bshd(k), bshd(v), causal=True, window_size=(sq, -1),
+        alibi_slopes=slopes, block_sizes=bs, **kw)
+    assert jnp.array_equal(folded, rect)
+    assert jnp.array_equal(lse_f, lse_r)
+    if dropout_p == 0.0:
+        row = jnp.arange(sq, dtype=jnp.float32)[:, None]
+        col = jnp.arange(sq, dtype=jnp.float32)[None, :]
+        bias = -slopes[:, None, None] * jnp.abs(col - row)[None]
+        ref, _ = attention_ref(q, k, v, causal=True, attn_bias=bias)
+        pt, _ = attention_ref(q, k, v, causal=True, attn_bias=bias,
+                              upcast=False, reorder_ops=True)
+        check(bshd(folded), ref, pt)

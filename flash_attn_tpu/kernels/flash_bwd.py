@@ -242,6 +242,7 @@ def _bwd_dkv_kernel(
     score_mod=None, mask_mod=None,
     num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     out_dtype=None,
+    fold_m: int = 0, fold_num_kv: int = 0,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -276,23 +277,50 @@ def _bwd_dkv_kernel(
 
     b = pl.program_id(0)
     h = pl.program_id(1)
-    ki = pl.program_id(2)
-    qi = pl.program_id(3)
+    if fold_m > 0:
+        # Folded causal grid (see flash_fwd.py): kv tile p sees
+        # num_q_blocks - m*p q tiles (m = block_kv // block_q), so pairing
+        # kv tile p with tile N_kv-1-p gives a constant trip count — the
+        # grid enumerates only visible tiles, no predicated-off steps.
+        p = pl.program_id(2)
+        j = pl.program_id(3)
+        seg1 = num_q_blocks - fold_m * p
+        j_total = 2 * num_q_blocks - fold_m * (fold_num_kv - 1)
+        in_first = j < seg1
+        ki = jnp.where(in_first, p, fold_num_kv - 1 - p)
+        qi = jnp.where(
+            in_first,
+            fold_m * p + j,
+            fold_m * (fold_num_kv - 1 - p) + j - seg1,
+        )
+        chain_start = jnp.logical_or(j == 0, j == seg1)
+        chain_end = jnp.logical_or(j == seg1 - 1, j == j_total - 1)
+        should_run = jnp.bool_(True)
+    else:
+        ki = pl.program_id(2)
+        qi = pl.program_id(3)
+        chain_start = qi == 0
+        chain_end = qi == num_q_blocks - 1
 
-    @pl.when(qi == 0)
+    @pl.when(chain_start)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    min_kv_blk, max_kv_blk = make_causal_window_bounds(
-        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
-        block_q=block_q, block_kv=block_kv,
-        num_kv_blocks=cdiv(round_up(seqlen_k, block_kv), block_kv),
-        attention_chunk=attention_chunk,
-    )
-    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
-    if sink_token_length > 0:
-        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+    if fold_m == 0:
+        min_kv_blk, max_kv_blk = make_causal_window_bounds(
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+            block_q=block_q, block_kv=block_kv,
+            num_kv_blocks=cdiv(round_up(seqlen_k, block_kv), block_kv),
+            attention_chunk=attention_chunk,
+        )
+        should_run = jnp.logical_and(
+            ki >= min_kv_blk(qi), ki <= max_kv_blk(qi)
+        )
+        if sink_token_length > 0:
+            should_run = jnp.logical_or(
+                should_run, ki * block_kv < sink_token_length
+            )
 
     needs_mask = (
         causal or is_local(window) or attention_chunk > 0 or has_segments
@@ -394,7 +422,7 @@ def _bwd_dkv_kernel(
         def _edge():
             _compute(with_mask=True)
 
-    @pl.when(qi == num_q_blocks - 1)
+    @pl.when(chain_end)
     def _finalize():
         dk_ref[0, 0] = dk_scr[...].astype(out_dtype)
         dv_ref[0, 0] = dv_scr[...].astype(out_dtype)
@@ -412,6 +440,7 @@ def _bwd_dq_kernel(
     score_mod=None, mask_mod=None,
     num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     out_dtype=None,
+    fold_r: int = 0, fold_num_q: int = 0,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -452,23 +481,45 @@ def _bwd_dq_kernel(
 
     b = pl.program_id(0)
     h = pl.program_id(1)
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    if fold_r > 0:
+        # Folded causal grid, identical construction to the forward
+        # (flash_fwd.py): q tile p paired with N-1-p, constant r*(N+1)
+        # trip count, only visible tiles enumerated.
+        p = pl.program_id(2)
+        j = pl.program_id(3)
+        fold_j_total = fold_r * (fold_num_q + 1)
+        cross = fold_r * (p + 1)
+        in_first = j < cross
+        qi = jnp.where(in_first, p, fold_num_q - 1 - p)
+        ki = jnp.where(in_first, j, j - cross)
+        chain_start = jnp.logical_or(j == 0, j == cross)
+        chain_end = jnp.logical_or(j == cross - 1, j == fold_j_total - 1)
+        should_run = jnp.bool_(True)
+    else:
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+        chain_start = ki == 0
+        chain_end = ki == num_kv_blocks - 1
 
-    @pl.when(ki == 0)
+    @pl.when(chain_start)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
         if has_qv:
             dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
-    min_kv_blk, max_kv_blk = make_causal_window_bounds(
-        seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
-        attention_chunk=attention_chunk,
-    )
-    should_run = jnp.logical_and(ki >= min_kv_blk(qi), ki <= max_kv_blk(qi))
-    if sink_token_length > 0:
-        should_run = jnp.logical_or(should_run, ki * block_kv < sink_token_length)
+    if fold_r == 0:
+        min_kv_blk, max_kv_blk = make_causal_window_bounds(
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, window=window,
+            block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+            attention_chunk=attention_chunk,
+        )
+        should_run = jnp.logical_and(
+            ki >= min_kv_blk(qi), ki <= max_kv_blk(qi)
+        )
+        if sink_token_length > 0:
+            should_run = jnp.logical_or(
+                should_run, ki * block_kv < sink_token_length
+            )
 
     needs_mask = (
         causal or is_local(window) or attention_chunk > 0 or has_segments
@@ -570,7 +621,7 @@ def _bwd_dq_kernel(
         def _edge():
             _compute(with_mask=True)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(chain_end)
     def _finalize():
         dq_ref[0, 0] = dq_scr[...].astype(out_dtype)
         if has_qv:
@@ -754,6 +805,17 @@ def flash_attention_bwd(
             args.append(aux_sc)
         return specs, args, qp.shape[2], kp.shape[2]
 
+    # Folded causal grids (see flash_fwd.py fold_r): gated to the pure
+    # bottom-right-diagonal case with tile-aligned equal seqlens and an
+    # affine visible-count (divisible tile ratio).
+    fold_ok = (
+        causal
+        and attention_chunk == 0
+        and sink_token_length == 0
+        and window == (-1, 0)
+        and seqlen_q == seqlen_k
+    )
+
     # ---------------- dK/dV kernel (grid: b, h, kv, q) ----------------
     num_q_blocks_kv = cdiv(round_up(seqlen_q, bq_kv), bq_kv)
     num_kv_blocks_kv = cdiv(round_up(seqlen_k, bkv_kv), bkv_kv)
@@ -768,10 +830,47 @@ def flash_attention_bwd(
         hi = max_qb(ki)
         return jnp.clip(qi, lo, hi)
 
+    fold_m = 0
+    if (
+        fold_ok
+        and bkv_kv % bq_kv == 0
+        and round_up(seqlen_q, bq_kv) == round_up(seqlen_k, bkv_kv)
+        and num_kv_blocks_kv % 2 == 0
+        and num_kv_blocks_kv >= 2
+    ):
+        fold_m = bkv_kv // bq_kv
+
+    if fold_m:
+        _Nkv = num_kv_blocks_kv
+        _Nq = num_q_blocks_kv
+
+        def kv_idx_dkv(p, j):
+            return jnp.where(j < _Nq - fold_m * p, p, _Nkv - 1 - p)
+
+        def q_idx_dkv(p, j):
+            seg1 = _Nq - fold_m * p
+            return jnp.where(
+                j < seg1, fold_m * p + j,
+                fold_m * (_Nkv - 1 - p) + j - seg1,
+            )
+
+        dkv_grid = (
+            batch, num_heads, _Nkv // 2,
+            2 * _Nq - fold_m * (_Nkv - 1),
+        )
+    else:
+        def kv_idx_dkv(ki, qi):
+            return ki
+
+        def q_idx_dkv(ki, qi):
+            return clamp_q_kv(ki, qi)
+
+        dkv_grid = (batch, num_heads, num_kv_blocks_kv, num_q_blocks_kv)
+
     specs, args, sqp, skp = common_specs(
         bq_kv, bkv_kv,
-        clamp_q=lambda ki, qi: clamp_q_kv(ki, qi),
-        clamp_kv=lambda ki, qi: ki,
+        clamp_q=q_idx_dkv,
+        clamp_kv=kv_idx_dkv,
     )
 
     dkv_kernel = functools.partial(
@@ -788,14 +887,21 @@ def flash_attention_bwd(
         num_aux=len(aux_tensors), aux_shapes=aux_shapes,
         num_aux_scalars=len(aux_scalars),
         out_dtype=jnp.float32,
+        fold_m=fold_m, fold_num_kv=num_kv_blocks_kv,
     )
     dk_gh, dv_gh = pl.pallas_call(
         dkv_kernel,
-        grid=(batch, num_heads, num_kv_blocks_kv, num_q_blocks_kv),
+        grid=dkv_grid,
         in_specs=specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bkv_kv, d_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, bkv_kv, dv_pad), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec(
+                (1, 1, bkv_kv, d_pad),
+                lambda b, h, ki, qi: (b, h, kv_idx_dkv(ki, qi), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bkv_kv, dv_pad),
+                lambda b, h, ki, qi: (b, h, kv_idx_dkv(ki, qi), 0),
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, skp, d_pad), jnp.float32),
@@ -841,10 +947,46 @@ def flash_attention_bwd(
             lo = 0
         return jnp.clip(ki, lo, max_kvb(qi))
 
+    # bias_grad writes dbias tiles only for visited (qi, ki) pairs — the
+    # rectangular grid visits (and zeroes) every tile, the folded grid does
+    # not, so folding is disabled when a dbias output exists.
+    fold_r = 0
+    if (
+        fold_ok
+        and not bias_grad
+        and bq_dq % bkv_dq == 0
+        and round_up(seqlen_q, bq_dq) == round_up(seqlen_k, bkv_dq)
+        and num_q_blocks_dq % 2 == 0
+        and num_q_blocks_dq >= 2
+    ):
+        fold_r = bq_dq // bkv_dq
+
+    if fold_r:
+        _Nq_dq = num_q_blocks_dq
+
+        def q_idx_dq(p, j):
+            return jnp.where(j < fold_r * (p + 1), p, _Nq_dq - 1 - p)
+
+        def kv_idx_dq(p, j):
+            cross = fold_r * (p + 1)
+            return jnp.where(j < cross, j, j - cross)
+
+        dq_grid = (
+            batch, num_heads, _Nq_dq // 2, fold_r * (_Nq_dq + 1)
+        )
+    else:
+        def q_idx_dq(qi, ki):
+            return qi
+
+        def kv_idx_dq(qi, ki):
+            return clamp_kv_dq(qi, ki)
+
+        dq_grid = (batch, num_heads, num_q_blocks_dq, num_kv_blocks_dq)
+
     specs, args, sqp, skp = common_specs(
         bq_dq, bkv_dq,
-        clamp_q=lambda qi, ki: qi,
-        clamp_kv=lambda qi, ki: clamp_kv_dq(qi, ki),
+        clamp_q=q_idx_dq,
+        clamp_kv=kv_idx_dq,
     )
 
     dq_kernel = functools.partial(
@@ -862,9 +1004,13 @@ def flash_attention_bwd(
         num_aux=len(aux_tensors), aux_shapes=aux_shapes,
         num_aux_scalars=len(aux_scalars),
         out_dtype=out_dtype,
+        fold_r=fold_r, fold_num_q=num_q_blocks_dq,
     )
     out_specs = [
-        pl.BlockSpec((1, 1, bq_dq, d_pad), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, bq_dq, d_pad),
+            lambda b, h, qi, ki: (b, h, q_idx_dq(qi, ki), 0),
+        ),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, num_heads, sqp, d_pad), out_dtype),
@@ -879,7 +1025,10 @@ def flash_attention_bwd(
     scratch_shapes = [pltpu.VMEM((bq_dq, d_pad), jnp.float32)]
     if has_qv:
         out_specs.append(
-            pl.BlockSpec((1, 1, bq_dq, dv_pad), lambda b, h, qi, ki: (b, h, qi, 0))
+            pl.BlockSpec(
+                (1, 1, bq_dq, dv_pad),
+                lambda b, h, qi, ki: (b, h, q_idx_dq(qi, ki), 0),
+            )
         )
         out_shape.append(
             jax.ShapeDtypeStruct((batch, num_heads, sqp, dv_pad), out_dtype)
@@ -887,7 +1036,7 @@ def flash_attention_bwd(
         scratch_shapes.append(pltpu.VMEM((bq_dq, dv_pad), jnp.float32))
     results = pl.pallas_call(
         dq_kernel,
-        grid=(batch, num_heads, num_q_blocks_dq, num_kv_blocks_dq),
+        grid=dq_grid,
         in_specs=specs,
         out_specs=out_specs,
         out_shape=out_shape,

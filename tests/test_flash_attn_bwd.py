@@ -215,3 +215,27 @@ def test_bwd_sink_grads():
         err = jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)).max()
         base = jnp.abs(p.astype(jnp.float32) - r.astype(jnp.float32)).max()
         assert err <= 2.0 * base + 2e-3, (name, err, base)
+
+
+@pytest.mark.parametrize("bq2,bkv2", [(256, 256), (256, 512), (512, 256)])
+def test_bwd_causal_fold_parity(bq2, bkv2):
+    """Folded causal grids in the dK/dV and dQ kernels (pair trick, see
+    flash_fwd.py fold_r) must be bitwise identical to the rectangular
+    grids. window_size=(sq, -1) is mask-equivalent to causal but disables
+    the fold — a same-kernel rectangular control."""
+    from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    b, h, hk, s, d = 2, 4, 2, 1024, 64
+    q, k, v, g = make_qkv(jax.random.PRNGKey(7), b, s, s, h, hk, d)
+    bhsd = lambda x: x.transpose(0, 2, 1, 3)
+    q, k, v, g = bhsd(q), bhsd(k), bhsd(v), bhsd(g)
+    bs = BlockSizes(256, 256, bq2, bkv2, bq2, bkv2)
+    kw = dict(dropout_p=0.1, dropout_seed=jnp.int32(9), block_sizes=bs)
+    out, lse = flash_attention_fwd(q, k, v, causal=True, **kw)
+    folded = flash_attention_bwd(q, k, v, out, lse, g, causal=True, **kw)
+    rect = flash_attention_bwd(
+        q, k, v, out, lse, g, causal=True, window_size=(s, -1), **kw
+    )
+    for name, a, bb in zip(("dq", "dk", "dv"), folded, rect):
+        assert jnp.array_equal(a, bb), name

@@ -46,9 +46,12 @@ from flash_attn_tpu.kernels.common import (
 
 _MASK2 = DEFAULT_MASK_VALUE
 
-# Target contiguous-chunk size for coalesced page DMAs: big enough for
-# near-peak HBM bandwidth on v5e.
-_TARGET_CHUNK_BYTES = 64 * 1024
+# Target contiguous-chunk size for coalesced page DMAs. Swept on v5e at
+# b=8/s=4k/hk=2/d=128 across page sizes 16/32/64 x contiguous/permuted:
+# 128KB dominates 64KB at every point (worst case +5%, best +28% at
+# page=32 permuted); 256KB wins a couple of points but loses badly at
+# page=64 (-35% permuted). Single uniform choice: 128KB.
+_TARGET_CHUNK_BYTES = 128 * 1024
 
 
 def _mp_decode_kernel(

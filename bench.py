@@ -65,7 +65,6 @@ def main():
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
     b, s, h, dim = 4, 8192, 8, 128
-    causal = False
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     # Kernel-native (b, h, s, d) layout — the layout TPU-first model code uses.
@@ -73,19 +72,21 @@ def main():
     k = jax.random.normal(kk, (b, h, s, dim), jnp.bfloat16)
     v = jax.random.normal(kv, (b, h, s, dim), jnp.bfloat16)
 
-    def step(q, k, v):
-        out, _ = flash_attention_fwd(q, k, v, causal=causal)
-        return out
-
-    k_lo, k_hi = 4, 16
-    t_lo = _timed_chain(step, q, k, v, k_lo)
-    t_hi = _timed_chain(step, q, k, v, k_hi)
-    dt = (t_hi - t_lo) / (k_hi - k_lo)
-
-    flops = 4 * b * s * s * h * dim / (2 if causal else 1)
-    tflops = flops / dt / 1e12
     peak = _device_peak()
-    util = tflops / peak
+    tf = {}
+    for causal in (False, True):
+        def step(q, k, v, _c=causal):
+            out, _ = flash_attention_fwd(q, k, v, causal=_c)
+            return out
+
+        k_lo, k_hi = 4, 16
+        t_lo = _timed_chain(step, q, k, v, k_lo)
+        t_hi = _timed_chain(step, q, k, v, k_hi)
+        dt = (t_hi - t_lo) / (k_hi - k_lo)
+        flops = 4 * b * s * s * h * dim / (2 if causal else 1)
+        tf[causal] = flops / dt / 1e12
+
+    util = tf[False] / peak
     target = 0.60
     print(
         json.dumps(
@@ -94,7 +95,9 @@ def main():
                 "value": round(util, 4),
                 "unit": "fraction_of_mxu_roofline",
                 "vs_baseline": round(util / target, 4),
-                "tflops": round(tflops, 2),
+                "tflops": round(tf[False], 2),
+                "tflops_causal": round(tf[True], 2),
+                "causal_mxu_utilization": round(tf[True] / peak, 4),
                 "peak_tflops": peak,
                 "device": jax.devices()[0].device_kind,
             }

@@ -322,6 +322,8 @@ def flash_attention_decode(
     attention_chunk: int = 0,
     sink_token_length: int = 0,
     softcap: float = 0.0,
+    fused_kv_dim: int = 0,  # >0: k_cache is a fused K|V page pool
+    fused_kv_dim_v: int = 0,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
@@ -330,6 +332,28 @@ def flash_attention_decode(
     query token i of sq attends to cache positions <= seqlen - sq + i)."""
     batch, sq, num_heads, head_dim = q.shape
     paged = block_table is not None
+    if fused_kv_dim > 0:
+        # Fused K|V page pool (engine-internal layout): only the multipage
+        # kernel understands it, and its feature set must suffice.
+        assert paged and causal and v_cache is None
+        assert sink is None and alibi_slopes is None
+        assert cache_leftpad is None and cache_batch_idx is None
+        assert k_scale is None and v_scale is None
+        assert sink_token_length == 0 and attention_chunk == 0
+        assert k_cache.dtype.itemsize >= 2
+        from flash_attn_tpu.kernels.flash_decode_multipage import (
+            flash_attention_decode_multipage,
+        )
+        from flash_attn_tpu.utils.fa_logging import log_dispatch
+
+        log_dispatch("decode", route="multipage-dma-fused",
+                     page=k_cache.shape[2], b=batch, h=num_heads)
+        return flash_attention_decode_multipage(
+            q, k_cache, None, cache_seqlens, block_table,
+            fused_kv_dim=fused_kv_dim, fused_kv_dim_v=fused_kv_dim_v,
+            softmax_scale=softmax_scale, window_left=window_left,
+            softcap=softcap, interpret=interpret,
+        )
     # The index-map pipeline pays a fixed per-grid-step cost per page; the
     # manually pipelined multi-page gather kernel (DMA coalescing + aggregate
     # waits) beats it at every page size measured (16 -> ~640 GB/s,

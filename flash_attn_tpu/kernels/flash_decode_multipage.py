@@ -61,20 +61,30 @@ def _mp_decode_kernel(
     page: int, pages_per_sup: int, chunk_pages: int, max_pages: int,
     scale: float, window_left: int, softcap: float,
     has_qv: bool, out_dtype,
+    fused_dim: int = 0,
 ):
+    # fused_dim > 0: K and V live page-adjacent in ONE pool of last-dim
+    # width fused_dim + d_v, so each page gather is a single DMA of twice
+    # the size — the lever that matters for permuted small-page tables.
+    fused = fused_dim > 0
     idx = 0
     q_ref = refs[idx]; idx += 1          # (1, hk, rows, d) VMEM
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1     # (1, hk, rows, d_v) VMEM
-    k_hbm = refs[idx]; idx += 1          # (npages, hk, page, d) HBM/ANY
-    v_hbm = refs[idx]; idx += 1
+    k_hbm = refs[idx]; idx += 1          # (npages, hk, page, d[+d_v]) ANY
+    v_hbm = None
+    if not fused:
+        v_hbm = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1          # (1, hk, rows, d_v)
     lse_ref = refs[idx]; idx += 1
-    kbuf = refs[idx]; idx += 1           # (2, P, hk, page, d) VMEM scratch
-    vbuf = refs[idx]; idx += 1           # (2, P, hk, page, d_v)
+    kbuf = refs[idx]; idx += 1           # (2, P, hk, page, d[+d_v]) VMEM
+    vbuf = vsem = None
+    if not fused:
+        vbuf = refs[idx]; idx += 1       # (2, P, hk, page, d_v)
     ksem = refs[idx]; idx += 1           # DMA sem (2,)
-    vsem = refs[idx]; idx += 1
+    if not fused:
+        vsem = refs[idx]; idx += 1
     state = refs[idx]; idx += 1          # SMEM (2,): next slot, prefetched?
     m_scr = refs[idx]; idx += 1          # (hk, rows, NUM_LANES)
     l_scr = refs[idx]; idx += 1
@@ -116,11 +126,12 @@ def _mp_decode_kernel(
                         kbuf.at[slot, pl.ds(c * C, C)],
                         ksem.at[slot],
                     ).start()
-                    pltpu.make_async_copy(
-                        v_hbm.at[pl.ds(pg0, C)],
-                        vbuf.at[slot, pl.ds(c * C, C)],
-                        vsem.at[slot],
-                    ).start()
+                    if not fused:
+                        pltpu.make_async_copy(
+                            v_hbm.at[pl.ds(pg0, C)],
+                            vbuf.at[slot, pl.ds(c * C, C)],
+                            vsem.at[slot],
+                        ).start()
 
                 @pl.when(jnp.logical_not(is_contig))
                 def _small():
@@ -131,17 +142,19 @@ def _mp_decode_kernel(
                             k_hbm.at[pg], kbuf.at[slot, c * C + j],
                             ksem.at[slot],
                         ).start()
-                        pltpu.make_async_copy(
-                            v_hbm.at[pg], vbuf.at[slot, c * C + j],
-                            vsem.at[slot],
-                        ).start()
+                        if not fused:
+                            pltpu.make_async_copy(
+                                v_hbm.at[pg], vbuf.at[slot, c * C + j],
+                                vsem.at[slot],
+                            ).start()
             else:
                 pltpu.make_async_copy(
                     k_hbm.at[pg0], kbuf.at[slot, c], ksem.at[slot],
                 ).start()
-                pltpu.make_async_copy(
-                    v_hbm.at[pg0], vbuf.at[slot, c], vsem.at[slot],
-                ).start()
+                if not fused:
+                    pltpu.make_async_copy(
+                        v_hbm.at[pg0], vbuf.at[slot, c], vsem.at[slot],
+                    ).start()
 
     def wait_slot(slot):
         # Aggregate wait: DMA semaphores count bytes; one wait for the whole
@@ -149,9 +162,10 @@ def _mp_decode_kernel(
         pltpu.make_async_copy(
             k_hbm.at[pl.ds(0, P)], kbuf.at[slot], ksem.at[slot]
         ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(0, P)], vbuf.at[slot], vsem.at[slot]
-        ).wait()
+        if not fused:
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(0, P)], vbuf.at[slot], vsem.at[slot]
+            ).wait()
 
     @pl.when(b == 0)
     def _reset():
@@ -191,8 +205,13 @@ def _mp_decode_kernel(
         wait_slot(slot)
 
         for h in range(hk):
-            k = kbuf[slot, :, h].reshape(sup, kbuf.shape[-1])  # (sup, d)
-            v = vbuf[slot, :, h].reshape(sup, vbuf.shape[-1])  # (sup, d_v)
+            if fused:
+                kv = kbuf[slot, :, h].reshape(sup, kbuf.shape[-1])
+                k = kv[:, :fused_dim]               # (sup, d)
+                v = kv[:, fused_dim:]               # (sup, d_v)
+            else:
+                k = kbuf[slot, :, h].reshape(sup, kbuf.shape[-1])  # (sup, d)
+                v = vbuf[slot, :, h].reshape(sup, vbuf.shape[-1])  # (sup, d_v)
             q = q_ref[0, h]  # (rows, d)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -256,12 +275,16 @@ def _mp_decode_kernel(
 
 def flash_attention_decode_multipage(
     q: jnp.ndarray,        # (b, sq, h, d)
-    k_pages: jnp.ndarray,  # (npages, hk, page, d)
-    v_pages: jnp.ndarray,
+    k_pages: jnp.ndarray,  # (npages, hk, page, d) — or fused (…, d + d_v)
+    v_pages: Optional[jnp.ndarray],
     cache_seqlens: jnp.ndarray,  # (b,) total lengths
     block_table: jnp.ndarray,    # (b, max_pages) int32
     *,
     qv: Optional[jnp.ndarray] = None,  # (b, sq, h, d_v) MLA absorbed
+    fused_kv_dim: int = 0,  # >0: k_pages holds K|V fused on the last dim,
+                            # K head dim fused_kv_dim; v_pages must be None
+    fused_kv_dim_v: int = 0,  # true V head dim in the fused pool
+                              # (default: the padded remainder)
     softmax_scale: Optional[float] = None,
     window_left: int = -1,
     softcap: float = 0.0,
@@ -273,9 +296,26 @@ def flash_attention_decode_multipage(
     npages, num_heads_kv, page, _ = k_pages.shape
     group = num_heads // num_heads_kv
     has_qv = qv is not None
+    fused = fused_kv_dim > 0
+    if fused:
+        # Fused pool layout (runtime/kv_cache.py): K at [:, :d] and V at
+        # [:, Kpad:Kpad+dv], each section lane-padded. fused_kv_dim is the
+        # TRUE K head dim; fused_kv_dim_v the true V head dim.
+        assert v_pages is None and not has_qv
+        assert head_dim == fused_kv_dim, (head_dim, fused_kv_dim)
+        head_dim_v = (
+            fused_kv_dim_v
+            if fused_kv_dim_v
+            else k_pages.shape[3] - round_up(fused_kv_dim, NUM_LANES)
+        )
+        assert k_pages.shape[3] == (
+            round_up(fused_kv_dim, NUM_LANES) + round_up(head_dim_v, NUM_LANES)
+        ), (k_pages.shape, fused_kv_dim, head_dim_v)
+    else:
+        head_dim_v = v_pages.shape[3]  # may differ (MLA absorbed decode)
     if softmax_scale is None:
         softmax_scale = (
-            (head_dim + v_pages.shape[3]) ** -0.5 if has_qv
+            (head_dim + head_dim_v) ** -0.5 if has_qv
             else head_dim**-0.5
         )
     if interpret is None:
@@ -283,10 +323,10 @@ def flash_attention_decode_multipage(
     out_dtype = q.dtype
 
     d_pad = round_up(head_dim, NUM_LANES)
-    head_dim_v = v_pages.shape[3]  # may differ (MLA absorbed decode)
     dv_pad = round_up(head_dim_v, NUM_LANES)
-    k_pages = pad_to_block(k_pages, 3, d_pad)
-    v_pages = pad_to_block(v_pages, 3, dv_pad)
+    if not fused:
+        k_pages = pad_to_block(k_pages, 3, d_pad)
+        v_pages = pad_to_block(v_pages, 3, dv_pad)
     itemsize = k_pages.dtype.itemsize
 
     # Super-block sizing under a VMEM budget (two slots of K and V buffers).
@@ -303,8 +343,10 @@ def flash_attention_decode_multipage(
         block_table = jnp.pad(block_table, ((0, 0), (0, pad)))
         max_pages += pad
 
-    # Coalescing chunk: C pages per contiguous DMA, targeting >=64KB.
-    page_bytes = num_heads_kv * page * d_pad * itemsize
+    # Coalescing chunk: C pages per contiguous DMA.
+    page_bytes = num_heads_kv * page * (
+        d_pad + dv_pad if fused else d_pad
+    ) * itemsize
     chunk_pages = max(1, min(pages_per_sup,
                              _TARGET_CHUNK_BYTES // max(page_bytes, 1)))
     while pages_per_sup % chunk_pages != 0:
@@ -341,11 +383,15 @@ def flash_attention_decode_multipage(
                          lambda b, s, t, c: (b, 0, 0, 0))
         )
         args.append(fold(qv, head_dim_v, dv_pad))
-    in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    args += [k_pages, v_pages]
+    if fused:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+        args += [k_pages]
+    else:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [k_pages, v_pages]
 
     kernel = functools.partial(
         _mp_decode_kernel,
@@ -354,6 +400,7 @@ def flash_attention_decode_multipage(
         max_pages=max_pages,
         scale=float(softmax_scale), window_left=int(window_left),
         softcap=float(softcap), has_qv=has_qv, out_dtype=out_dtype,
+        fused_dim=d_pad if fused else 0,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -366,13 +413,25 @@ def flash_attention_decode_multipage(
             pl.BlockSpec((1, num_heads_kv, rows, 1),
                          lambda b, s, t, c: (b, 0, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, d_pad),
-                       k_pages.dtype),
-            pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, dv_pad),
-                       v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+        scratch_shapes=(
+            [
+                pltpu.VMEM(
+                    (2, pages_per_sup, num_heads_kv, page, d_pad + dv_pad),
+                    k_pages.dtype,
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if fused
+            else [
+                pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, d_pad),
+                           k_pages.dtype),
+                pltpu.VMEM((2, pages_per_sup, num_heads_kv, page, dv_pad),
+                           v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        )
+        + [
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((num_heads_kv, rows, NUM_LANES), jnp.float32),
             pltpu.VMEM((num_heads_kv, rows, NUM_LANES), jnp.float32),

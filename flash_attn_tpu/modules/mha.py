@@ -241,7 +241,14 @@ class MHA(nn.Module):
         flash_attn_with_kvcache branch (modules/mha.py:344-705)."""
         b, s = q.shape[0], q.shape[1]
         layer = self.layer_idx if self.layer_idx is not None else 0
-        k_cache, v_cache = inference_params.key_value_memory_dict[layer]
+        entry = inference_params.key_value_memory_dict[layer]
+        # A bare array (not a (k, v) tuple) marks the fused K|V page pool
+        # layout (runtime/kv_cache.py allocate_fused_paged_kv_cache).
+        fused = not isinstance(entry, tuple)
+        if fused:
+            kv_cache, k_cache, v_cache = entry, None, None
+        else:
+            k_cache, v_cache = entry
         offset = inference_params.seqlen_offset
         if isinstance(offset, int):
             offsets = jnp.full((b,), offset, jnp.int32)
@@ -261,6 +268,30 @@ class MHA(nn.Module):
 
         table = inference_params.block_table
         if table is not None:
+            if fused:
+                assert self._alibi_slopes is None, (
+                    "fused K|V page pools do not support ALiBi — allocate "
+                    "split pools (EngineConfig.fused_kv_pages=False)"
+                )
+                from flash_attn_tpu.runtime.kv_cache import (
+                    update_fused_paged_kv_cache,
+                )
+
+                kv_cache = update_fused_paged_kv_cache(
+                    kv_cache, k, v, offsets, table
+                )
+                inference_params.key_value_memory_dict[layer] = kv_cache
+                out, _ = flash_attention_decode(
+                    q, kv_cache, None, offsets + s,
+                    block_table=table,
+                    fused_kv_dim=k.shape[-1],
+                    fused_kv_dim_v=v.shape[-1],
+                    softmax_scale=self.softmax_scale,
+                    causal=True,
+                    window_left=self.window_size[0],
+                    softcap=self.softcap,
+                )
+                return out
             from flash_attn_tpu.runtime.kv_cache import update_paged_kv_cache
 
             k_cache, v_cache = update_paged_kv_cache(

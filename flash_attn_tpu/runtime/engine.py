@@ -36,7 +36,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attn_tpu.modules.mha import InferenceParams
-from flash_attn_tpu.runtime.kv_cache import allocate_paged_kv_cache
+from flash_attn_tpu.runtime.kv_cache import (
+    allocate_fused_paged_kv_cache,
+    allocate_paged_kv_cache,
+)
 from flash_attn_tpu.runtime.scheduler import make_scheduler
 from flash_attn_tpu.runtime.generation import sample_tokens
 
@@ -74,6 +77,11 @@ class EngineConfig:
     # ONE forward (greedy acceptance). Requires draft_model/draft_params
     # at engine construction and greedy sampling (top_k=1). 0 disables.
     speculative_k: int = 0
+    # Fused K|V page pools: K and V of a page are memory-adjacent so the
+    # decode kernel gathers each page in ONE double-size DMA (biggest win
+    # on permuted small-page tables). None = auto (on when the model's
+    # attention features allow it and head dims are 128-aligned).
+    fused_kv_pages: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -114,6 +122,23 @@ class LLMEngine:
                             config.num_pages + 1, config.page_size, 1,
                             mc.kv_lora_rank, mc.dtype,
                         )[0],
+                    )
+                    for i in range(mc.n_layer)
+                }
+            fused = config.fused_kv_pages
+            if fused is None:
+                # Auto: the fused layout is only understood by the
+                # multipage decode kernel, whose feature set excludes
+                # ALiBi/sinks/quantized caches.
+                fused = (
+                    not getattr(mc, "use_alibi", False)
+                    and jnp.dtype(mc.dtype).itemsize >= 2
+                )
+            if fused:
+                return {
+                    i: allocate_fused_paged_kv_cache(
+                        config.num_pages + 1, config.page_size, hk, d,
+                        dtype=mc.dtype,
                     )
                     for i in range(mc.n_layer)
                 }

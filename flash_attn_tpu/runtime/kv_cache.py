@@ -106,6 +106,64 @@ def allocate_paged_kv_cache(
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def _lane_pad(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def allocate_fused_paged_kv_cache(
+    num_pages: int,
+    page_size: int,
+    num_heads_kv: int,
+    head_dim: int,
+    head_dim_v: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """One pool holding K|V fused on the last dim: each page's K and V are
+    memory-adjacent, so the decode kernel gathers a page in ONE DMA of
+    double the size — the lever for permuted small-page block tables
+    (flash_decode_multipage.py fused_kv_dim). K lives at [:, :head_dim]
+    and V at [:, Kpad:Kpad+head_dim_v] with each section padded to the
+    128-lane boundary, so in-kernel K/V slices are lane-aligned for any
+    head dim."""
+    dv = head_dim if head_dim_v is None else head_dim_v
+    return jnp.zeros(
+        (num_pages, num_heads_kv, page_size, _lane_pad(head_dim) + _lane_pad(dv)),
+        dtype,
+    )
+
+
+def update_fused_paged_kv_cache(
+    kv_pages: jnp.ndarray,  # (npages, hk, page_size, Kpad + Vpad)
+    k_new: jnp.ndarray,     # (b, snew, hk, d)
+    v_new: jnp.ndarray,     # (b, snew, hk, dv)
+    cache_seqlens: jnp.ndarray,  # (b,) lengths BEFORE append
+    block_table: jnp.ndarray,    # (b, max_pages) int32
+) -> jnp.ndarray:
+    """Scatter new tokens into the fused pool — one scatter for K and V."""
+    b, snew, hk, d = k_new.shape
+    dv = v_new.shape[3]
+    page_size = kv_pages.shape[2]
+    pos = cache_seqlens[:, None] + jnp.arange(snew)[None, :]  # (b, snew)
+    page_idx = jnp.take_along_axis(
+        block_table, pos // page_size, axis=1
+    )
+    slot = pos % page_size
+
+    def pad_last(x, to):
+        if x.shape[-1] == to:
+            return x
+        cfg = [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])]
+        return jnp.pad(x, cfg)
+
+    kvn = jnp.concatenate(
+        [pad_last(k_new, _lane_pad(d)), pad_last(v_new, _lane_pad(dv))],
+        axis=-1,
+    ).reshape(b * snew, hk, kv_pages.shape[3])
+    pi = page_idx.reshape(-1)
+    si = slot.reshape(-1)
+    return kv_pages.at[pi, :, si, :].set(kvn)
+
+
 def quantize_kv(
     k: jnp.ndarray,  # (..., hk, s, d) or any layout with head axis given
     v: jnp.ndarray,

@@ -310,3 +310,44 @@ def test_kvcache_alibi_gqa_batched_slopes():
     bias = alibi_decode_bias(slopes, seqlens, sq, smax, b, h)
     ref, pt = ref_decode(q, kc, vc, seqlens, attn_bias=bias)
     check(out, ref, pt)
+
+
+@pytest.mark.parametrize("d,dv", [(64, 64), (128, 128), (48, 80)])
+def test_fused_kv_pool_parity(d, dv):
+    """Fused K|V page pool (one gather DMA per page; K at [:, :d], V at
+    [:, Kpad:Kpad+dv], sections lane-padded) must match the split pools
+    bitwise through both the update path and the multipage decode kernel."""
+    from flash_attn_tpu.kernels.flash_decode_multipage import (
+        flash_attention_decode_multipage,
+    )
+    from flash_attn_tpu.runtime.kv_cache import (
+        allocate_fused_paged_kv_cache,
+        allocate_paged_kv_cache,
+        update_fused_paged_kv_cache,
+        update_paged_kv_cache,
+    )
+
+    b, h, hk, page, npages = 2, 4, 2, 16, 16
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    k_pages, _ = allocate_paged_kv_cache(npages, page, hk, d)
+    _, v_pages = allocate_paged_kv_cache(npages, page, hk, dv)
+    kv_pages = allocate_fused_paged_kv_cache(npages, page, hk, d, dv)
+    table = jax.random.permutation(keys[0], npages).astype(jnp.int32)
+    table = table.reshape(b, -1)
+    seqlens = jnp.array([37, 5], jnp.int32)
+    snew = 3
+    k_new = jax.random.normal(keys[1], (b, snew, hk, d), jnp.bfloat16)
+    v_new = jax.random.normal(keys[2], (b, snew, hk, dv), jnp.bfloat16)
+    k_pages, v_pages = update_paged_kv_cache(
+        k_pages, v_pages, k_new, v_new, seqlens, table)
+    kv_pages = update_fused_paged_kv_cache(
+        kv_pages, k_new, v_new, seqlens, table)
+
+    q = jax.random.normal(keys[3], (b, 1, h, d), jnp.bfloat16)
+    total = seqlens + snew
+    o1, l1 = flash_attention_decode_multipage(
+        q, k_pages, v_pages, total, table)
+    o2, l2 = flash_attention_decode_multipage(
+        q, kv_pages, None, total, table, fused_kv_dim=d, fused_kv_dim_v=dv)
+    assert jnp.array_equal(o1, o2)
+    assert jnp.array_equal(l1, l2)

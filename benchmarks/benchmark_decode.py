@@ -18,7 +18,8 @@ from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
 from flash_attn_tpu.utils.benchmark import benchmark_forward
 
 
-def bench_decode_kernel(b, smax, h, hk, d, page=256, contiguous=True):
+def bench_decode_kernel(b, smax, h, hk, d, page=256, contiguous=True,
+                        fused=False):
     key = jax.random.PRNGKey(0)
     kq, kk, kv, kt = jax.random.split(key, 4)
     q = jax.random.normal(kq, (b, 1, h, d), jnp.bfloat16)
@@ -30,12 +31,23 @@ def bench_decode_kernel(b, smax, h, hk, d, page=256, contiguous=True):
     else:
         table = jax.random.permutation(kt, npages).astype(jnp.int32).reshape(b, -1)
     seqlens = jnp.full((b,), smax, jnp.int32)
+    if fused:
+        # The serving engine's default layout: K|V page-adjacent in one
+        # pool, one gather DMA per page.
+        kv_pages = jnp.concatenate([k_pages, v_pages], axis=-1)
 
-    def step(q):
-        out, _ = flash_attention_decode(
-            q, k_pages, v_pages, seqlens, block_table=table
-        )
-        return out
+        def step(q):
+            out, _ = flash_attention_decode(
+                q, kv_pages, None, seqlens, block_table=table,
+                fused_kv_dim=d, fused_kv_dim_v=d,
+            )
+            return out
+    else:
+        def step(q):
+            out, _ = flash_attention_decode(
+                q, k_pages, v_pages, seqlens, block_table=table
+            )
+            return out
 
     # Decode steps are ~10-100us; large iteration counts keep the timing
     # slope above host/tunnel noise.
@@ -136,13 +148,14 @@ def main():
     pages = [16, 64] if args.quick else [16, 32, 64, 128, 256]
     for page in pages:
         for contig in (True, False):
-            r = bench_decode_kernel(8, 4096, 8, 2, 128, page=page,
-                                    contiguous=contig)
-            print(json.dumps({
-                "bench": "paged_decode_small", "page": page,
-                "contig": contig,
-                **{k: round(v, 2) for k, v in r.items()},
-            }))
+            for fused in (False, True):
+                r = bench_decode_kernel(8, 4096, 8, 2, 128, page=page,
+                                        contiguous=contig, fused=fused)
+                print(json.dumps({
+                    "bench": "paged_decode_small", "page": page,
+                    "contig": contig, "fused_kv": fused,
+                    **{k: round(v, 2) for k, v in r.items()},
+                }))
     r = bench_mla_absorbed_decode()
     print(json.dumps({"bench": "mla_absorbed_decode",
                       **{k: round(v, 2) for k, v in r.items()}}))

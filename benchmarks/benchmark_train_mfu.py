@@ -51,7 +51,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="gpt2m")
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--seqlen", type=int, default=2048)
+    ap.add_argument("--seqlen", type=int, default=1024)  # the reference GPT-2 training context (training/configs owt)
     ap.add_argument("--remat", default="dots",
                     choices=["none", "dots", "full"])
     ap.add_argument("--steps-lo", type=int, default=4)

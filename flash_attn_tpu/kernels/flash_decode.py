@@ -349,7 +349,7 @@ def flash_attention_decode(
         log_dispatch("decode", route="multipage-dma-fused",
                      page=k_cache.shape[2], b=batch, h=num_heads)
         return flash_attention_decode_multipage(
-            q, k_cache, None, cache_seqlens, block_table,
+            q, k_cache, None, cache_seqlens, block_table, qv=qv,
             fused_kv_dim=fused_kv_dim, fused_kv_dim_v=fused_kv_dim_v,
             softmax_scale=softmax_scale, window_left=window_left,
             softcap=softcap, interpret=interpret,

@@ -53,6 +53,14 @@ _MASK2 = DEFAULT_MASK_VALUE
 # page=64 (-35% permuted). Single uniform choice: 128KB.
 _TARGET_CHUNK_BYTES = 128 * 1024
 
+# VMEM sizing knobs (bytes). Mosaic's scoped-VMEM accounting roughly
+# doubles the naive buffer arithmetic (double/triple buffering of blocks,
+# lane padding of (…, 1) outputs), so these are set from measured compile
+# headroom, not first principles.
+import os as _os
+_ROW_BUDGET = int(_os.environ.get("FA_MP_ROW_BUDGET", 4 * 1024 * 1024))
+_KV_BUDGET = int(_os.environ.get("FA_MP_KV_BUDGET", 8 * 1024 * 1024))
+
 
 def _mp_decode_kernel(
     seq_ref, table_ref, contig_ref,  # scalar prefetch
@@ -92,6 +100,11 @@ def _mp_decode_kernel(
 
     b = pl.program_id(0)
     batch = pl.num_programs(0)
+    # Row blocking: big prefill chunks (rows = sq*group) are split over a
+    # second grid dim so the all-head softmax scratch and q/out blocks fit
+    # VMEM; each row block re-streams the batch's KV.
+    rb = pl.program_id(1)
+    nrb = pl.num_programs(1)
     P = pages_per_sup
     C = chunk_pages
     sup = page * P
@@ -167,7 +180,7 @@ def _mp_decode_kernel(
                 v_hbm.at[pl.ds(0, P)], vbuf.at[slot], vsem.at[slot]
             ).wait()
 
-    @pl.when(b == 0)
+    @pl.when(jnp.logical_and(b == 0, rb == 0))
     def _reset():
         state[0] = 0
         state[1] = 0
@@ -186,8 +199,10 @@ def _mp_decode_kernel(
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    bnext = jnp.minimum(b + 1, batch - 1)
-    has_next = b + 1 < batch
+    # Next grid step: another row block of the SAME batch (restart this
+    # batch's KV stream) or the next batch's first super-block.
+    bnext = jnp.where(rb + 1 < nrb, b, jnp.minimum(b + 1, batch - 1))
+    has_next = jnp.logical_or(rb + 1 < nrb, b + 1 < batch)
 
     def body(i, slot):
         sup_idx = first_sup + i
@@ -228,7 +243,8 @@ def _mp_decode_kernel(
             else:
                 s2 = s * (scale * LOG2E)
 
-            r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + rb * rows
             pos_r = seqused - sq + r_ids // group
             cols = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -301,7 +317,7 @@ def flash_attention_decode_multipage(
         # Fused pool layout (runtime/kv_cache.py): K at [:, :d] and V at
         # [:, Kpad:Kpad+dv], each section lane-padded. fused_kv_dim is the
         # TRUE K head dim; fused_kv_dim_v the true V head dim.
-        assert v_pages is None and not has_qv
+        assert v_pages is None
         assert head_dim == fused_kv_dim, (head_dim, fused_kv_dim)
         head_dim_v = (
             fused_kv_dim_v
@@ -329,11 +345,41 @@ def flash_attention_decode_multipage(
         v_pages = pad_to_block(v_pages, 3, dv_pad)
     itemsize = k_pages.dtype.itemsize
 
-    # Super-block sizing under a VMEM budget (two slots of K and V buffers).
+    # Row blocking: the softmax scratch (m/l/acc fp32) and the q/out
+    # blocks scale with rows = sq*group across ALL kv heads; big prefill
+    # chunks otherwise blow the 16MB scoped-VMEM limit. Rows are split
+    # over a second grid dimension (each row block re-streams the KV).
+    row_unit = 16 if q.dtype.itemsize == 2 else 8
+    rows_total = round_up(sq * group, row_unit)
+    per_row = (
+        4 * num_heads_kv * (2 * NUM_LANES + dv_pad)  # m, l, acc fp32
+        + 2 * 2 * num_heads_kv * itemsize * (
+            d_pad + dv_pad + (dv_pad if has_qv else 0)
+        )  # q, out (+qv), double-buffered
+    )
+    rows = rows_total
+    while rows > row_unit and rows * per_row > _ROW_BUDGET:
+        rows = round_up(rows // 2, row_unit)
+    nrb = cdiv(rows_total, rows)
+    rows_padded = nrb * rows
+
+    # Super-block sizing under a VMEM budget (two slots of K and V
+    # buffers), net of the row-block reserve above. Capped at the pool
+    # size: every DMA slice's STATIC size must fit the page array (tiny
+    # pools otherwise trace ds(0, P) > npages).
+    budget = max(2 * 1024 * 1024, _KV_BUDGET - rows * per_row)
     sup = max(super_block, page)
     per_tok = num_heads_kv * (d_pad + dv_pad) * itemsize
-    while sup > page and 2 * sup * per_tok > 8 * 1024 * 1024:
+    while sup > page and 2 * sup * per_tok > budget:
         sup //= 2
+    if npages * page < sup:
+        # The kernel's lane-replicated softmax stats need sup to stay a
+        # multiple of 128 (when >= 128) as well as of page.
+        import math
+
+        step = math.lcm(page, NUM_LANES)
+        cap = (npages * page // step) * step
+        sup = cap if cap >= step else npages * page
     sup = max(page, (sup // page) * page)
     pages_per_sup = sup // page
     max_pages = block_table.shape[1]
@@ -367,20 +413,19 @@ def flash_attention_decode_multipage(
         xr = xr.transpose(0, 2, 1, 3, 4).reshape(
             batch, num_heads_kv, sq * group, dim
         )
-        return pad_to_block(pad_to_block(xr, 3, pad), 2, rows)
+        return pad_to_block(pad_to_block(xr, 3, pad), 2, rows_padded)
 
-    rows = round_up(sq * group, 16 if q.dtype.itemsize == 2 else 8)
     qr = fold(q, head_dim, d_pad)
 
     in_specs = [
         pl.BlockSpec((1, num_heads_kv, rows, d_pad),
-                     lambda b, s, t, c: (b, 0, 0, 0)),
+                     lambda b, rb, s, t, c: (b, 0, rb, 0)),
     ]
     args = [qr]
     if has_qv:
         in_specs.append(
             pl.BlockSpec((1, num_heads_kv, rows, dv_pad),
-                         lambda b, s, t, c: (b, 0, 0, 0))
+                         lambda b, rb, s, t, c: (b, 0, rb, 0))
         )
         args.append(fold(qv, head_dim_v, dv_pad))
     if fused:
@@ -405,13 +450,13 @@ def flash_attention_decode_multipage(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(batch,),
+        grid=(batch, nrb),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, num_heads_kv, rows, dv_pad),
-                         lambda b, s, t, c: (b, 0, 0, 0)),
+                         lambda b, rb, s, t, c: (b, 0, rb, 0)),
             pl.BlockSpec((1, num_heads_kv, rows, 1),
-                         lambda b, s, t, c: (b, 0, 0, 0)),
+                         lambda b, rb, s, t, c: (b, 0, rb, 0)),
         ],
         scratch_shapes=(
             [
@@ -444,12 +489,12 @@ def flash_attention_decode_multipage(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch, num_heads_kv, rows, dv_pad), out_dtype),
+                (batch, num_heads_kv, rows_padded, dv_pad), out_dtype),
             jax.ShapeDtypeStruct(
-                (batch, num_heads_kv, rows, 1), jnp.float32),
+                (batch, num_heads_kv, rows_padded, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(cache_seqlens, jnp.int32), table, contig, *args)

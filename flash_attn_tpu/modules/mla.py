@@ -122,7 +122,14 @@ class MLA(nn.Module):
             )  # (b, s, h, dc)
         else:
             layer = self.layer_idx if self.layer_idx is not None else 0
-            kr_cache, c_cache = inference_params.key_value_memory_dict[layer]
+            entry = inference_params.key_value_memory_dict[layer]
+            # A bare array marks the fused rope|latent page pool (one
+            # gather DMA per page; runtime/kv_cache.py).
+            lat_fused = not isinstance(entry, tuple)
+            if lat_fused:
+                kv_cache, kr_cache, c_cache = entry, None, None
+            else:
+                kr_cache, c_cache = entry
             offset = inference_params.seqlen_offset
             offsets = (
                 jnp.full((b,), offset, jnp.int32)
@@ -136,24 +143,43 @@ class MLA(nn.Module):
             # serving-engine path; small pages route the multipage
             # DMA-pipeline kernel with absorbed qv.
             table = inference_params.block_table
-            if table is not None:
+            if table is not None and lat_fused:
                 from flash_attn_tpu.runtime.kv_cache import (
-                    update_paged_kv_cache,
+                    update_fused_paged_kv_cache,
                 )
 
-                kr_cache, c_cache = update_paged_kv_cache(
-                    kr_cache, c_cache, k_rope, c, offsets, table
+                kv_cache = update_fused_paged_kv_cache(
+                    kv_cache, k_rope, c, offsets, table
                 )
+                inference_params.key_value_memory_dict[layer] = kv_cache
+                o_lat, _ = flash_attention_decode(
+                    q_rope, kv_cache, None, offsets + s, qv=qv,
+                    block_table=table,
+                    fused_kv_dim=k_rope.shape[-1],
+                    fused_kv_dim_v=c.shape[-1],
+                    softmax_scale=self._scale, causal=True,
+                )  # (b, s, h, dc)
             else:
-                kr_cache, c_cache = update_kv_cache(
-                    kr_cache, c_cache, k_rope, c, offsets
+                if table is not None:
+                    from flash_attn_tpu.runtime.kv_cache import (
+                        update_paged_kv_cache,
+                    )
+
+                    kr_cache, c_cache = update_paged_kv_cache(
+                        kr_cache, c_cache, k_rope, c, offsets, table
+                    )
+                else:
+                    kr_cache, c_cache = update_kv_cache(
+                        kr_cache, c_cache, k_rope, c, offsets
+                    )
+                inference_params.key_value_memory_dict[layer] = (
+                    kr_cache, c_cache
                 )
-            inference_params.key_value_memory_dict[layer] = (kr_cache, c_cache)
-            o_lat, _ = flash_attention_decode(
-                q_rope, kr_cache, c_cache, offsets + s, qv=qv,
-                block_table=table,
-                softmax_scale=self._scale, causal=True,
-            )  # (b, s, h, dc)
+                o_lat, _ = flash_attention_decode(
+                    q_rope, kr_cache, c_cache, offsets + s, qv=qv,
+                    block_table=table,
+                    softmax_scale=self._scale, causal=True,
+                )  # (b, s, h, dc)
 
         # Un-absorb W_UV: out[b,s,h,dv] = o_lat . W_uv[h]
         out = jnp.einsum(

@@ -111,7 +111,20 @@ class LLMEngine:
             d = (mc.head_dim if mc.head_dim is not None
                  else mc.n_embd // mc.n_head)
             if getattr(mc, "attn_type", "mha") == "mla":
-                # Latent page pools: rope-key pool + latent pool, ONE kv head.
+                # Latent page pools: rope-key + latent, ONE kv head. Fused
+                # by default — the rope pages alone are tiny (page=16 ->
+                # 2KB DMAs), the worst gather case.
+                fused = config.fused_kv_pages
+                if fused is None:
+                    fused = jnp.dtype(mc.dtype).itemsize >= 2
+                if fused:
+                    return {
+                        i: allocate_fused_paged_kv_cache(
+                            config.num_pages + 1, config.page_size, 1,
+                            mc.qk_rope_head_dim, mc.kv_lora_rank, mc.dtype,
+                        )
+                        for i in range(mc.n_layer)
+                    }
                 return {
                     i: (
                         allocate_paged_kv_cache(
@@ -189,14 +202,17 @@ class LLMEngine:
         self._prompts: Dict[int, List[int]] = {}
         self._max_new: Dict[int, int] = {}
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(0,))
-        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(0,))
+        # Params ride as explicit jit arguments — closing over them would
+        # bake the weights into the HLO as constants (huge compile payloads;
+        # the remote-compile endpoint rejects them outright).
+        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(1,))
         if config.speculative_k > 0:
             self._prefill_spec_fn = jax.jit(
-                self._prefill_spec_impl, donate_argnums=(0, 1)
+                self._prefill_spec_impl, donate_argnums=(2, 3)
             )
             self._spec_decode_fn = jax.jit(
-                self._spec_decode_impl, donate_argnums=(0, 1)
+                self._spec_decode_impl, donate_argnums=(2, 3)
             )
 
     # -- jitted steps -------------------------------------------------------
@@ -218,23 +234,27 @@ class LLMEngine:
         )
         return logits.astype(jnp.float32), ip.key_value_memory_dict
 
-    def _prefill_impl(self, caches, tokens, offset, block_table):
+    def _prefill_impl(self, params, caches, tokens, offset, block_table):
         # Appends the chunk into the cache pools; logits are discarded (the
         # last prompt token is fed through decode instead).
-        _, caches = self._apply(caches, tokens, offset, block_table)
+        _, caches = self._apply(
+            caches, tokens, offset, block_table, params=params
+        )
         return caches
 
-    def _prefill_spec_impl(self, caches, draft_caches, tokens, offset,
-                           block_table):
-        _, caches = self._apply(caches, tokens, offset, block_table)
+    def _prefill_spec_impl(self, params, draft_params, caches,
+                           draft_caches, tokens, offset, block_table):
+        _, caches = self._apply(
+            caches, tokens, offset, block_table, params=params
+        )
         _, draft_caches = self._apply(
             draft_caches, tokens, offset, block_table,
-            model=self.draft_model, params=self.draft_params,
+            model=self.draft_model, params=draft_params,
         )
         return caches, draft_caches
 
-    def _spec_decode_impl(self, caches, draft_caches, tokens, offsets,
-                          block_tables):
+    def _spec_decode_impl(self, params, draft_params, caches,
+                          draft_caches, tokens, offsets, block_tables):
         """One speculative round: the draft scans k greedy tokens, the
         target verifies all k (+ the newest known token) in ONE forward.
         Rejected-suffix cache writes land beyond the kept length and are
@@ -245,7 +265,7 @@ class LLMEngine:
             dc, toks, offs = carry
             logits, dc = self._apply(
                 dc, toks, offs, block_tables,
-                model=self.draft_model, params=self.draft_params,
+                model=self.draft_model, params=draft_params,
             )
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (dc, nxt[:, None], offs + 1), nxt
@@ -256,16 +276,20 @@ class LLMEngine:
         dtoks = dtoks.T  # (mb, k)
         seq = jnp.concatenate([tokens, dtoks], axis=1)  # (mb, k+1)
         logits, caches = self._apply(
-            caches, seq, offsets, block_tables, num_last_tokens=k + 1
+            caches, seq, offsets, block_tables, num_last_tokens=k + 1,
+            params=params,
         )
         gtoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (mb, k+1)
         return dtoks, gtoks, caches, draft_caches
 
-    def _decode_impl(self, caches, tokens, offsets, block_tables, rng):
+    def _decode_impl(self, params, caches, tokens, offsets, block_tables,
+                     rng):
         depth = self.config.decode_depth
 
         def one(caches, toks, offs, key):
-            logits, caches = self._apply(caches, toks, offs, block_tables)
+            logits, caches = self._apply(
+                caches, toks, offs, block_tables, params=params
+            )
             nxt = sample_tokens(
                 logits[:, -1], key,
                 top_k=self.config.top_k, top_p=self.config.top_p,
@@ -349,6 +373,7 @@ class LLMEngine:
                                   batch.block_tables)
             if self.config.speculative_k > 0:
                 self.caches, self.draft_caches = self._prefill_spec_fn(
+                    self.params, self.draft_params,
                     self.caches, self.draft_caches,
                     jnp.asarray(tokens),
                     jnp.asarray(offsets),
@@ -356,6 +381,7 @@ class LLMEngine:
                 )
             else:
                 self.caches = self._prefill_fn(
+                    self.params,
                     self.caches,
                     jnp.asarray(tokens),
                     jnp.asarray(offsets),
@@ -395,6 +421,7 @@ class LLMEngine:
                               batch.block_tables)
         if self.config.speculative_k > 0:
             dt, gt, self.caches, self.draft_caches = self._spec_decode_fn(
+                self.params, self.draft_params,
                 self.caches, self.draft_caches, jnp.asarray(tokens),
                 jnp.asarray(offsets), jnp.asarray(tables),
             )
@@ -409,6 +436,7 @@ class LLMEngine:
         else:
             self._rng, k = jax.random.split(self._rng)
             nxt, self.caches = self._decode_fn(
+                self.params,
                 self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
                 jnp.asarray(tables), k,
             )

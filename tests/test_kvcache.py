@@ -351,3 +351,64 @@ def test_fused_kv_pool_parity(d, dv):
         q, kv_pages, None, total, table, fused_kv_dim=d, fused_kv_dim_v=dv)
     assert jnp.array_equal(o1, o2)
     assert jnp.array_equal(l1, l2)
+
+
+def test_fused_kv_pool_mla_qv_parity():
+    """Fused rope|latent pool with MLA absorbed qv scores: the fused
+    multipage decode must match the split-pool call bitwise (rope d=64
+    pads to 128 inside the pool; latent d_v=256; S = Q K^T + Qv V^T)."""
+    from flash_attn_tpu.kernels.flash_decode_multipage import (
+        flash_attention_decode_multipage,
+    )
+
+    b, h, page, npages, d, dv = 2, 4, 16, 16, 64, 256
+    keys = jax.random.split(jax.random.PRNGKey(5), 5)
+    q = jax.random.normal(keys[0], (b, 1, h, d), jnp.bfloat16)
+    qv = jax.random.normal(keys[1], (b, 1, h, dv), jnp.bfloat16)
+    kr = jax.random.normal(keys[2], (npages, 1, page, d), jnp.bfloat16)
+    c = jax.random.normal(keys[3], (npages, 1, page, dv), jnp.bfloat16)
+    kr_pad = jnp.pad(kr, ((0, 0), (0, 0), (0, 0), (0, 128 - d)))
+    fusedp = jnp.concatenate([kr_pad, c], axis=-1)
+    table = jax.random.permutation(keys[4], npages).astype(jnp.int32)
+    table = table.reshape(b, -1)
+    seqlens = jnp.array([97, 33], jnp.int32)
+    o1, l1 = flash_attention_decode_multipage(q, kr, c, seqlens, table, qv=qv)
+    o2, l2 = flash_attention_decode_multipage(
+        q, fusedp, None, seqlens, table, qv=qv,
+        fused_kv_dim=d, fused_kv_dim_v=dv)
+    assert jnp.array_equal(o1, o2)
+    assert jnp.array_equal(l1, l2)
+
+
+def test_multipage_row_blocking_large_chunk():
+    """Prefill-sized queries (rows = sq*group large enough to exceed the
+    VMEM row budget) split over the row-block grid dim; each row block
+    re-streams the KV. Cross-kernel check against the contiguous-cache
+    decode path on the gathered pages."""
+    from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+    from flash_attn_tpu.kernels.flash_decode_multipage import (
+        flash_attention_decode_multipage,
+    )
+
+    b, h, hk, d, page, smax, sq = 1, 8, 2, 64, 64, 256, 512
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(keys[0], (b, sq, h, d), jnp.bfloat16)
+    npages = smax // page
+    k_pages = jax.random.normal(keys[1], (npages, hk, page, d), jnp.bfloat16)
+    v_pages = jax.random.normal(keys[2], (npages, hk, page, d), jnp.bfloat16)
+    table = jax.random.permutation(keys[3], npages).astype(jnp.int32)
+    table = table.reshape(b, -1)
+    # Query longer than the cache is the chunked-prefill shape: token t
+    # attends to positions <= seqlen - sq + t (negative -> nothing).
+    seqlens = jnp.array([smax], jnp.int32)
+    out, lse = flash_attention_decode_multipage(
+        q, k_pages, v_pages, seqlens, table)
+    gathered_k = k_pages[table[0]].transpose(1, 0, 2, 3).reshape(
+        1, hk, smax, d)
+    gathered_v = v_pages[table[0]].transpose(1, 0, 2, 3).reshape(
+        1, hk, smax, d)
+    ref, ref_lse = flash_attention_decode(
+        q, gathered_k, gathered_v, seqlens)
+    valid = smax  # rows beyond the cache-backed span still defined
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err < 2e-2, float(err)

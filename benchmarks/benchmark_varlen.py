@@ -41,7 +41,7 @@ def bench_varlen(nseq, mean_len, h, d, causal=True):
 
     def f(q, k, v):
         return flash_attention_varlen_fwd(
-            q, k, v, cu, cu, causal=causal, block_q=256, block_kv=256,
+            q, k, v, cu, cu, causal=causal,
         )[0]
 
     sec = benchmark_forward(f, q, k, v)

@@ -215,9 +215,50 @@ def make_varlen_metadata(
         kvmax = jnp.full_like(kvmax, nkb - 1)
         qmin = jnp.zeros_like(qmin)
         qmax = jnp.full_like(qmax, nqb - 1)
+
+    # ---- per-(q-block, kv-block) interior table ----
+    # A tile is INTERIOR when every element passes the segment + causal/
+    # window tests, so the kernels skip all element-mask VPU work on it
+    # (the varlen analog of the dense kernels' interior/edge split).
+    # Endpoint checks suffice: segments, trimmed tails and positions are
+    # monotone along the packed axis. Chunked attention stays on the
+    # masked path.
+    qseg_f = qseg[jnp.minimum(qb * block_q, tqp - 1)]
+    qseg_l = qseg[r_last]
+    kseg_f = kseg[c_first]
+    kseg_l = kseg[c_last]
+    q_uni = jnp.logical_and(qseg_f == qseg_l, qseg_f >= 0)  # (nqb,)
+    # KV tiles must also be free of tail padding: padded key columns
+    # (kseg -2 beyond total_k) sit past the clipped endpoint check and
+    # would contribute garbage on an unmasked tile. (Padded q ROWS are
+    # harmless — their outputs are sliced off.)
+    k_uni = jnp.logical_and(
+        jnp.logical_and(kseg_f == kseg_l, kseg_f >= 0),
+        (kb + 1) * block_kv <= total_k,
+    )  # (nkb,)
+    same_seg = jnp.logical_and(
+        jnp.logical_and(q_uni[:, None], k_uni[None, :]),
+        qseg_f[:, None] == kseg_f[None, :],
+    )  # (nqb, nkb)
+    interior = same_seg
+    if causal or right >= 0:
+        r = 0 if (causal and right < 0) else right
+        interior = jnp.logical_and(
+            interior,
+            kpos[c_last][None, :] <= qpos_adj[r_first][:, None] + r,
+        )
+    if left >= 0:
+        interior = jnp.logical_and(
+            interior,
+            kpos[c_first][None, :] >= qpos_adj[r_last][:, None] - left,
+        )
+    if attention_chunk > 0:
+        interior = jnp.zeros_like(interior)
+    interior = interior.astype(jnp.int32)
+
     return (
         qseg[:, None], qpos_adj[:, None], kseg[:, None], kpos[:, None],
-        kvmin, kvmax, qmin, qmax,
+        kvmin, kvmax, qmin, qmax, interior,
     )
 
 
@@ -248,7 +289,7 @@ def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi,
 
 
 def _varlen_fwd_kernel(
-    kvmin_ref, kvmax_ref,  # scalar prefetch
+    kvmin_ref, kvmax_ref, inter_ref,  # scalar prefetch
     *refs,
     block_q: int, block_kv: int, num_kv_blocks: int,
     scale: float, causal: bool, window: Tuple[int, int],
@@ -280,18 +321,31 @@ def _varlen_fwd_kernel(
 
     h = pl.program_id(0)
     qi = pl.program_id(1)
-    ki = pl.program_id(2)
+    kj = pl.program_id(2)
+    # The kv grid dim is OFFSET per q block: step j maps to absolute kv
+    # block kvmin[qi] + j, so its length is the widest per-q-block visible
+    # SPAN instead of total_k/block_kv — packed batches of S-token
+    # sequences skip (total_k - S)/block_kv predicated steps per q block
+    # otherwise.
+    ki = kvmin_ref[qi] + kj
 
-    @pl.when(ki == 0)
+    @pl.when(kj == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, _MASK2)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    should_run = jnp.logical_and(ki >= kvmin_ref[qi], ki <= kvmax_ref[qi])
+    should_run = ki <= kvmax_ref[qi]
+    # Interior tiles (single segment, fully below the diagonal/inside the
+    # window) skip every element-mask op — the varlen analog of the dense
+    # kernels' interior/edge specialization. ALiBi needs rel regardless,
+    # so it stays on the masked path.
+    if has_alibi:
+        is_interior = jnp.bool_(False)
+    else:
+        is_interior = inter_ref[qi, ki] == 1
 
-    @pl.when(should_run)
-    def _body():
+    def _compute(with_mask: bool):
         q = q_ref[0]  # (bq, d)
         k = k_ref[0]
         s = jax.lax.dot_general(
@@ -308,20 +362,22 @@ def _varlen_fwd_kernel(
         else:
             s2 = s * (scale * LOG2E)
 
-        qseg = qseg_ref[...]  # (bq, 1)
-        qpos = qpos_ref[...]
-        kseg = kseg_ref[...]  # (bkv, 1)
-        kpos = kpos_ref[...]
-        mask, rel = _tile_mask(
-            qseg, qpos, kseg, kpos,
-            causal=causal, window=window, has_alibi=has_alibi,
-            attention_chunk=attention_chunk,
-        )
-        if has_alibi:
-            slope2 = slopes_ref[0, h] * LOG2E
-            s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
-
-        s2 = jnp.where(mask, s2, _MASK2)
+        if with_mask:
+            qseg = qseg_ref[...]  # (bq, 1)
+            qpos = qpos_ref[...]
+            kseg = kseg_ref[...]  # (bkv, 1)
+            kpos = kpos_ref[...]
+            mask, rel = _tile_mask(
+                qseg, qpos, kseg, kpos,
+                causal=causal, window=window, has_alibi=has_alibi,
+                attention_chunk=attention_chunk,
+            )
+            if has_alibi:
+                slope2 = slopes_ref[0, h] * LOG2E
+                s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+            s2 = jnp.where(mask, s2, _MASK2)
+        else:
+            mask = None
         m_prev = m_scr[...]
         m_cur = jnp.max(s2, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
@@ -329,7 +385,8 @@ def _varlen_fwd_kernel(
         kv_rep = s2.shape[1] // m_next.shape[1]
         m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
         p = jnp.exp2(s2 - m_full)
-        p = jnp.where(mask, p, 0.0)
+        if with_mask:
+            p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         if dropout_p > 0.0:
@@ -348,7 +405,15 @@ def _varlen_fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(jnp.logical_and(should_run, is_interior))
+    def _body_interior():
+        _compute(with_mask=False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(is_interior)))
+    def _body_edge():
+        _compute(with_mask=True)
+
+    @pl.when(kj == num_kv_blocks - 1)
     def _finalize():
         m = m_scr[...][:, 0:1]
         l = l_scr[...][:, 0:1]
@@ -450,14 +515,17 @@ def _varlen_dkv_kernel(
 
     h = pl.program_id(0)
     ki = pl.program_id(1)
-    qi = pl.program_id(2)
+    qj = pl.program_id(2)
+    # Offset q grid dim (see the fwd kernel): step j -> absolute q block
+    # qmin[ki] + j, so the dim covers the widest visible span only.
+    qi = qmin_ref[ki] + qj
 
-    @pl.when(qi == 0)
+    @pl.when(qj == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    should_run = jnp.logical_and(qi >= qmin_ref[ki], qi <= qmax_ref[ki])
+    should_run = qi <= qmax_ref[ki]
 
     @pl.when(should_run)
     def _body():
@@ -489,7 +557,7 @@ def _varlen_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(qi == num_q_blocks - 1)
+    @pl.when(qj == num_q_blocks - 1)
     def _finalize():
         dk_ref[0] = dk_scr[...]
         dv_ref[0] = dv_scr[...]
@@ -534,15 +602,17 @@ def _varlen_dq_kernel(
 
     h = pl.program_id(0)
     qi = pl.program_id(1)
-    ki = pl.program_id(2)
+    kj = pl.program_id(2)
+    # Offset kv grid dim (see the fwd kernel).
+    ki = kvmin_ref[qi] + kj
 
-    @pl.when(ki == 0)
+    @pl.when(kj == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
         if has_qv:
             dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
-    should_run = jnp.logical_and(ki >= kvmin_ref[qi], ki <= kvmax_ref[qi])
+    should_run = ki <= kvmax_ref[qi]
 
     @pl.when(should_run)
     def _body():
@@ -570,7 +640,7 @@ def _varlen_dq_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(kj == num_kv_blocks - 1)
     def _finalize():
         dq_ref[0] = dq_scr[...].astype(out_dtype)
         if has_qv:
@@ -608,8 +678,8 @@ def flash_attention_varlen_fwd(
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqused_k: Optional[jnp.ndarray] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 512,
+    block_kv: int = 1024,
     interpret: Optional[bool] = None,
 ):
     """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q))."""
@@ -632,7 +702,8 @@ def flash_attention_varlen_fwd(
     head_dim_v = v.shape[2]  # may differ (MLA / hdimdiff varlen)
     dv_pad = round_up(head_dim_v, NUM_LANES)
 
-    (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _) = make_varlen_metadata(
+    (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _, interior) = \
+        make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
@@ -646,33 +717,45 @@ def flash_attention_varlen_fwd(
     kp = _prep_packed(k, block_kv, d_pad)
     vp = _prep_packed(v, block_kv, dv_pad)
 
+    # Offset kv grid: its length only needs to cover the widest
+    # per-q-block visible span (the kernel adds kvmin[qi]). Exact when the
+    # cu_seqlens are concrete; under jit-traced metadata fall back to the
+    # full packed width.
+    try:
+        nkb_eff = min(
+            nkb, int(jax.device_get(jnp.max(kvmax - kvmin))) + 1
+        )
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        nkb_eff = nkb
+    nkb_eff = max(nkb_eff, 1)
+
     def clamp_kv(h, qi, ki, kvmin_ref, kvmax_ref):
-        return jnp.clip(ki, kvmin_ref[qi], kvmax_ref[qi])
+        return jnp.minimum(kvmin_ref[qi] + ki, kvmax_ref[qi])
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
         pl.BlockSpec(
             (1, block_kv, d_pad),
-            lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
+            lambda h, qi, ki, mn, mx, it: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
         ),
         pl.BlockSpec(
             (1, block_kv, dv_pad),
-            lambda h, qi, ki, mn, mx: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
+            lambda h, qi, ki, mn, mx, it: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
         ),
-        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx: (qi, 0)),
-        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx: (qi, 0)),
+        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx, it: (qi, 0)),
+        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx, it: (qi, 0)),
         pl.BlockSpec(
-            (block_kv, 1), lambda h, qi, ki, mn, mx: (clamp_kv(h, qi, ki, mn, mx), 0)
+            (block_kv, 1), lambda h, qi, ki, mn, mx, it: (clamp_kv(h, qi, ki, mn, mx), 0)
         ),
         pl.BlockSpec(
-            (block_kv, 1), lambda h, qi, ki, mn, mx: (clamp_kv(h, qi, ki, mn, mx), 0)
+            (block_kv, 1), lambda h, qi, ki, mn, mx, it: (clamp_kv(h, qi, ki, mn, mx), 0)
         ),
     ]
     args = [qp, kp, vp, qseg, qpos, kseg, kpos]
     if has_qv:
         qvp = _prep_packed(qv, block_q, dv_pad)
         in_specs.insert(3, pl.BlockSpec(
-            (1, block_q, dv_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)
+            (1, block_q, dv_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)
         ))
         args.insert(3, qvp)
 
@@ -683,7 +766,7 @@ def flash_attention_varlen_fwd(
         slopes = slopes[None, :]
         in_specs.append(
             pl.BlockSpec(
-                slopes.shape, lambda h, qi, ki, mn, mx: (0, 0),
+                slopes.shape, lambda h, qi, ki, mn, mx, it: (0, 0),
                 memory_space=pltpu.SMEM,
             )
         )
@@ -694,14 +777,14 @@ def flash_attention_varlen_fwd(
             dropout_seed = jnp.zeros((), jnp.int32)
         seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda h, qi, ki, mn, mx: (0, 0),
+            pl.BlockSpec((1, 1), lambda h, qi, ki, mn, mx, it: (0, 0),
                          memory_space=pltpu.SMEM)
         )
         args.append(seed_arr)
 
     kernel = functools.partial(
         _varlen_fwd_kernel,
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
         scale=float(softmax_scale), causal=causal, window=window,
         # Element-level chunk masking stays exact under CP: kpos is absolute
         # and qpos_adj aligns against the CP-total key length.
@@ -712,12 +795,12 @@ def flash_attention_varlen_fwd(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_heads, nqb, nkb),
+        num_scalar_prefetch=3,
+        grid=(num_heads, nqb, nkb_eff),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, mn, mx: (h, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda h, qi, ki, mn, mx: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -737,7 +820,7 @@ def flash_attention_varlen_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvmin, kvmax, *args)
+    )(kvmin, kvmax, interior, *args)
 
     out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
@@ -784,7 +867,8 @@ def flash_attention_varlen_bwd(
     head_dim_v = v.shape[2]
     dv_pad = round_up(head_dim_v, NUM_LANES)
 
-    (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax) = make_varlen_metadata(
+    (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax, interior) = \
+        make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
@@ -858,24 +942,35 @@ def flash_attention_varlen_bwd(
             dropout_seed = jnp.zeros((), jnp.int32)
         base_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
 
+    # Offset grids (see flash_attention_varlen_fwd): dim lengths cover
+    # only the widest visible span when the metadata is concrete.
+    try:
+        nqb_eff = min(nqb, int(jax.device_get(jnp.max(qmax - qmin))) + 1)
+        nkb_eff = min(nkb, int(jax.device_get(jnp.max(kvmax - kvmin))) + 1)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        nqb_eff, nkb_eff = nqb, nkb
+    nqb_eff = max(nqb_eff, 1)
+    nkb_eff = max(nkb_eff, 1)
+
     # ---- dK/dV: grid (h, kv, q) ----
     dkv_kernel = functools.partial(
         _varlen_dkv_kernel,
-        block_q=block_q, block_kv=block_kv, num_q_blocks=nqb,
+        block_q=block_q, block_kv=block_kv, num_q_blocks=nqb_eff,
         scale=float(softmax_scale), causal=causal, window=window,
         attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv,
     )
     dkv_specs = specs_for(
-        clamp_q=lambda ki, qi, mn, mx: jnp.clip(qi, mn[ki], mx[ki]),
+        clamp_q=lambda ki, qi, mn, mx: jnp.minimum(mn[ki] + qi, mx[ki]),
         clamp_kv=lambda ki, qi, mn, mx: ki,
     )
     dk_gh, dv_gh = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_heads, nkb, nqb),
+            grid=(num_heads, nkb, nqb_eff),
             in_specs=dkv_specs,
             out_specs=[
                 pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
@@ -909,7 +1004,7 @@ def flash_attention_varlen_bwd(
     # ---- dQ: grid (h, q, kv) ----
     dq_kernel = functools.partial(
         _varlen_dq_kernel,
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
         scale=float(softmax_scale), causal=causal, window=window,
         attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
@@ -917,7 +1012,7 @@ def flash_attention_varlen_bwd(
     )
     dq_specs = specs_for(
         clamp_q=lambda qi, ki, mn, mx: qi,
-        clamp_kv=lambda qi, ki, mn, mx: jnp.clip(ki, mn[qi], mx[qi]),
+        clamp_kv=lambda qi, ki, mn, mx: jnp.minimum(mn[qi] + ki, mx[qi]),
     )
     dq_out_specs = [
         pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, a, b: (h, qi, 0)),
@@ -938,7 +1033,7 @@ def flash_attention_varlen_bwd(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_heads, nqb, nkb),
+            grid=(num_heads, nqb, nkb_eff),
             in_specs=dq_specs,
             out_specs=dq_out_specs,
             scratch_shapes=dq_scratch,

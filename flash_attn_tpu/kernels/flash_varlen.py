@@ -269,11 +269,15 @@ def make_varlen_metadata(
 def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi,
                attention_chunk: int = 0):
     """Element mask + relative distance for a (bq, bkv) tile from per-token
-    metadata columns ((bq,1) and (bkv,1))."""
+    metadata: q columns ((bq,1)) and k rows ((1,bkv)) — k columns ((bkv,1))
+    are transposed for the backward callers."""
     left, right = window
-    seg_ok = qseg == kseg.T  # (bq, bkv)
+    if kseg.shape[0] != 1:
+        kseg = kseg.T
+        kpos = kpos.T
+    seg_ok = qseg == kseg  # (bq, bkv)
     mask = seg_ok
-    rel = kpos.T - qpos  # (bq, bkv): kpos - qpos_adj
+    rel = kpos - qpos  # (bq, bkv): kpos - qpos_adj
     if causal or right >= 0:
         r = 0 if (causal and right < 0) else right
         mask = jnp.logical_and(mask, rel <= r)
@@ -289,25 +293,28 @@ def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi,
 
 
 def _varlen_fwd_kernel(
-    kvmin_ref, kvmax_ref, inter_ref,  # scalar prefetch
+    kvmin_ref, kvmax_ref, kidx_ref, inter_ref,  # scalar prefetch
     *refs,
-    block_q: int, block_kv: int, num_kv_blocks: int,
+    block_q: int, block_kv: int, num_kv_blocks: int, d_pad: int,
     scale: float, causal: bool, window: Tuple[int, int],
     attention_chunk: int,
     softcap: float, dropout_p: float, group_size: int,
     has_alibi: bool, has_qv: bool, out_dtype,
 ):
+    # Per-step operands are FUSED to keep the inter-step scalar/DMA work
+    # minimal (measured 2.7us/step vs the dense kernels' 1.8us before this:
+    # benchmarks/profile_varlen.py): K|V ride one lane-concatenated block
+    # (one DMA, one index map), kseg|kpos one (2, block_kv) row block, and
+    # the clamped kv block index is a precomputed kidx table so every
+    # dynamic index map is a single SMEM load.
     idx = 0
     q_ref = refs[idx]; idx += 1
-    k_ref = refs[idx]; idx += 1
-    v_ref = refs[idx]; idx += 1
+    kv_ref = refs[idx]; idx += 1
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1
-    qseg_ref = refs[idx]; idx += 1
-    qpos_ref = refs[idx]; idx += 1
-    kseg_ref = refs[idx]; idx += 1
-    kpos_ref = refs[idx]; idx += 1
+    qmeta_ref = refs[idx]; idx += 1
+    kmeta_ref = refs[idx]; idx += 1
     slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
@@ -343,18 +350,19 @@ def _varlen_fwd_kernel(
     if has_alibi:
         is_interior = jnp.bool_(False)
     else:
-        is_interior = inter_ref[qi, ki] == 1
+        is_interior = inter_ref[qi, kidx_ref[qi, kj]] == 1
 
     def _compute(with_mask: bool):
         q = q_ref[0]  # (bq, d)
-        k = k_ref[0]
+        k = kv_ref[0][:, :d_pad]
+        v = kv_ref[0][:, d_pad:]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if has_qv:
             # MLA weight-absorbed scores (FA4 varlen qv): S = Q K^T + Qv V^T.
             s = s + jax.lax.dot_general(
-                qv_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                qv_ref[0], v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if softcap > 0.0:
@@ -363,10 +371,10 @@ def _varlen_fwd_kernel(
             s2 = s * (scale * LOG2E)
 
         if with_mask:
-            qseg = qseg_ref[...]  # (bq, 1)
-            qpos = qpos_ref[...]
-            kseg = kseg_ref[...]  # (bkv, 1)
-            kpos = kpos_ref[...]
+            qseg = qmeta_ref[:, 0:1]  # (bq, 1)
+            qpos = qmeta_ref[:, 1:2]
+            kseg = kmeta_ref[0:1, :]  # (1, bkv)
+            kpos = kmeta_ref[1:2, :]
             mask, rel = _tile_mask(
                 qseg, qpos, kseg, kpos,
                 causal=causal, window=window, has_alibi=has_alibi,
@@ -397,7 +405,6 @@ def _varlen_fwd_kernel(
                 1.0 - dropout_p,
             )
             p = jnp.where(keep, p, 0.0)
-        v = v_ref[0]
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
         acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
@@ -432,7 +439,7 @@ def _varlen_recompute(
     *, scale, causal, window, softcap, has_alibi,
     attention_chunk=0,
     dropout_p=0.0, seed_ref=None, qi=0, ki=0, block_q=0, block_kv=0,
-    qv=None,
+    qv=None, with_mask=True,
 ):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -447,15 +454,20 @@ def _varlen_recompute(
     else:
         t = None
         s2 = s * (scale * LOG2E)
-    mask, rel = _tile_mask(
-        qseg, qpos, kseg, kpos, causal=causal, window=window,
-        has_alibi=has_alibi, attention_chunk=attention_chunk,
-    )
-    if has_alibi:
-        slope2 = slopes_ref[0, h] * LOG2E
-        s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
-    p = jnp.exp2(s2 - lse2)
-    p = jnp.where(mask, p, 0.0)
+    if with_mask:
+        mask, rel = _tile_mask(
+            qseg, qpos, kseg, kpos, causal=causal, window=window,
+            has_alibi=has_alibi, attention_chunk=attention_chunk,
+        )
+        if has_alibi:
+            slope2 = slopes_ref[0, h] * LOG2E
+            s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+        p = jnp.exp2(s2 - lse2)
+        p = jnp.where(mask, p, 0.0)
+    else:
+        # Interior tile: every element passes the segment/causal/window
+        # tests (precomputed table; see make_varlen_metadata).
+        p = jnp.exp2(s2 - lse2)
     if dropout_p > 0.0:
         from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
 
@@ -481,28 +493,26 @@ def _varlen_recompute(
 
 
 def _varlen_dkv_kernel(
-    qmin_ref, qmax_ref,
+    qmin_ref, qmax_ref, qidx_ref, inter_ref,
     *refs,
-    block_q: int, block_kv: int, num_q_blocks: int,
+    block_q: int, block_kv: int, num_q_blocks: int, d_pad: int,
     scale: float, causal: bool, window: Tuple[int, int],
     attention_chunk: int,
     softcap: float, dropout_p: float, has_alibi: bool,
     has_qv: bool = False,
 ):
+    # Fused per-step operands (see _varlen_fwd_kernel): Q|dO one block,
+    # LSE|delta one block, qseg|qpos one block — 3 dynamic index maps per
+    # grid step instead of 6.
     idx = 0
-    q_ref = refs[idx]; idx += 1
-    k_ref = refs[idx]; idx += 1
-    v_ref = refs[idx]; idx += 1
+    qdo_ref = refs[idx]; idx += 1
+    kv_ref = refs[idx]; idx += 1
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1
-    do_ref = refs[idx]; idx += 1
-    lse_ref = refs[idx]; idx += 1
-    delta_ref = refs[idx]; idx += 1
-    qseg_ref = refs[idx]; idx += 1
-    qpos_ref = refs[idx]; idx += 1
-    kseg_ref = refs[idx]; idx += 1
-    kpos_ref = refs[idx]; idx += 1
+    ld_ref = refs[idx]; idx += 1
+    qmeta_ref = refs[idx]; idx += 1
+    kmeta_ref = refs[idx]; idx += 1
     slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
@@ -526,14 +536,21 @@ def _varlen_dkv_kernel(
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     should_run = qi <= qmax_ref[ki]
+    if has_alibi:
+        is_interior = jnp.bool_(False)
+    else:
+        is_interior = inter_ref[qidx_ref[ki, qj], ki] == 1
 
-    @pl.when(should_run)
-    def _body():
+    def _body(with_mask: bool):
+        q = qdo_ref[0][:, :d_pad]
+        do = qdo_ref[0][:, d_pad:].astype(jnp.float32)
+        k = kv_ref[0][:, :d_pad]
+        v = kv_ref[0][:, d_pad:]
         p, ds = _varlen_recompute(
-            q_ref[0], k_ref[0], v_ref[0],
-            do_ref[0].astype(jnp.float32),
-            lse_ref[0] * LOG2E, delta_ref[0],
-            qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
+            q, k, v, do,
+            ld_ref[0][:, 0:1] * LOG2E, ld_ref[0][:, 1:2],
+            qmeta_ref[:, 0:1], qmeta_ref[:, 1:2],
+            kmeta_ref[0:1, :], kmeta_ref[1:2, :],
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
             attention_chunk=attention_chunk,
@@ -541,9 +558,10 @@ def _varlen_dkv_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
             qv=qv_ref[0] if has_qv else None,
+            with_mask=with_mask,
         )
         dv_scr[...] += jax.lax.dot_general(
-            p, do_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
@@ -553,9 +571,17 @@ def _varlen_dkv_kernel(
                 preferred_element_type=jnp.float32,
             )
         dk_scr[...] += jax.lax.dot_general(
-            ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    @pl.when(jnp.logical_and(should_run, is_interior))
+    def _body_interior():
+        _body(with_mask=False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(is_interior)))
+    def _body_edge():
+        _body(with_mask=True)
 
     @pl.when(qj == num_q_blocks - 1)
     def _finalize():
@@ -564,28 +590,25 @@ def _varlen_dkv_kernel(
 
 
 def _varlen_dq_kernel(
-    kvmin_ref, kvmax_ref,
+    kvmin_ref, kvmax_ref, kidx_ref, inter_ref,
     *refs,
-    block_q: int, block_kv: int, num_kv_blocks: int,
+    block_q: int, block_kv: int, num_kv_blocks: int, d_pad: int,
     scale: float, causal: bool, window: Tuple[int, int],
     attention_chunk: int,
     softcap: float, dropout_p: float, has_alibi: bool,
     has_qv: bool = False, out_dtype=None,
 ):
+    # Fused per-step operands (see _varlen_fwd_kernel): K|V one block,
+    # kseg|kpos one block — 2 dynamic index maps per grid step.
     idx = 0
-    q_ref = refs[idx]; idx += 1
-    k_ref = refs[idx]; idx += 1
-    v_ref = refs[idx]; idx += 1
+    qdo_ref = refs[idx]; idx += 1
+    kv_ref = refs[idx]; idx += 1
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1
-    do_ref = refs[idx]; idx += 1
-    lse_ref = refs[idx]; idx += 1
-    delta_ref = refs[idx]; idx += 1
-    qseg_ref = refs[idx]; idx += 1
-    qpos_ref = refs[idx]; idx += 1
-    kseg_ref = refs[idx]; idx += 1
-    kpos_ref = refs[idx]; idx += 1
+    ld_ref = refs[idx]; idx += 1
+    qmeta_ref = refs[idx]; idx += 1
+    kmeta_ref = refs[idx]; idx += 1
     slopes_ref = seed_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
@@ -613,14 +636,21 @@ def _varlen_dq_kernel(
             dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
     should_run = ki <= kvmax_ref[qi]
+    if has_alibi:
+        is_interior = jnp.bool_(False)
+    else:
+        is_interior = inter_ref[qi, kidx_ref[qi, kj]] == 1
 
-    @pl.when(should_run)
-    def _body():
+    def _body(with_mask: bool):
+        q = qdo_ref[0][:, :d_pad]
+        do = qdo_ref[0][:, d_pad:].astype(jnp.float32)
+        k = kv_ref[0][:, :d_pad]
+        v = kv_ref[0][:, d_pad:]
         _, ds = _varlen_recompute(
-            q_ref[0], k_ref[0], v_ref[0],
-            do_ref[0].astype(jnp.float32),
-            lse_ref[0] * LOG2E, delta_ref[0],
-            qseg_ref[...], qpos_ref[...], kseg_ref[...], kpos_ref[...],
+            q, k, v, do,
+            ld_ref[0][:, 0:1] * LOG2E, ld_ref[0][:, 1:2],
+            qmeta_ref[:, 0:1], qmeta_ref[:, 1:2],
+            kmeta_ref[0:1, :], kmeta_ref[1:2, :],
             slopes_ref, h,
             scale=scale, causal=causal, window=window,
             attention_chunk=attention_chunk,
@@ -628,17 +658,26 @@ def _varlen_dq_kernel(
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
             qv=qv_ref[0] if has_qv else None,
+            with_mask=with_mask,
         )
         dq_scr[...] += jax.lax.dot_general(
-            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
             # dQv += dS V (MLA absorbed scores).
             dqv_scr[...] += jax.lax.dot_general(
-                ds, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                ds, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+    @pl.when(jnp.logical_and(should_run, is_interior))
+    def _body_interior():
+        _body(with_mask=False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(is_interior)))
+    def _body_edge():
+        _body(with_mask=True)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _finalize():
@@ -714,8 +753,18 @@ def flash_attention_varlen_fwd(
     )
 
     qp = _prep_packed(q, block_q, d_pad)
-    kp = _prep_packed(k, block_kv, d_pad)
-    vp = _prep_packed(v, block_kv, dv_pad)
+    # K|V fused along lanes: one per-step DMA + one dynamic index map
+    # instead of two (K at [:, :d_pad], V at [:, d_pad:]).
+    kvp = jnp.concatenate(
+        [_prep_packed(k, block_kv, d_pad), _prep_packed(v, block_kv, dv_pad)],
+        axis=-1,
+    )
+    # Per-token metadata fused likewise: q side as (tqp, 2) columns
+    # [seg|pos] (fetched once per chain), k side as (2, tkp) ROWS so the
+    # per-step block is (2, block_kv) — sublane-padded 2->8 instead of
+    # lane-padded 1->128, and no in-kernel (bkv,1)->(1,bkv) transpose.
+    qmeta = jnp.concatenate([qseg, qpos], axis=1)
+    kmeta = jnp.concatenate([kseg, kpos], axis=1).T
 
     # Offset kv grid: its length only needs to cover the widest
     # per-q-block visible span (the kernel adds kvmin[qi]). Exact when the
@@ -729,35 +778,33 @@ def flash_attention_varlen_fwd(
         nkb_eff = nkb
     nkb_eff = max(nkb_eff, 1)
 
-    def clamp_kv(h, qi, ki, kvmin_ref, kvmax_ref):
-        return jnp.minimum(kvmin_ref[qi] + ki, kvmax_ref[qi])
+    # Precomputed clamped kv block index: each index map is one SMEM load.
+    # (Clamping to kvmax makes predicated-off steps repeat the previous
+    # block index, so their DMAs are elided by the pipeline.)
+    kidx = jnp.minimum(
+        kvmin[:, None] + jnp.arange(nkb_eff, dtype=jnp.int32)[None, :],
+        kvmax[:, None],
+    ).astype(jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
+        pl.BlockSpec((1, block_q, d_pad),
+                     lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
         pl.BlockSpec(
-            (1, block_kv, d_pad),
-            lambda h, qi, ki, mn, mx, it: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
+            (1, block_kv, d_pad + dv_pad),
+            lambda h, qi, kj, mn, mx, kx, it: (h // group_size, kx[qi, kj], 0),
         ),
+        pl.BlockSpec((block_q, 2), lambda h, qi, kj, mn, mx, kx, it: (qi, 0)),
         pl.BlockSpec(
-            (1, block_kv, dv_pad),
-            lambda h, qi, ki, mn, mx, it: (h // group_size, clamp_kv(h, qi, ki, mn, mx), 0),
-        ),
-        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx, it: (qi, 0)),
-        pl.BlockSpec((block_q, 1), lambda h, qi, ki, mn, mx, it: (qi, 0)),
-        pl.BlockSpec(
-            (block_kv, 1), lambda h, qi, ki, mn, mx, it: (clamp_kv(h, qi, ki, mn, mx), 0)
-        ),
-        pl.BlockSpec(
-            (block_kv, 1), lambda h, qi, ki, mn, mx, it: (clamp_kv(h, qi, ki, mn, mx), 0)
+            (2, block_kv), lambda h, qi, kj, mn, mx, kx, it: (0, kx[qi, kj])
         ),
     ]
-    args = [qp, kp, vp, qseg, qpos, kseg, kpos]
+    args = [qp, kvp, qmeta, kmeta]
     if has_qv:
         qvp = _prep_packed(qv, block_q, dv_pad)
-        in_specs.insert(3, pl.BlockSpec(
-            (1, block_q, dv_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)
+        in_specs.insert(2, pl.BlockSpec(
+            (1, block_q, dv_pad), lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)
         ))
-        args.insert(3, qvp)
+        args.insert(2, qvp)
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -766,7 +813,7 @@ def flash_attention_varlen_fwd(
         slopes = slopes[None, :]
         in_specs.append(
             pl.BlockSpec(
-                slopes.shape, lambda h, qi, ki, mn, mx, it: (0, 0),
+                slopes.shape, lambda h, qi, kj, mn, mx, kx, it: (0, 0),
                 memory_space=pltpu.SMEM,
             )
         )
@@ -777,7 +824,7 @@ def flash_attention_varlen_fwd(
             dropout_seed = jnp.zeros((), jnp.int32)
         seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda h, qi, ki, mn, mx, it: (0, 0),
+            pl.BlockSpec((1, 1), lambda h, qi, kj, mn, mx, kx, it: (0, 0),
                          memory_space=pltpu.SMEM)
         )
         args.append(seed_arr)
@@ -785,6 +832,7 @@ def flash_attention_varlen_fwd(
     kernel = functools.partial(
         _varlen_fwd_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
+        d_pad=d_pad,
         scale=float(softmax_scale), causal=causal, window=window,
         # Element-level chunk masking stays exact under CP: kpos is absolute
         # and qpos_adj aligns against the CP-total key length.
@@ -795,12 +843,14 @@ def flash_attention_varlen_fwd(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_heads, nqb, nkb_eff),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda h, qi, ki, mn, mx, it: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, dv_pad),
+                         lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -820,7 +870,7 @@ def flash_attention_varlen_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvmin, kvmax, interior, *args)
+    )(kvmin, kvmax, kidx, interior, *args)
 
     out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
@@ -876,16 +926,26 @@ def flash_attention_varlen_bwd(
         attention_chunk=attention_chunk,
     )
 
-    qp = _prep_packed(q, block_q, d_pad)
-    kp = _prep_packed(k, block_kv, d_pad)
-    vp = _prep_packed(v, block_kv, dv_pad)
-    dop = _prep_packed(do, block_q, dv_pad)
+    # Fused operand blocks (see flash_attention_varlen_fwd): Q|dO, K|V,
+    # LSE|delta, qseg|qpos columns, kseg|kpos rows.
+    qdop = jnp.concatenate(
+        [_prep_packed(q, block_q, d_pad), _prep_packed(do, block_q, dv_pad)],
+        axis=-1,
+    )
+    kvp = jnp.concatenate(
+        [_prep_packed(k, block_kv, d_pad), _prep_packed(v, block_kv, dv_pad)],
+        axis=-1,
+    )
     qvp = _prep_packed(qv, block_q, dv_pad) if qv is not None else None
-    # lse: (h, total_q) -> (h, tqp, 1); delta likewise.
+    # lse/delta: (h, total_q) -> (h, tqp, 2) fused.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = delta.transpose(1, 0)  # (h, total_q)
-    lsep = pad_to_block(lse, 1, block_q)[..., None]
-    deltap = pad_to_block(delta, 1, block_q)[..., None]
+    ldp = jnp.stack(
+        [pad_to_block(lse, 1, block_q), pad_to_block(delta, 1, block_q)],
+        axis=-1,
+    )
+    qmeta = jnp.concatenate([qseg, qpos], axis=1)
+    kmeta = jnp.concatenate([kseg, kpos], axis=1).T
 
     has_alibi = alibi_slopes is not None
     slopes = None
@@ -894,47 +954,37 @@ def flash_attention_varlen_bwd(
 
     def specs_for(clamp_q, clamp_kv):
         specs = [
-            pl.BlockSpec((1, block_q, d_pad),
-                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_kv, d_pad),
-                         lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_kv, dv_pad),
-                         lambda h, i, j, a, b: (h // group_size, clamp_kv(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_q, dv_pad),
-                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_q, 1),
-                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((1, block_q, 1),
-                         lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((block_q, 1),
-                         lambda h, i, j, a, b: (clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((block_q, 1),
-                         lambda h, i, j, a, b: (clamp_q(i, j, a, b), 0)),
-            pl.BlockSpec((block_kv, 1),
-                         lambda h, i, j, a, b: (clamp_kv(i, j, a, b), 0)),
-            pl.BlockSpec((block_kv, 1),
-                         lambda h, i, j, a, b: (clamp_kv(i, j, a, b), 0)),
+            pl.BlockSpec((1, block_q, d_pad + dv_pad),
+                         lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0)),
+            pl.BlockSpec((1, block_kv, d_pad + dv_pad),
+                         lambda h, i, j, a, b, c, it: (h // group_size, clamp_kv(i, j, a, b, c), 0)),
+            pl.BlockSpec((1, block_q, 2),
+                         lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0)),
+            pl.BlockSpec((block_q, 2),
+                         lambda h, i, j, a, b, c, it: (clamp_q(i, j, a, b, c), 0)),
+            pl.BlockSpec((2, block_kv),
+                         lambda h, i, j, a, b, c, it: (0, clamp_kv(i, j, a, b, c))),
         ]
         if has_qv:
-            specs.insert(3, pl.BlockSpec(
+            specs.insert(2, pl.BlockSpec(
                 (1, block_q, dv_pad),
-                lambda h, i, j, a, b: (h, clamp_q(i, j, a, b), 0),
+                lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0),
             ))
         if has_alibi:
             specs.append(
-                pl.BlockSpec(slopes.shape, lambda h, i, j, a, b: (0, 0),
+                pl.BlockSpec(slopes.shape, lambda h, i, j, a, b, c, it: (0, 0),
                              memory_space=pltpu.SMEM)
             )
         if dropout_p > 0.0:
             specs.append(
-                pl.BlockSpec((1, 1), lambda h, i, j, a, b: (0, 0),
+                pl.BlockSpec((1, 1), lambda h, i, j, a, b, c, it: (0, 0),
                              memory_space=pltpu.SMEM)
             )
         return specs
 
-    base_args = [qp, kp, vp, dop, lsep, deltap, qseg, qpos, kseg, kpos]
+    base_args = [qdop, kvp, ldp, qmeta, kmeta]
     if has_qv:
-        base_args.insert(3, qvp)
+        base_args.insert(2, qvp)
     if has_alibi:
         base_args.append(slopes)
     if dropout_p > 0.0:
@@ -953,28 +1003,41 @@ def flash_attention_varlen_bwd(
     nqb_eff = max(nqb_eff, 1)
     nkb_eff = max(nkb_eff, 1)
 
+    # Precomputed clamped block-index tables: one SMEM load per index map.
+    qidx = jnp.minimum(
+        qmin[:, None] + jnp.arange(nqb_eff, dtype=jnp.int32)[None, :],
+        qmax[:, None],
+    ).astype(jnp.int32)
+    kidx = jnp.minimum(
+        kvmin[:, None] + jnp.arange(nkb_eff, dtype=jnp.int32)[None, :],
+        kvmax[:, None],
+    ).astype(jnp.int32)
+
     # ---- dK/dV: grid (h, kv, q) ----
     dkv_kernel = functools.partial(
         _varlen_dkv_kernel,
         block_q=block_q, block_kv=block_kv, num_q_blocks=nqb_eff,
+        d_pad=d_pad,
         scale=float(softmax_scale), causal=causal, window=window,
         attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv,
     )
     dkv_specs = specs_for(
-        clamp_q=lambda ki, qi, mn, mx: jnp.minimum(mn[ki] + qi, mx[ki]),
-        clamp_kv=lambda ki, qi, mn, mx: ki,
+        clamp_q=lambda ki, qj, mn, mx, ix: ix[ki, qj],
+        clamp_kv=lambda ki, qj, mn, mx, ix: ki,
     )
     dk_gh, dv_gh = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(num_heads, nkb, nqb_eff),
             in_specs=dkv_specs,
             out_specs=[
-                pl.BlockSpec((1, block_kv, d_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
-                pl.BlockSpec((1, block_kv, dv_pad), lambda h, ki, qi, a, b: (h, ki, 0)),
+                pl.BlockSpec((1, block_kv, d_pad),
+                             lambda h, ki, qi, a, b, c, it: (h, ki, 0)),
+                pl.BlockSpec((1, block_kv, dv_pad),
+                             lambda h, ki, qi, a, b, c, it: (h, ki, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_kv, d_pad), jnp.float32),
@@ -989,7 +1052,7 @@ def flash_attention_varlen_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qmin, qmax, *base_args)
+    )(qmin, qmax, qidx, interior, *base_args)
 
     dk_gh = dk_gh[:, :total_k, :head_dim]
     dv_gh = dv_gh[:, :total_k, :head_dim_v]
@@ -1005,17 +1068,19 @@ def flash_attention_varlen_bwd(
     dq_kernel = functools.partial(
         _varlen_dq_kernel,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
+        d_pad=d_pad,
         scale=float(softmax_scale), causal=causal, window=window,
         attention_chunk=int(attention_chunk),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
     )
     dq_specs = specs_for(
-        clamp_q=lambda qi, ki, mn, mx: qi,
-        clamp_kv=lambda qi, ki, mn, mx: jnp.minimum(mn[qi] + ki, mx[qi]),
+        clamp_q=lambda qi, kj, mn, mx, ix: qi,
+        clamp_kv=lambda qi, kj, mn, mx, ix: ix[qi, kj],
     )
     dq_out_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda h, qi, ki, a, b: (h, qi, 0)),
+        pl.BlockSpec((1, block_q, d_pad),
+                     lambda h, qi, ki, a, b, c, it: (h, qi, 0)),
     ]
     dq_out_shape = [
         jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
@@ -1023,7 +1088,8 @@ def flash_attention_varlen_bwd(
     dq_scratch = [pltpu.VMEM((block_q, d_pad), jnp.float32)]
     if has_qv:
         dq_out_specs.append(
-            pl.BlockSpec((1, block_q, dv_pad), lambda h, qi, ki, a, b: (h, qi, 0))
+            pl.BlockSpec((1, block_q, dv_pad),
+                         lambda h, qi, ki, a, b, c, it: (h, qi, 0))
         )
         dq_out_shape.append(
             jax.ShapeDtypeStruct((num_heads, nqb * block_q, dv_pad), out_dtype)
@@ -1032,7 +1098,7 @@ def flash_attention_varlen_bwd(
     results = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(num_heads, nqb, nkb_eff),
             in_specs=dq_specs,
             out_specs=dq_out_specs,
@@ -1043,7 +1109,7 @@ def flash_attention_varlen_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvmin, kvmax, *base_args)
+    )(kvmin, kvmax, kidx, interior, *base_args)
 
     dq = results[0][:, :total_q, :head_dim].transpose(1, 0, 2)
     if has_qv:

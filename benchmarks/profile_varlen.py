@@ -77,23 +77,22 @@ def model_us(lens, block_q, block_kv, causal):
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
     h, d = 8, 128
+    # B rows are PURE-INTERIOR (uniform aligned non-causal): every tile
+    # skips masking, so they measure the kernel's intrinsic per-step cost —
+    # directly comparable against the dense kernel's 143-151 TF/s.
     rows = [
-        ("A_uniform_causal", [8192] * 4, True),
-        ("B_uniform_noncausal", [8192] * 4, False),
-        ("A2_uniform_causal_2k", [2048] * 8, True),
+        ("B_noncausal_512x1024", [8192] * 4, False, 512, 1024),
+        ("B_noncausal_1024x512", [8192] * 4, False, 1024, 512),
+        ("A_causal_512x1024", [8192] * 4, True, 512, 1024),
+        ("A_causal_1024x512", [8192] * 4, True, 1024, 512),
     ]
-    rng = np.random.RandomState(0)
-    rows.append(("C_random_causal_8k",
-                 rng.randint(4096, 12288, 4).tolist(), True))
-    for name, lens, causal in rows:
-        sec, tf = bench(lens, h, d, causal)
-        pred = model_us(lens, 512, 1024, causal) * h / 1e6
+    for name, lens, causal, bq, bkv in rows:
+        sec, tf = bench(lens, h, d, causal, block_q=bq, block_kv=bkv)
+        n_steps = model_us(lens, bq, bkv, causal)  # reuse tile counter
         print(json.dumps({
-            "row": name, "lens": [int(x) for x in lens],
+            "row": name, "lens_0": int(lens[0]),
             "time_ms": round(sec * 1e3, 3),
             "useful_tflops": round(tf, 1),
-            "model_ms": round(pred * 1e3, 3),
-            "ratio_meas_over_model": round(sec / pred, 2),
         }), flush=True)
 
 

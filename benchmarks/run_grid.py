@@ -95,11 +95,25 @@ def main(argv=None):
         if args.quick and script != "benchmark_train_mfu.py":
             cmd.append("--quick")
         print(f"== {script} ==", flush=True)
-        proc = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            err = e.stderr or b""
+            if isinstance(err, bytes):
+                err = err.decode("utf-8", "replace")
+            records.append({
+                "bench": script, "error": "timeout",
+                "stderr_tail": err[-1500:],
+            })
+            continue
         sys.stdout.write(proc.stdout)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-2000:])
-            records.append({"bench": script, "error": proc.returncode})
+            records.append({
+                "bench": script, "error": proc.returncode,
+                "stderr_tail": proc.stderr[-1500:],
+            })
             continue
         for line in proc.stdout.splitlines():
             line = line.strip()

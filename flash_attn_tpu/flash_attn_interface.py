@@ -543,8 +543,13 @@ class _VarlenConfig:
     attention_chunk: int
     softcap: float
     dropout_p: float
-    block_q: int
-    block_kv: int
+    bias_grad: bool
+    score_mod: Optional[object]
+    mask_mod: Optional[object]
+    num_aux: int
+    num_aux_scalars: int
+    block_q: Optional[int]  # None -> per-pass tuned defaults
+    block_kv: Optional[int]
     interpret: Optional[bool]
 
 
@@ -556,6 +561,7 @@ def _flash_attn_varlen_core(tensors: dict, config: _VarlenConfig):
 def _varlen_fwd(tensors, config):
     from flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen_fwd
 
+    aux_tensors, aux_scalars = _aux_from(tensors, config)
     return flash_attention_varlen_fwd(
         tensors["q"], tensors["k"], tensors["v"],
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
@@ -570,8 +576,13 @@ def _varlen_fwd(tensors, config):
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
-        block_q=config.block_q,
-        block_kv=config.block_kv,
+        attn_bias=tensors.get("bias"),
+        score_mod=config.score_mod,
+        mask_mod=config.mask_mod,
+        aux_tensors=aux_tensors,
+        aux_scalars=aux_scalars,
+        block_q=config.block_q or 1024,
+        block_kv=config.block_kv or 512,
         interpret=config.interpret,
     )
 
@@ -586,6 +597,8 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
 
     tensors, out, lse = residuals
     do, _ = cotangents
+    aux_tensors, aux_scalars = _aux_from(tensors, config)
+    bias_grad = config.bias_grad and tensors.get("bias") is not None
     res = flash_attention_varlen_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
@@ -600,12 +613,21 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         softcap=config.softcap,
         dropout_p=config.dropout_p,
         dropout_seed=tensors.get("dropout_seed"),
-        block_q=config.block_q,
-        block_kv=config.block_kv,
+        attn_bias=tensors.get("bias"),
+        bias_grad=bias_grad,
+        score_mod=config.score_mod,
+        mask_mod=config.mask_mod,
+        aux_tensors=aux_tensors,
+        aux_scalars=aux_scalars,
+        block_q=config.block_q or 256,
+        block_kv=config.block_kv or 256,
         interpret=config.interpret,
     )
+    res = list(res)
     dq, dk, dv = res[:3]
-    dqv = res[3] if len(res) > 3 else None
+    rest = res[3:]
+    dbias = rest.pop(0) if bias_grad else None
+    dqv = rest.pop(0) if "qv" in tensors else None
     grads = {}
     for name, val in tensors.items():
         if name == "q":
@@ -616,6 +638,8 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
             grads[name] = dv
         elif name == "qv":
             grads[name] = dqv
+        elif name == "bias" and dbias is not None:
+            grads[name] = dbias
         else:
             grads[name] = _zero_cotangent(val)
     return (grads,)
@@ -647,8 +671,14 @@ def flash_attn_varlen_func(
     seqused_q: Optional[jnp.ndarray] = None,
     seqused_k: Optional[jnp.ndarray] = None,
     dropout_seed: Optional[jnp.ndarray] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    attn_bias: Optional[jnp.ndarray] = None,  # (h|1, total_q, total_k) packed
+    bias_grad: bool = False,
+    score_mod=None,  # callable(scores, b, h, q_idx, kv_idx[, aux]) -> scores
+    mask_mod=None,   # callable(b, h, q_idx, kv_idx[, aux]) -> bool
+    aux_tensors=(),  # runtime arrays for mods (FA4 aux_tensors; AuxData arg)
+    aux_scalars=(),
+    block_q: Optional[int] = None,  # None -> per-pass tuned defaults
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Packed variable-length attention; analog of the reference
@@ -659,6 +689,14 @@ def flash_attn_varlen_func(
     boundaries. Bottom-right-aligned causal masking per sequence, seqused_k
     truncation, GQA, sliding windows, softcap, ALiBi, and dropout are
     supported.
+
+    Programmable attention (FA4 varlen, cute/interface.py:3015 + :363-427):
+    score_mod/mask_mod with aux_tensors/aux_scalars run on the varlen path
+    too. Mods see PER-SEQUENCE coordinates — `b` is the segment id of each
+    query row (a (block_q, 1) int32 column, broadcastable against kv_idx),
+    q_idx/kv_idx are in-sequence token positions. `attn_bias` is additive
+    bias in packed coordinates (h|1, total_q, total_k); bias_grad=True
+    returns dbias after dq.
     """
     del max_seqlen_q, max_seqlen_k, deterministic
     if gather_kv_indices is not None:
@@ -688,6 +726,14 @@ def flash_attn_varlen_func(
         if dropout_seed is None:
             dropout_seed = jnp.zeros((), jnp.int32)
         tensors["dropout_seed"] = jnp.asarray(dropout_seed, jnp.int32)
+    if attn_bias is not None:
+        tensors["bias"] = attn_bias
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    for i, a in enumerate(aux_tensors):
+        tensors[f"aux_t{i}"] = jnp.asarray(a)
+    for i, s in enumerate(aux_scalars):
+        tensors[f"aux_s{i}"] = jnp.asarray(s, jnp.float32)
     config = _VarlenConfig(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal),
@@ -695,8 +741,13 @@ def flash_attn_varlen_func(
         attention_chunk=int(attention_chunk),
         softcap=float(softcap),
         dropout_p=float(dropout_p),
-        block_q=int(block_q),
-        block_kv=int(block_kv),
+        bias_grad=bool(bias_grad),
+        score_mod=score_mod,
+        mask_mod=mask_mod,
+        num_aux=len(aux_tensors),
+        num_aux_scalars=len(aux_scalars),
+        block_q=None if block_q is None else int(block_q),
+        block_kv=None if block_kv is None else int(block_kv),
         interpret=interpret,
     )
     out, lse = _flash_attn_varlen_core(tensors, config)

@@ -382,9 +382,11 @@ def _fwd_kernel(
 
         kv_rep = s2.shape[1] // m_next.shape[1]
         m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
-        p = jnp.exp2(s2 - m_full)
-        if with_mask:
-            p = jnp.where(mask, p, 0.0)
+        # exp2 of the MASKED scores: masked elements sit at the finite
+        # _MASK2, so p underflows to exactly 0 whenever the row has any
+        # visible element — no second where on p. Fully-empty rows carry
+        # junk p that the finalize zeroes via m == _MASK2.
+        p = jnp.exp2(m_in - m_full)
 
         l_prev = l_scr[...]
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
@@ -477,7 +479,12 @@ def _fwd_kernel(
         if has_sink:
             sink2 = sink_ref[0, h] * LOG2E
             l = l + jnp.exp2(sink2 - m)
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            empty = l == 0.0  # sink keeps the pre-junk-l semantics (l=inf)
+        else:
+            # Rows with no visible element keep m == _MASK2 exactly; their
+            # accumulated p is junk (no p-masking in the mainloop).
+            empty = jnp.logical_or(l == 0.0, m == _MASK2)
+        l_inv = jnp.where(empty, 0.0, 1.0 / l)
         if dropout_p > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - dropout_p))
         if has_descale:
@@ -489,7 +496,7 @@ def _fwd_kernel(
             l_inv = l_inv * output_scale
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse = jnp.where(
-            l == 0.0,
+            empty,
             -jnp.inf,
             (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E,
         )

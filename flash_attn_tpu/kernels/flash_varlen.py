@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,6 +38,8 @@ from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     LOG2E,
     NUM_LANES,
+    AuxData,
+    call_mod,
     cdiv,
     interpret_mode,
     pad_to_block,
@@ -67,11 +70,21 @@ def make_varlen_metadata(
     cp_rank: int = 0,
     cp_tot_seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) totals
 ):
-    """Returns (qseg, qpos_adj, kseg, kpos, kvmin, kvmax, qmin, qmax).
+    """Returns (qseg, qpos_adj, qpos_raw, lo, hi, diag, kseg, kpos, kvmin,
+    kvmax, qmin, qmax, interior).
 
     qseg/kseg: (total,) segment id per token (-1/-2 for tail padding).
     qpos_adj:  per-q-token position shifted by (used_k_j - seqlen_q_j) so the
                bottom-right causal test is simply kpos <= qpos_adj.
+    qpos_raw:  unadjusted in-sequence q position (score/mask-mod coordinate).
+    lo/hi:     per-q-row visible kv interval in PACKED column coordinates
+               (CP: local column units). Segment + causal + window + chunk +
+               seqused masking all collapse into `lo <= col <= hi` — the
+               kernels' element mask is two compares against these columns
+               instead of per-element segment/position tests (the TPU answer
+               to the reference's fused BlockInfo/seqlen_traits tests).
+    diag:      per-q-row diagonal in packed columns; ALiBi's |rel| is
+               |cp_w*col - diag| (under CP diag folds the rank offset).
     kvmin/kvmax: per-q-block kv-block visibility bounds (fwd + dq grids).
     qmin/qmax:   per-kv-block q-block bounds (dkv grid).
     All jnp ops — usable under jit with traced cu_seqlens.
@@ -130,6 +143,52 @@ def make_varlen_metadata(
     else:
         offset = used_k - used_q  # bottom-right alignment per sequence
     qpos_adj = qpos + offset[qseg_c]
+
+    # ---- per-row visible interval [lo, hi] in packed column coords ----
+    # Every supported mask (segments, bottom-right causal, sliding window,
+    # chunked attention, seqused truncation, CP round-robin) restricts each
+    # q row to ONE contiguous packed-column interval, so the kernels test
+    # `lo <= col <= hi` — two compares — instead of per-element
+    # segment/position arithmetic.
+    base_k = cu_k[qseg_c]
+    r_right = 0 if (causal and right < 0) else right
+    W, rank = cp_world_size, cp_rank
+    used_row = used_k[qseg_c]
+    if W > 1:
+        hi_rel = used_row - 1  # local column units
+        if causal or right >= 0:
+            hi_rel = jnp.minimum(hi_rel, (qpos_adj + r_right - rank) // W)
+        lo_rel = jnp.zeros_like(qpos_adj)
+        if left >= 0:
+            lo_rel = jnp.maximum(lo_rel, -(-(qpos_adj - left - rank) // W))
+        if attention_chunk > 0:
+            c_lo = qpos_adj - qpos_adj % attention_chunk
+            lo_rel = jnp.maximum(lo_rel, -(-(c_lo - rank) // W))
+            hi_rel = jnp.minimum(
+                hi_rel, (c_lo + attention_chunk - 1 - rank) // W
+            )
+        diag = W * base_k + qpos_adj - rank
+    else:
+        hi_rel = used_row - 1
+        if causal or right >= 0:
+            hi_rel = jnp.minimum(hi_rel, qpos_adj + r_right)
+        lo_rel = jnp.zeros_like(qpos_adj)
+        if left >= 0:
+            lo_rel = jnp.maximum(lo_rel, qpos_adj - left)
+        if attention_chunk > 0:
+            c_lo = qpos_adj - qpos_adj % attention_chunk
+            lo_rel = jnp.maximum(lo_rel, c_lo)
+            hi_rel = jnp.minimum(hi_rel, c_lo + attention_chunk - 1)
+        diag = base_k + qpos_adj
+    lo = base_k + lo_rel
+    hi = base_k + hi_rel
+    # Invalid rows (tail padding / seqused_q-trimmed): empty interval.
+    lo = jnp.where(qseg >= 0, lo, 1)
+    hi = jnp.where(qseg >= 0, hi, 0)
+    # Rows that see nothing (hi_rel < lo_rel, e.g. bottom-right rows above
+    # the diagonal or seqused_k == 0) must yield span == 0 EXACTLY — the
+    # kernels' unsigned-compare mask wraps for negative spans.
+    hi = jnp.maximum(hi, lo - 1)
 
     # ---- per-q-block kv bounds ----
     qb = jnp.arange(nqb, dtype=jnp.int32)
@@ -217,96 +276,120 @@ def make_varlen_metadata(
         qmax = jnp.full_like(qmax, nqb - 1)
 
     # ---- per-(q-block, kv-block) interior table ----
-    # A tile is INTERIOR when every element passes the segment + causal/
-    # window tests, so the kernels skip all element-mask VPU work on it
-    # (the varlen analog of the dense kernels' interior/edge split).
-    # Endpoint checks suffice: segments, trimmed tails and positions are
-    # monotone along the packed axis. Chunked attention stays on the
-    # masked path.
+    # A tile is INTERIOR when every element passes every mask test, i.e.
+    # every row's visible interval covers the tile's full column range.
+    # lo and hi are monotone non-decreasing within a segment, so endpoint
+    # checks suffice once the tile's rows are one valid segment.
     qseg_f = qseg[jnp.minimum(qb * block_q, tqp - 1)]
     qseg_l = qseg[r_last]
-    kseg_f = kseg[c_first]
-    kseg_l = kseg[c_last]
     q_uni = jnp.logical_and(qseg_f == qseg_l, qseg_f >= 0)  # (nqb,)
-    # KV tiles must also be free of tail padding: padded key columns
-    # (kseg -2 beyond total_k) sit past the clipped endpoint check and
-    # would contribute garbage on an unmasked tile. (Padded q ROWS are
-    # harmless — their outputs are sliced off.)
-    k_uni = jnp.logical_and(
-        jnp.logical_and(kseg_f == kseg_l, kseg_f >= 0),
-        (kb + 1) * block_kv <= total_k,
-    )  # (nkb,)
-    same_seg = jnp.logical_and(
-        jnp.logical_and(q_uni[:, None], k_uni[None, :]),
-        qseg_f[:, None] == kseg_f[None, :],
-    )  # (nqb, nkb)
-    interior = same_seg
-    if causal or right >= 0:
-        r = 0 if (causal and right < 0) else right
-        interior = jnp.logical_and(
-            interior,
-            kpos[c_last][None, :] <= qpos_adj[r_first][:, None] + r,
-        )
-    if left >= 0:
-        interior = jnp.logical_and(
-            interior,
-            kpos[c_first][None, :] >= qpos_adj[r_last][:, None] - left,
-        )
-    if attention_chunk > 0:
-        interior = jnp.zeros_like(interior)
-    interior = interior.astype(jnp.int32)
+    c_first_u = kb * block_kv  # UNCLIPPED tile column range
+    c_last_u = kb * block_kv + block_kv - 1
+    interior = jnp.logical_and(
+        q_uni[:, None],
+        jnp.logical_and(
+            lo[r_last][:, None] <= c_first_u[None, :],
+            hi[r_first][:, None] >= c_last_u[None, :],
+        ),
+    ).astype(jnp.int32)
 
     return (
-        qseg[:, None], qpos_adj[:, None], kseg[:, None], kpos[:, None],
+        qseg[:, None], qpos_adj[:, None], qpos[:, None],
+        lo[:, None], hi[:, None], diag[:, None],
+        kseg[:, None], kpos[:, None],
         kvmin, kvmax, qmin, qmax, interior,
     )
+
+
+# Worklist flag bits (scalar-prefetch `flags` table).
+_WL_START = 1     # first step of an output chain: zero the accumulators
+_WL_END = 2       # last step of a chain: normalize + write out
+_WL_INTERIOR = 4  # tile passes every mask test: skip element masking
+_WL_DEAD = 8      # predicated-off step (traced-metadata fallback only)
+
+
+def build_worklist(cmin, cmax, interior, n_chains: int, n_steps: int):
+    """Exact tile worklist for the varlen kernels.
+
+    Each output chain c (a q block in the fwd/dQ grids, a kv block in the
+    dK/dV grid) visits exactly the tiles [cmin[c], cmax[c]] of the other
+    axis. When the bounds are concrete (host-known cu_seqlens — the serving
+    and benchmark path) the worklist is EXACT: the flat grid has
+    sum(cmax-cmin+1) steps and zero predicated-off steps — the varlen analog
+    of the dense kernels' folded causal pair grid (flash_fwd.py fold_r), but
+    table-driven because packed sequence layouts have no closed form. Under
+    traced metadata it falls back to a rectangular chain x widest-span grid
+    with dead steps flagged (bit 8), matching the round-2 offset grid.
+
+    Returns (ctab, stab, flags, n_total_steps, exact):
+      ctab[t]: chain index of step t (non-decreasing -> Pallas flushes each
+               output block exactly once), stab[t]: visited block on the
+               swept axis, flags[t]: _WL_* bits. `interior` is indexed
+               [chain, step] — pass it transposed for the dkv grid.
+      exact: True when the worklist has no dead steps.
+    """
+    try:
+        mn = np.asarray(jax.device_get(cmin))
+        mx = np.asarray(jax.device_get(cmax))
+        it = np.asarray(jax.device_get(interior))
+        spans = (mx - mn + 1).astype(np.int64)
+        total = int(spans.sum())
+        ends = np.cumsum(spans)
+        starts = ends - spans
+        ctab = np.repeat(np.arange(n_chains, dtype=np.int32),
+                         spans).astype(np.int32)
+        stab = (
+            np.arange(total, dtype=np.int64) - starts[ctab] + mn[ctab]
+        ).astype(np.int32)
+        flags = (it[ctab, stab] * _WL_INTERIOR).astype(np.int32)
+        flags[starts] |= _WL_START
+        flags[ends - 1] |= _WL_END
+        return (
+            jnp.asarray(ctab), jnp.asarray(stab), jnp.asarray(flags), total,
+            True,
+        )
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass
+    total = n_chains * n_steps
+    t = jnp.arange(total, dtype=jnp.int32)
+    ctab = t // n_steps
+    off = t % n_steps
+    s_raw = cmin[ctab] + off
+    dead = s_raw > cmax[ctab]
+    stab = jnp.minimum(s_raw, cmax[ctab])  # repeat last block: DMA elided
+    flags = (
+        jnp.where(off == 0, _WL_START, 0)
+        + jnp.where(off == n_steps - 1, _WL_END, 0)
+        + interior[ctab, stab] * _WL_INTERIOR
+        + jnp.where(dead, _WL_DEAD, 0)
+    ).astype(jnp.int32)
+    return ctab, stab, flags, total, False
 
 
 # ---------------------------------------------------------------------------
 # Shared tile math.
 # ---------------------------------------------------------------------------
 
-def _tile_mask(qseg, qpos, kseg, kpos, *, causal, window, has_alibi,
-               attention_chunk: int = 0):
-    """Element mask + relative distance for a (bq, bkv) tile from per-token
-    metadata: q columns ((bq,1)) and k rows ((1,bkv)) — k columns ((bkv,1))
-    are transposed for the backward callers."""
-    left, right = window
-    if kseg.shape[0] != 1:
-        kseg = kseg.T
-        kpos = kpos.T
-    seg_ok = qseg == kseg  # (bq, bkv)
-    mask = seg_ok
-    rel = kpos - qpos  # (bq, bkv): kpos - qpos_adj
-    if causal or right >= 0:
-        r = 0 if (causal and right < 0) else right
-        mask = jnp.logical_and(mask, rel <= r)
-    if left >= 0:
-        mask = jnp.logical_and(mask, rel >= -left)
-    if attention_chunk > 0:
-        # Chunked attention (construct_chunk_mask): same chunk of the
-        # bottom-right-aligned coordinate.
-        mask = jnp.logical_and(
-            mask, kpos.T // attention_chunk == qpos // attention_chunk
-        )
-    return mask, rel
-
-
 def _varlen_fwd_kernel(
-    kvmin_ref, kvmax_ref, kidx_ref, inter_ref,  # scalar prefetch
+    qtab_ref, ktab_ref, flags_ref,  # scalar prefetch (worklist tables)
     *refs,
-    block_q: int, block_kv: int, num_kv_blocks: int, d_pad: int,
-    scale: float, causal: bool, window: Tuple[int, int],
-    attention_chunk: int,
+    block_q: int, block_kv: int, d_pad: int,
+    scale: float, cp_w: int,
     softcap: float, dropout_p: float, group_size: int,
-    has_alibi: bool, has_qv: bool, out_dtype,
+    has_alibi: bool, has_qv: bool, has_bias: bool, out_dtype,
+    score_mod=None, mask_mod=None,
+    num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
+    exact_worklist: bool = True,
 ):
-    # Per-step operands are FUSED to keep the inter-step scalar/DMA work
-    # minimal (measured 2.7us/step vs the dense kernels' 1.8us before this:
-    # benchmarks/profile_varlen.py): K|V ride one lane-concatenated block
-    # (one DMA, one index map), kseg|kpos one (2, block_kv) row block, and
-    # the clamped kv block index is a precomputed kidx table so every
-    # dynamic index map is a single SMEM load.
+    # Worklist grid: one flat `t` dimension walks the exact list of visible
+    # (q block, kv block) tiles (build_worklist) — zero predicated-off grid
+    # steps when the packing is host-known, the varlen counterpart of the
+    # dense folded causal grid. Per-step operands stay FUSED (K|V one
+    # lane-concatenated block), every dynamic index map is a single SMEM
+    # table load, and ALL masking is two compares against the per-row
+    # [lo, hi] interval columns (k-side metadata rides only with mods).
+    has_kmeta = score_mod is not None or mask_mod is not None
     idx = 0
     q_ref = refs[idx]; idx += 1
     kv_ref = refs[idx]; idx += 1
@@ -314,12 +397,22 @@ def _varlen_fwd_kernel(
     if has_qv:
         qv_ref = refs[idx]; idx += 1
     qmeta_ref = refs[idx]; idx += 1
-    kmeta_ref = refs[idx]; idx += 1
-    slopes_ref = seed_ref = None
+    kmeta_ref = None
+    if has_kmeta:
+        kmeta_ref = refs[idx]; idx += 1
+    bias_ref = slopes_ref = seed_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
     if dropout_p > 0.0:
         seed_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     o_ref = refs[idx]; idx += 1
     lse_ref = refs[idx]; idx += 1
     m_scr = refs[idx]; idx += 1
@@ -327,30 +420,41 @@ def _varlen_fwd_kernel(
     acc_scr = refs[idx]; idx += 1
 
     h = pl.program_id(0)
-    qi = pl.program_id(1)
-    kj = pl.program_id(2)
-    # The kv grid dim is OFFSET per q block: step j maps to absolute kv
-    # block kvmin[qi] + j, so its length is the widest per-q-block visible
-    # SPAN instead of total_k/block_kv — packed batches of S-token
-    # sequences skip (total_k - S)/block_kv predicated steps per q block
-    # otherwise.
-    ki = kvmin_ref[qi] + kj
+    t = pl.program_id(1)
+    qi = qtab_ref[t]
+    ki = ktab_ref[t]
+    fl = flags_ref[t]
+    # Chain start is folded into the compute step (write-through): instead
+    # of a separate zero-init region, the scalar `start` predicate gates the
+    # previous chain's stale accumulators out of the online-softmax update —
+    # no VMEM fills, no extra predicated region, shorter chain-boundary
+    # pipeline bubble.
+    start = jnp.bitwise_and(fl, _WL_START) != 0
 
-    @pl.when(kj == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, _MASK2)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    should_run = ki <= kvmax_ref[qi]
+    if exact_worklist:
+        should_run = jnp.bool_(True)
+    else:
+        # Chain-start steps are never dead (offset 0 of a span is always
+        # live), so the start gating below always fires on live compute.
+        should_run = jnp.bitwise_and(fl, _WL_DEAD) == 0
     # Interior tiles (single segment, fully below the diagonal/inside the
     # window) skip every element-mask op — the varlen analog of the dense
-    # kernels' interior/edge specialization. ALiBi needs rel regardless,
-    # so it stays on the masked path.
-    if has_alibi:
+    # kernels' interior/edge specialization. ALiBi needs rel and mask_mod
+    # can hide any element, so both stay on the masked path.
+    if has_alibi or mask_mod is not None:
         is_interior = jnp.bool_(False)
     else:
-        is_interior = inter_ref[qi, kidx_ref[qi, kj]] == 1
+        is_interior = jnp.bitwise_and(fl, _WL_INTERIOR) != 0
+
+    if num_aux or num_aux_scalars:
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(auxsc_ref[0, i] for i in range(num_aux_scalars)),
+        )
+    else:
+        aux = None
 
     def _compute(with_mask: bool):
         q = q_ref[0]  # (bq, d)
@@ -366,36 +470,71 @@ def _varlen_fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
         if softcap > 0.0:
-            s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+            s_nat = jnp.tanh(s * (scale / softcap)) * softcap
         else:
-            s2 = s * (scale * LOG2E)
+            s_nat = s * scale
+        if score_mod is not None:
+            # FA4 varlen programmable attention (cute/interface.py:3015):
+            # mods see per-SEQUENCE coordinates — b is the segment id of
+            # each query row, q_idx/kv_idx are in-sequence positions
+            # (broadcast to full tile shape so aux_take-style gathers work
+            # exactly as on the dense path).
+            zero = jnp.zeros(s.shape, jnp.int32)
+            b_rows = qmeta_ref[:, 0:1]
+            sm_rows = qmeta_ref[:, 2:3] + zero  # raw in-sequence q position
+            sm_cols = kmeta_ref[1:2, :] + zero  # in-sequence k position
+            s_nat = call_mod(
+                score_mod, s_nat, b_rows, h, sm_rows, sm_cols, aux=aux
+            ).astype(jnp.float32)
+        s2 = s_nat * LOG2E
+        if has_bias:
+            # Packed-coordinate additive bias: bias[h, i, j] for packed
+            # token coordinates i, j (the varlen layout of the reference
+            # Triton kernel's per-batch bias).
+            s2 = s2 + bias_ref[0].astype(jnp.float32) * LOG2E
 
         if with_mask:
-            qseg = qmeta_ref[:, 0:1]  # (bq, 1)
-            qpos = qmeta_ref[:, 1:2]
-            kseg = kmeta_ref[0:1, :]  # (1, bkv)
-            kpos = kmeta_ref[1:2, :]
-            mask, rel = _tile_mask(
-                qseg, qpos, kseg, kpos,
-                causal=causal, window=window, has_alibi=has_alibi,
-                attention_chunk=attention_chunk,
+            # Two-op interval mask: (col - lo) <u span. Masked elements get
+            # the finite _MASK2 score; exp2(_MASK2 - m) underflows to
+            # exactly 0 whenever the row has any visible element, so no
+            # second where on p is needed — fully-empty rows are detected
+            # at finalize via m == _MASK2.
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + ki * block_kv
             )
+            span = (qmeta_ref[:, 4:5] - qmeta_ref[:, 3:4] + 1).astype(
+                jnp.uint32
+            )
+            mask = (cols - qmeta_ref[:, 3:4]).astype(jnp.uint32) < span
             if has_alibi:
                 slope2 = slopes_ref[0, h] * LOG2E
+                rel = cols * cp_w - qmeta_ref[:, 5:6]
                 s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+            if mask_mod is not None:
+                zero = jnp.zeros(mask.shape, jnp.int32)
+                mask = jnp.logical_and(
+                    mask,
+                    call_mod(
+                        mask_mod, qmeta_ref[:, 0:1], h,
+                        qmeta_ref[:, 2:3] + zero,
+                        kmeta_ref[1:2, :] + zero, aux=aux,
+                    ),
+                )
             s2 = jnp.where(mask, s2, _MASK2)
-        else:
-            mask = None
-        m_prev = m_scr[...]
+        # Write-through chain start: stale scratch from the previous chain
+        # is gated out by the scalar `start` predicate (selects are
+        # scalar-predicated vector moves — cheaper than zero-fills + a
+        # separate init region).
+        m_prev = jnp.where(start, jnp.full_like(m_scr, _MASK2), m_scr[...])
         m_cur = jnp.max(s2, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
         kv_rep = s2.shape[1] // m_next.shape[1]
         m_full = pltpu.repeat(m_next, kv_rep, axis=1) if kv_rep > 1 else m_next
         p = jnp.exp2(s2 - m_full)
-        if with_mask:
-            p = jnp.where(mask, p, 0.0)
-        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        l_prev = jnp.where(start, jnp.zeros_like(l_scr), l_scr[...])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         if dropout_p > 0.0:
             from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
@@ -407,40 +546,62 @@ def _varlen_fwd_kernel(
             p = jnp.where(keep, p, 0.0)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
-        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
+        acc_prev = jnp.where(start, jnp.zeros_like(acc_scr), acc_scr[...])
+        acc_scr[...] = acc_prev * alpha_full + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(jnp.logical_and(should_run, is_interior))
-    def _body_interior():
-        _compute(with_mask=False)
+    import os as _os
+    _force = _os.environ.get("FA_VARLEN_FORCE_BODY", "")
+    if _force == "edge":
+        @pl.when(should_run)
+        def _body_forced_edge():
+            _compute(with_mask=True)
+    elif _force == "interior":
+        @pl.when(should_run)
+        def _body_forced_interior():
+            _compute(with_mask=False)
+    else:
+        @pl.when(jnp.logical_and(should_run, is_interior))
+        def _body_interior():
+            _compute(with_mask=False)
 
-    @pl.when(jnp.logical_and(should_run, jnp.logical_not(is_interior)))
-    def _body_edge():
-        _compute(with_mask=True)
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(is_interior)))
+        def _body_edge():
+            _compute(with_mask=True)
 
-    @pl.when(kj == num_kv_blocks - 1)
+    @pl.when(jnp.bitwise_and(fl, _WL_END) != 0)
     def _finalize():
         m = m_scr[...][:, 0:1]
         l = l_scr[...][:, 0:1]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        # Rows with no visible element keep m == _MASK2 exactly (real
+        # scores are never that negative); their accumulated p is junk
+        # (no p-masking in the mainloop) and is zeroed here.
+        empty = m == _MASK2
+        l_inv = jnp.where(jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / l)
         if dropout_p > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - dropout_p))
         o_ref[0] = (acc_scr[...] * l_inv).astype(out_dtype)
         lse_ref[0] = jnp.where(
-            l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
+            jnp.logical_or(empty, l == 0.0),
+            -jnp.inf,
+            (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E,
         )
 
 
 def _varlen_recompute(
     q, k, v, do, lse2, delta,
-    qseg, qpos, kseg, kpos, slopes_ref, h,
-    *, scale, causal, window, softcap, has_alibi,
-    attention_chunk=0,
+    qmeta, kmeta, slopes_ref, h,
+    *, scale, cp_w, softcap, has_alibi,
     dropout_p=0.0, seed_ref=None, qi=0, ki=0, block_q=0, block_kv=0,
     qv=None, with_mask=True,
+    bias_ref=None, score_mod=None, mask_mod=None, aux=None,
 ):
+    """Returns (p_drop, ds_scaled, dbias_tile) — dbias_tile None w/o bias.
+
+    qmeta: (block_q, 6) columns [seg|pos_adj|pos_raw|lo|hi|diag];
+    kmeta: (2, block_kv) rows [kseg|kpos], present only with mods."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -450,23 +611,50 @@ def _varlen_recompute(
         )
     if softcap > 0.0:
         t = jnp.tanh(s * (scale / softcap))
-        s2 = t * (softcap * LOG2E)
+        s_nat = t * softcap
     else:
         t = None
-        s2 = s * (scale * LOG2E)
+        s_nat = s * scale
+    mod_vjp = None
+    if score_mod is not None:
+        # Differentiate through the user's score_mod at trace time (the vjp
+        # inlines as more JAX ops). Varlen mods see per-sequence coords.
+        zero = jnp.zeros(s.shape, jnp.int32)
+        s_nat, mod_vjp = jax.vjp(
+            lambda x: call_mod(
+                score_mod, x, qmeta[:, 0:1], h,
+                qmeta[:, 2:3] + zero, kmeta[1:2, :] + zero, aux=aux
+            ).astype(jnp.float32),
+            s_nat,
+        )
+    s2 = s_nat * LOG2E
+    if bias_ref is not None:
+        s2 = s2 + bias_ref[0].astype(jnp.float32) * LOG2E
     if with_mask:
-        mask, rel = _tile_mask(
-            qseg, qpos, kseg, kpos, causal=causal, window=window,
-            has_alibi=has_alibi, attention_chunk=attention_chunk,
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_kv
+        )
+        mask = jnp.logical_and(
+            cols >= qmeta[:, 3:4], cols <= qmeta[:, 4:5]
         )
         if has_alibi:
             slope2 = slopes_ref[0, h] * LOG2E
+            rel = cols * cp_w - qmeta[:, 5:6]
             s2 = s2 - slope2 * jnp.abs(rel.astype(jnp.float32))
+        if mask_mod is not None:
+            zero = jnp.zeros(mask.shape, jnp.int32)
+            mask = jnp.logical_and(
+                mask,
+                call_mod(
+                    mask_mod, qmeta[:, 0:1], h, qmeta[:, 2:3] + zero,
+                    kmeta[1:2, :] + zero, aux=aux
+                ),
+            )
         p = jnp.exp2(s2 - lse2)
         p = jnp.where(mask, p, 0.0)
     else:
-        # Interior tile: every element passes the segment/causal/window
-        # tests (precomputed table; see make_varlen_metadata).
+        # Interior tile: every element passes every mask test
+        # (precomputed interval table; see make_varlen_metadata).
         p = jnp.exp2(s2 - lse2)
     if dropout_p > 0.0:
         from flash_attn_tpu.kernels.flash_fwd import _dropout_keep_mask
@@ -485,25 +673,30 @@ def _varlen_recompute(
     if dropout_p > 0.0:
         dp = jnp.where(keep, dp, 0.0) * inv
     ds = p * (dp - delta)
+    dbias_tile = ds if bias_ref is not None else None
+    if mod_vjp is not None:
+        (ds,) = mod_vjp(ds)
     if softcap > 0.0:
         ds = ds * ((1.0 - t * t) * scale)
     else:
         ds = ds * scale
-    return p_drop, ds
+    return p_drop, ds, dbias_tile
 
 
 def _varlen_dkv_kernel(
-    qmin_ref, qmax_ref, qidx_ref, inter_ref,
+    ktab_ref, qtab_ref, flags_ref,  # scalar prefetch (worklist: kv chains)
     *refs,
-    block_q: int, block_kv: int, num_q_blocks: int, d_pad: int,
-    scale: float, causal: bool, window: Tuple[int, int],
-    attention_chunk: int,
+    block_q: int, block_kv: int, d_pad: int,
+    scale: float,
     softcap: float, dropout_p: float, has_alibi: bool,
-    has_qv: bool = False,
+    has_qv: bool = False, has_bias: bool = False,
+    score_mod=None, mask_mod=None,
+    num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
+    exact_worklist: bool = True,
 ):
-    # Fused per-step operands (see _varlen_fwd_kernel): Q|dO one block,
-    # LSE|delta one block, qseg|qpos one block — 3 dynamic index maps per
-    # grid step instead of 6.
+    # Worklist grid over kv chains (see _varlen_fwd_kernel). Fused per-step
+    # operands: Q|dO one block, LSE|delta one block, qmeta one block.
+    has_kmeta = score_mod is not None or mask_mod is not None
     idx = 0
     qdo_ref = refs[idx]; idx += 1
     kv_ref = refs[idx]; idx += 1
@@ -512,65 +705,88 @@ def _varlen_dkv_kernel(
         qv_ref = refs[idx]; idx += 1
     ld_ref = refs[idx]; idx += 1
     qmeta_ref = refs[idx]; idx += 1
-    kmeta_ref = refs[idx]; idx += 1
-    slopes_ref = seed_ref = None
+    kmeta_ref = None
+    if has_kmeta:
+        kmeta_ref = refs[idx]; idx += 1
+    bias_ref = slopes_ref = seed_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
     if dropout_p > 0.0:
         seed_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     dk_ref = refs[idx]; idx += 1
     dv_ref = refs[idx]; idx += 1
     dk_scr = refs[idx]; idx += 1
     dv_scr = refs[idx]; idx += 1
 
     h = pl.program_id(0)
-    ki = pl.program_id(1)
-    qj = pl.program_id(2)
-    # Offset q grid dim (see the fwd kernel): step j -> absolute q block
-    # qmin[ki] + j, so the dim covers the widest visible span only.
-    qi = qmin_ref[ki] + qj
+    t = pl.program_id(1)
+    ki = ktab_ref[t]
+    qi = qtab_ref[t]
+    fl = flags_ref[t]
+    # Write-through chain start (see _varlen_fwd_kernel): stale scratch is
+    # gated out inside the accumulate; start steps are never dead.
+    start = jnp.bitwise_and(fl, _WL_START) != 0
 
-    @pl.when(qj == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
-    should_run = qi <= qmax_ref[ki]
-    if has_alibi:
+    if exact_worklist:
+        should_run = jnp.bool_(True)
+    else:
+        should_run = jnp.bitwise_and(fl, _WL_DEAD) == 0
+    if has_alibi or mask_mod is not None:
         is_interior = jnp.bool_(False)
     else:
-        is_interior = inter_ref[qidx_ref[ki, qj], ki] == 1
+        is_interior = jnp.bitwise_and(fl, _WL_INTERIOR) != 0
+
+    if num_aux or num_aux_scalars:
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(auxsc_ref[0, i] for i in range(num_aux_scalars)),
+        )
+    else:
+        aux = None
 
     def _body(with_mask: bool):
         q = qdo_ref[0][:, :d_pad]
         do = qdo_ref[0][:, d_pad:].astype(jnp.float32)
         k = kv_ref[0][:, :d_pad]
         v = kv_ref[0][:, d_pad:]
-        p, ds = _varlen_recompute(
+        p, ds, _ = _varlen_recompute(
             q, k, v, do,
             ld_ref[0][:, 0:1] * LOG2E, ld_ref[0][:, 1:2],
-            qmeta_ref[:, 0:1], qmeta_ref[:, 1:2],
-            kmeta_ref[0:1, :], kmeta_ref[1:2, :],
+            qmeta_ref[...], kmeta_ref[...] if has_kmeta else None,
             slopes_ref, h,
-            scale=scale, causal=causal, window=window,
-            attention_chunk=attention_chunk,
+            scale=scale, cp_w=1,
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
             qv=qv_ref[0] if has_qv else None,
             with_mask=with_mask,
+            bias_ref=bias_ref,
+            score_mod=score_mod, mask_mod=mask_mod, aux=aux,
         )
-        dv_scr[...] += jax.lax.dot_general(
+        dv_prev = jnp.where(start, jnp.zeros_like(dv_scr), dv_scr[...])
+        dv_new = dv_prev + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
             # V also enters the scores: dV += dS^T Qv.
-            dv_scr[...] += jax.lax.dot_general(
+            dv_new = dv_new + jax.lax.dot_general(
                 ds, qv_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        dk_scr[...] += jax.lax.dot_general(
+        dv_scr[...] = dv_new
+        dk_prev = jnp.where(start, jnp.zeros_like(dk_scr), dk_scr[...])
+        dk_scr[...] = dk_prev + jax.lax.dot_general(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -583,23 +799,27 @@ def _varlen_dkv_kernel(
     def _body_edge():
         _body(with_mask=True)
 
-    @pl.when(qj == num_q_blocks - 1)
+    @pl.when(jnp.bitwise_and(fl, _WL_END) != 0)
     def _finalize():
         dk_ref[0] = dk_scr[...]
         dv_ref[0] = dv_scr[...]
 
 
 def _varlen_dq_kernel(
-    kvmin_ref, kvmax_ref, kidx_ref, inter_ref,
+    qtab_ref, ktab_ref, flags_ref,  # scalar prefetch (worklist: q chains)
     *refs,
-    block_q: int, block_kv: int, num_kv_blocks: int, d_pad: int,
-    scale: float, causal: bool, window: Tuple[int, int],
-    attention_chunk: int,
+    block_q: int, block_kv: int, d_pad: int,
+    scale: float,
     softcap: float, dropout_p: float, has_alibi: bool,
     has_qv: bool = False, out_dtype=None,
+    has_bias: bool = False, bias_grad: bool = False,
+    score_mod=None, mask_mod=None,
+    num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
+    exact_worklist: bool = True,
 ):
-    # Fused per-step operands (see _varlen_fwd_kernel): K|V one block,
-    # kseg|kpos one block — 2 dynamic index maps per grid step.
+    # Worklist grid over q chains (see _varlen_fwd_kernel). Fused per-step
+    # operands: K|V one block.
+    has_kmeta = score_mod is not None or mask_mod is not None
     idx = 0
     qdo_ref = refs[idx]; idx += 1
     kv_ref = refs[idx]; idx += 1
@@ -608,13 +828,26 @@ def _varlen_dq_kernel(
         qv_ref = refs[idx]; idx += 1
     ld_ref = refs[idx]; idx += 1
     qmeta_ref = refs[idx]; idx += 1
-    kmeta_ref = refs[idx]; idx += 1
-    slopes_ref = seed_ref = None
+    kmeta_ref = None
+    if has_kmeta:
+        kmeta_ref = refs[idx]; idx += 1
+    bias_ref = slopes_ref = seed_ref = None
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
     if dropout_p > 0.0:
         seed_ref = refs[idx]; idx += 1
+    aux_refs = []
+    for _ in range(num_aux):
+        aux_refs.append(refs[idx]); idx += 1
+    auxsc_ref = None
+    if num_aux_scalars:
+        auxsc_ref = refs[idx]; idx += 1
     dq_ref = refs[idx]; idx += 1
+    dbias_ref = None
+    if bias_grad:
+        dbias_ref = refs[idx]; idx += 1
     dqv_ref = None
     if has_qv:
         dqv_ref = refs[idx]; idx += 1
@@ -624,49 +857,71 @@ def _varlen_dq_kernel(
         dqv_scr = refs[idx]; idx += 1
 
     h = pl.program_id(0)
-    qi = pl.program_id(1)
-    kj = pl.program_id(2)
-    # Offset kv grid dim (see the fwd kernel).
-    ki = kvmin_ref[qi] + kj
+    t = pl.program_id(1)
+    qi = qtab_ref[t]
+    ki = ktab_ref[t]
+    fl = flags_ref[t]
+    # Write-through chain start (see _varlen_fwd_kernel).
+    start = jnp.bitwise_and(fl, _WL_START) != 0
 
-    @pl.when(kj == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
-        if has_qv:
-            dqv_scr[...] = jnp.zeros_like(dqv_scr)
-
-    should_run = ki <= kvmax_ref[qi]
-    if has_alibi:
+    if exact_worklist:
+        should_run = jnp.bool_(True)
+    else:
+        should_run = jnp.bitwise_and(fl, _WL_DEAD) == 0
+    if has_alibi or mask_mod is not None:
         is_interior = jnp.bool_(False)
     else:
-        is_interior = inter_ref[qi, kidx_ref[qi, kj]] == 1
+        is_interior = jnp.bitwise_and(fl, _WL_INTERIOR) != 0
+
+    if bias_grad:
+        # dbias tiles flush every step; unvisited/dead tiles must be zero
+        # (the caller routes bias_grad onto a full-rectangle worklist).
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    if num_aux or num_aux_scalars:
+        aux = AuxData(
+            tensors=tuple(
+                r[...].reshape(shp) for r, shp in zip(aux_refs, aux_shapes)
+            ),
+            scalars=tuple(auxsc_ref[0, i] for i in range(num_aux_scalars)),
+        )
+    else:
+        aux = None
 
     def _body(with_mask: bool):
         q = qdo_ref[0][:, :d_pad]
         do = qdo_ref[0][:, d_pad:].astype(jnp.float32)
         k = kv_ref[0][:, :d_pad]
         v = kv_ref[0][:, d_pad:]
-        _, ds = _varlen_recompute(
+        _, ds, dbias_tile = _varlen_recompute(
             q, k, v, do,
             ld_ref[0][:, 0:1] * LOG2E, ld_ref[0][:, 1:2],
-            qmeta_ref[:, 0:1], qmeta_ref[:, 1:2],
-            kmeta_ref[0:1, :], kmeta_ref[1:2, :],
+            qmeta_ref[...], kmeta_ref[...] if has_kmeta else None,
             slopes_ref, h,
-            scale=scale, causal=causal, window=window,
-            attention_chunk=attention_chunk,
+            scale=scale, cp_w=1,
             softcap=softcap, has_alibi=has_alibi,
             dropout_p=dropout_p, seed_ref=seed_ref, qi=qi, ki=ki,
             block_q=block_q, block_kv=block_kv,
             qv=qv_ref[0] if has_qv else None,
             with_mask=with_mask,
+            bias_ref=bias_ref,
+            score_mod=score_mod, mask_mod=mask_mod, aux=aux,
         )
-        dq_scr[...] += jax.lax.dot_general(
+        if bias_grad:
+            dbias_ref[0] = dbias_tile.astype(dbias_ref.dtype)
+        dq_prev = jnp.where(start, jnp.zeros_like(dq_scr), dq_scr[...])
+        dq_scr[...] = dq_prev + jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
             # dQv += dS V (MLA absorbed scores).
-            dqv_scr[...] += jax.lax.dot_general(
+            dqv_prev = jnp.where(
+                start, jnp.zeros_like(dqv_scr), dqv_scr[...]
+            )
+            dqv_scr[...] = dqv_prev + jax.lax.dot_general(
                 ds, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -679,7 +934,7 @@ def _varlen_dq_kernel(
     def _body_edge():
         _body(with_mask=True)
 
-    @pl.when(kj == num_kv_blocks - 1)
+    @pl.when(jnp.bitwise_and(fl, _WL_END) != 0)
     def _finalize():
         dq_ref[0] = dq_scr[...].astype(out_dtype)
         if has_qv:
@@ -717,8 +972,13 @@ def flash_attention_varlen_fwd(
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqused_k: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
-    block_kv: int = 1024,
+    attn_bias: Optional[jnp.ndarray] = None,  # (h|1, total_q, total_k) packed
+    score_mod=None,
+    mask_mod=None,
+    aux_tensors=(),
+    aux_scalars=(),
+    block_q: int = 1024,
+    block_kv: int = 512,
     interpret: Optional[bool] = None,
 ):
     """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q))."""
@@ -741,16 +1001,17 @@ def flash_attention_varlen_fwd(
     head_dim_v = v.shape[2]  # may differ (MLA / hdimdiff varlen)
     dv_pad = round_up(head_dim_v, NUM_LANES)
 
-    (qseg, qpos, kseg, kpos, kvmin, kvmax, _, _, interior) = \
-        make_varlen_metadata(
+    (qseg, qpos, qpos_r, lo, hi, diag, kseg, kpos,
+     kvmin, kvmax, _, _, interior) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
-        attention_chunk=attention_chunk if cp_world_size == 1 else 0,
+        attention_chunk=attention_chunk,
         cp_world_size=cp_world_size, cp_rank=cp_rank,
         cp_tot_seqused_k=cp_tot_seqused_k,
     )
+    has_mods = score_mod is not None or mask_mod is not None
 
     qp = _prep_packed(q, block_q, d_pad)
     # K|V fused along lanes: one per-step DMA + one dynamic index map
@@ -759,52 +1020,59 @@ def flash_attention_varlen_fwd(
         [_prep_packed(k, block_kv, d_pad), _prep_packed(v, block_kv, dv_pad)],
         axis=-1,
     )
-    # Per-token metadata fused likewise: q side as (tqp, 2) columns
-    # [seg|pos] (fetched once per chain), k side as (2, tkp) ROWS so the
-    # per-step block is (2, block_kv) — sublane-padded 2->8 instead of
-    # lane-padded 1->128, and no in-kernel (bkv,1)->(1,bkv) transpose.
-    qmeta = jnp.concatenate([qseg, qpos], axis=1)
-    kmeta = jnp.concatenate([kseg, kpos], axis=1).T
+    # Per-token metadata rides as (tqp, 6) q-side columns
+    # [seg|pos_adj|pos_raw|lo|hi|diag], fetched once per chain — element
+    # masking needs NO k-side metadata (two compares against lo/hi).
+    # kseg|kpos rows are DMAed per step only when mods need in-sequence
+    # kv coordinates.
+    qmeta = jnp.concatenate([qseg, qpos, qpos_r, lo, hi, diag], axis=1)
+    kmeta = (
+        jnp.concatenate([kseg, kpos], axis=1).T if has_mods else None
+    )
 
-    # Offset kv grid: its length only needs to cover the widest
-    # per-q-block visible span (the kernel adds kvmin[qi]). Exact when the
-    # cu_seqlens are concrete; under jit-traced metadata fall back to the
-    # full packed width.
-    try:
-        nkb_eff = min(
-            nkb, int(jax.device_get(jnp.max(kvmax - kvmin))) + 1
-        )
-    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
-        nkb_eff = nkb
-    nkb_eff = max(nkb_eff, 1)
-
-    # Precomputed clamped kv block index: each index map is one SMEM load.
-    # (Clamping to kvmax makes predicated-off steps repeat the previous
-    # block index, so their DMAs are elided by the pipeline.)
-    kidx = jnp.minimum(
-        kvmin[:, None] + jnp.arange(nkb_eff, dtype=jnp.int32)[None, :],
-        kvmax[:, None],
-    ).astype(jnp.int32)
+    # Exact worklist grid (build_worklist): the flat t dimension enumerates
+    # only the visible tiles; rectangular fallback under traced metadata.
+    qtab, ktab, flags, n_steps, exact = build_worklist(
+        kvmin, kvmax, interior, nqb, nkb
+    )
 
     in_specs = [
         pl.BlockSpec((1, block_q, d_pad),
-                     lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
+                     lambda h, t, qt, kt, fl: (h, qt[t], 0)),
         pl.BlockSpec(
             (1, block_kv, d_pad + dv_pad),
-            lambda h, qi, kj, mn, mx, kx, it: (h // group_size, kx[qi, kj], 0),
+            lambda h, t, qt, kt, fl: (h // group_size, kt[t], 0),
         ),
-        pl.BlockSpec((block_q, 2), lambda h, qi, kj, mn, mx, kx, it: (qi, 0)),
-        pl.BlockSpec(
-            (2, block_kv), lambda h, qi, kj, mn, mx, kx, it: (0, kx[qi, kj])
-        ),
+        pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
     ]
-    args = [qp, kvp, qmeta, kmeta]
+    args = [qp, kvp, qmeta]
+    if has_mods:
+        in_specs.append(pl.BlockSpec(
+            (2, block_kv), lambda h, t, qt, kt, fl: (0, kt[t])
+        ))
+        args.append(kmeta)
     if has_qv:
         qvp = _prep_packed(qv, block_q, dv_pad)
         in_specs.insert(2, pl.BlockSpec(
-            (1, block_q, dv_pad), lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)
+            (1, block_q, dv_pad), lambda h, t, qt, kt, fl: (h, qt[t], 0)
         ))
         args.insert(2, qvp)
+
+    has_bias = attn_bias is not None
+    if has_bias:
+        bias = jnp.asarray(attn_bias)
+        assert bias.ndim == 3, "varlen attn_bias is (h|1, total_q, total_k)"
+        bias_h = bias.shape[0]
+        bias = pad_to_block(pad_to_block(bias, 1, block_q), 2, block_kv)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, block_kv),
+                lambda h, t, qt, kt, fl, _bh=bias_h: (
+                    h if _bh > 1 else 0, qt[t], kt[t]
+                ),
+            )
+        )
+        args.append(bias)
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -813,7 +1081,7 @@ def flash_attention_varlen_fwd(
         slopes = slopes[None, :]
         in_specs.append(
             pl.BlockSpec(
-                slopes.shape, lambda h, qi, kj, mn, mx, kx, it: (0, 0),
+                slopes.shape, lambda h, t, qt, kt, fl: (0, 0),
                 memory_space=pltpu.SMEM,
             )
         )
@@ -824,33 +1092,61 @@ def flash_attention_varlen_fwd(
             dropout_seed = jnp.zeros((), jnp.int32)
         seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda h, qi, kj, mn, mx, kx, it: (0, 0),
+            pl.BlockSpec((1, 1), lambda h, t, qt, kt, fl: (0, 0),
                          memory_space=pltpu.SMEM)
         )
         args.append(seed_arr)
 
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    aux_shapes = []
+    for a in aux_tensors:
+        a = jnp.asarray(a)
+        if a.ndim <= 1:
+            from flash_attn_tpu.kernels.common import pad_aux_table
+
+            a = pad_aux_table(a.reshape(-1))
+        aux_shapes.append(a.shape)
+        a2 = a.reshape((1,) * max(0, 2 - a.ndim) + a.shape)
+        in_specs.append(
+            pl.BlockSpec(a2.shape, lambda h, t, qt, kt, fl, _n=a2.ndim: (0,) * _n)
+        )
+        args.append(a2)
+    aux_shapes = tuple(aux_shapes)
+    if aux_scalars:
+        sc = jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in aux_scalars]
+        )[None, :]
+        in_specs.append(
+            pl.BlockSpec(sc.shape, lambda h, t, qt, kt, fl: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(sc)
+
     kernel = functools.partial(
         _varlen_fwd_kernel,
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
+        block_q=block_q, block_kv=block_kv,
         d_pad=d_pad,
-        scale=float(softmax_scale), causal=causal, window=window,
-        # Element-level chunk masking stays exact under CP: kpos is absolute
-        # and qpos_adj aligns against the CP-total key length.
-        attention_chunk=int(attention_chunk),
+        scale=float(softmax_scale), cp_w=int(cp_world_size),
         softcap=float(softcap), dropout_p=float(dropout_p),
         group_size=group_size,
-        has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
+        has_alibi=has_alibi, has_qv=has_qv, has_bias=has_bias,
+        out_dtype=out_dtype,
+        score_mod=score_mod, mask_mod=mask_mod,
+        num_aux=len(aux_tensors), aux_shapes=aux_shapes,
+        num_aux_scalars=len(aux_scalars),
+        exact_worklist=exact,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_heads, nqb, nkb_eff),
+        num_scalar_prefetch=3,
+        grid=(num_heads, n_steps),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, dv_pad),
-                         lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
+                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
             pl.BlockSpec((1, block_q, 1),
-                         lambda h, qi, kj, mn, mx, kx, it: (h, qi, 0)),
+                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -867,10 +1163,10 @@ def flash_attention_varlen_fwd(
             jax.ShapeDtypeStruct((num_heads, nqb * block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvmin, kvmax, kidx, interior, *args)
+    )(qtab, ktab, flags, *args)
 
     out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
@@ -892,12 +1188,18 @@ def flash_attention_varlen_bwd(
     softcap: float = 0.0,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
+    attn_bias: Optional[jnp.ndarray] = None,  # (h|1, total_q, total_k)
+    bias_grad: bool = False,
+    score_mod=None,
+    mask_mod=None,
+    aux_tensors=(),
+    aux_scalars=(),
     block_q: int = 256,
     block_kv: int = 256,
     interpret: Optional[bool] = None,
 ):
-    """Packed varlen backward: returns (dq, dk, dv[, dqv]) in packed
-    layout (dqv appended when `qv` is given)."""
+    """Packed varlen backward: returns (dq, dk, dv[, dbias][, dqv]) in
+    packed layout (dbias when bias_grad, dqv when `qv` is given)."""
     total_q, num_heads, head_dim = q.shape
     total_k, num_heads_kv, _ = k.shape
     group_size = num_heads // num_heads_kv
@@ -917,17 +1219,18 @@ def flash_attention_varlen_bwd(
     head_dim_v = v.shape[2]
     dv_pad = round_up(head_dim_v, NUM_LANES)
 
-    (qseg, qpos, kseg, kpos, kvmin, kvmax, qmin, qmax, interior) = \
-        make_varlen_metadata(
+    (qseg, qpos, qpos_r, lo, hi, diag, kseg, kpos,
+     kvmin, kvmax, qmin, qmax, interior) = make_varlen_metadata(
         cu_seqlens_q, cu_seqlens_k, total_q, total_k,
         seqused_q=seqused_q, seqused_k=seqused_k,
         block_q=block_q, block_kv=block_kv,
         causal=causal, window=window,
         attention_chunk=attention_chunk,
     )
+    has_mods = score_mod is not None or mask_mod is not None
 
     # Fused operand blocks (see flash_attention_varlen_fwd): Q|dO, K|V,
-    # LSE|delta, qseg|qpos columns, kseg|kpos rows.
+    # LSE|delta, qseg|qpos|qpos_raw columns, kseg|kpos rows.
     qdop = jnp.concatenate(
         [_prep_packed(q, block_q, d_pad), _prep_packed(do, block_q, dv_pad)],
         axis=-1,
@@ -944,100 +1247,163 @@ def flash_attention_varlen_bwd(
         [pad_to_block(lse, 1, block_q), pad_to_block(delta, 1, block_q)],
         axis=-1,
     )
-    qmeta = jnp.concatenate([qseg, qpos], axis=1)
-    kmeta = jnp.concatenate([kseg, kpos], axis=1).T
+    qmeta = jnp.concatenate([qseg, qpos, qpos_r, lo, hi, diag], axis=1)
+    kmeta = (
+        jnp.concatenate([kseg, kpos], axis=1).T if has_mods else None
+    )
 
     has_alibi = alibi_slopes is not None
     slopes = None
     if has_alibi:
         slopes = jnp.asarray(alibi_slopes, jnp.float32)[None, :]
 
+    has_bias = attn_bias is not None
+    bias = None
+    bias_h = 1
+    if has_bias:
+        bias = jnp.asarray(attn_bias)
+        assert bias.ndim == 3, "varlen attn_bias is (h|1, total_q, total_k)"
+        bias_h = bias.shape[0]
+        bias = pad_to_block(pad_to_block(bias, 1, block_q), 2, block_kv)
+
+    aux_tensors = tuple(aux_tensors or ())
+    aux_scalars = tuple(aux_scalars or ())
+    aux_args = []
+    aux_shapes = []
+    for a in aux_tensors:
+        a = jnp.asarray(a)
+        if a.ndim <= 1:
+            from flash_attn_tpu.kernels.common import pad_aux_table
+
+            a = pad_aux_table(a.reshape(-1))
+        aux_shapes.append(a.shape)
+        aux_args.append(a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
+    aux_shapes = tuple(aux_shapes)
+    auxsc_arr = None
+    if aux_scalars:
+        auxsc_arr = jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in aux_scalars]
+        )[None, :]
+
     def specs_for(clamp_q, clamp_kv):
+        # Index-map args: (h, t, ctab, stab, flags).
         specs = [
             pl.BlockSpec((1, block_q, d_pad + dv_pad),
-                         lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0)),
+                         lambda h, t, ct, st, fl: (h, clamp_q(t, ct, st), 0)),
             pl.BlockSpec((1, block_kv, d_pad + dv_pad),
-                         lambda h, i, j, a, b, c, it: (h // group_size, clamp_kv(i, j, a, b, c), 0)),
+                         lambda h, t, ct, st, fl: (h // group_size, clamp_kv(t, ct, st), 0)),
             pl.BlockSpec((1, block_q, 2),
-                         lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0)),
-            pl.BlockSpec((block_q, 2),
-                         lambda h, i, j, a, b, c, it: (clamp_q(i, j, a, b, c), 0)),
-            pl.BlockSpec((2, block_kv),
-                         lambda h, i, j, a, b, c, it: (0, clamp_kv(i, j, a, b, c))),
+                         lambda h, t, ct, st, fl: (h, clamp_q(t, ct, st), 0)),
+            pl.BlockSpec((block_q, 6),
+                         lambda h, t, ct, st, fl: (clamp_q(t, ct, st), 0)),
         ]
+        if has_mods:
+            specs.append(
+                pl.BlockSpec((2, block_kv),
+                             lambda h, t, ct, st, fl: (0, clamp_kv(t, ct, st)))
+            )
         if has_qv:
             specs.insert(2, pl.BlockSpec(
                 (1, block_q, dv_pad),
-                lambda h, i, j, a, b, c, it: (h, clamp_q(i, j, a, b, c), 0),
+                lambda h, t, ct, st, fl: (h, clamp_q(t, ct, st), 0),
+            ))
+        if has_bias:
+            specs.append(pl.BlockSpec(
+                (1, block_q, block_kv),
+                lambda h, t, ct, st, fl, _bh=bias_h: (
+                    h if _bh > 1 else 0, clamp_q(t, ct, st),
+                    clamp_kv(t, ct, st),
+                ),
             ))
         if has_alibi:
             specs.append(
-                pl.BlockSpec(slopes.shape, lambda h, i, j, a, b, c, it: (0, 0),
+                pl.BlockSpec(slopes.shape, lambda h, t, ct, st, fl: (0, 0),
                              memory_space=pltpu.SMEM)
             )
         if dropout_p > 0.0:
             specs.append(
-                pl.BlockSpec((1, 1), lambda h, i, j, a, b, c, it: (0, 0),
+                pl.BlockSpec((1, 1), lambda h, t, ct, st, fl: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+        for a2 in aux_args:
+            specs.append(
+                pl.BlockSpec(a2.shape,
+                             lambda h, t, ct, st, fl, _n=a2.ndim: (0,) * _n)
+            )
+        if auxsc_arr is not None:
+            specs.append(
+                pl.BlockSpec(auxsc_arr.shape,
+                             lambda h, t, ct, st, fl: (0, 0),
                              memory_space=pltpu.SMEM)
             )
         return specs
 
-    base_args = [qdop, kvp, ldp, qmeta, kmeta]
+    base_args = [qdop, kvp, ldp, qmeta]
+    if has_mods:
+        base_args.append(kmeta)
     if has_qv:
         base_args.insert(2, qvp)
+    if has_bias:
+        base_args.append(bias)
     if has_alibi:
         base_args.append(slopes)
     if dropout_p > 0.0:
         if dropout_seed is None:
             dropout_seed = jnp.zeros((), jnp.int32)
         base_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
+    base_args.extend(aux_args)
+    if auxsc_arr is not None:
+        base_args.append(auxsc_arr)
 
-    # Offset grids (see flash_attention_varlen_fwd): dim lengths cover
-    # only the widest visible span when the metadata is concrete.
-    try:
-        nqb_eff = min(nqb, int(jax.device_get(jnp.max(qmax - qmin))) + 1)
-        nkb_eff = min(nkb, int(jax.device_get(jnp.max(kvmax - kvmin))) + 1)
-    except (jax.errors.ConcretizationTypeError,
-            jax.errors.TracerArrayConversionError):
-        nqb_eff, nkb_eff = nqb, nkb
-    nqb_eff = max(nqb_eff, 1)
-    nkb_eff = max(nkb_eff, 1)
+    mod_kwargs = dict(
+        score_mod=score_mod, mask_mod=mask_mod,
+        num_aux=len(aux_tensors), aux_shapes=aux_shapes,
+        num_aux_scalars=len(aux_scalars),
+    )
 
-    # Precomputed clamped block-index tables: one SMEM load per index map.
-    qidx = jnp.minimum(
-        qmin[:, None] + jnp.arange(nqb_eff, dtype=jnp.int32)[None, :],
-        qmax[:, None],
-    ).astype(jnp.int32)
-    kidx = jnp.minimum(
-        kvmin[:, None] + jnp.arange(nkb_eff, dtype=jnp.int32)[None, :],
-        kvmax[:, None],
-    ).astype(jnp.int32)
+    # Exact worklists (build_worklist): dkv chains over kv blocks sweeping
+    # q blocks; dq chains over q blocks sweeping kv blocks.
+    kv_ctab, kv_stab, kv_flags, kv_steps, kv_exact = build_worklist(
+        qmin, qmax, interior.T, nkb, nqb
+    )
+    if bias_grad:
+        # dbias tiles flush every grid step, so every (q, kv) tile must be
+        # visited (unvisited tiles would hold garbage) — run the dq grid
+        # over the full rectangle; masking zeroes invisible tiles' dbias.
+        q_ctab, q_stab, q_flags, q_steps, q_exact = build_worklist(
+            jnp.zeros_like(kvmin), jnp.full_like(kvmax, nkb - 1),
+            interior, nqb, nkb,
+        )
+    else:
+        q_ctab, q_stab, q_flags, q_steps, q_exact = build_worklist(
+            kvmin, kvmax, interior, nqb, nkb
+        )
 
-    # ---- dK/dV: grid (h, kv, q) ----
+    # ---- dK/dV: flat worklist over kv chains ----
     dkv_kernel = functools.partial(
         _varlen_dkv_kernel,
-        block_q=block_q, block_kv=block_kv, num_q_blocks=nqb_eff,
+        block_q=block_q, block_kv=block_kv,
         d_pad=d_pad,
-        scale=float(softmax_scale), causal=causal, window=window,
-        attention_chunk=int(attention_chunk),
+        scale=float(softmax_scale),
         softcap=float(softcap), dropout_p=float(dropout_p),
-        has_alibi=has_alibi, has_qv=has_qv,
+        has_alibi=has_alibi, has_qv=has_qv, has_bias=has_bias,
+        exact_worklist=kv_exact, **mod_kwargs,
     )
     dkv_specs = specs_for(
-        clamp_q=lambda ki, qj, mn, mx, ix: ix[ki, qj],
-        clamp_kv=lambda ki, qj, mn, mx, ix: ki,
+        clamp_q=lambda t, ct, st: st[t],
+        clamp_kv=lambda t, ct, st: ct[t],
     )
     dk_gh, dv_gh = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(num_heads, nkb, nqb_eff),
+            num_scalar_prefetch=3,
+            grid=(num_heads, kv_steps),
             in_specs=dkv_specs,
             out_specs=[
                 pl.BlockSpec((1, block_kv, d_pad),
-                             lambda h, ki, qi, a, b, c, it: (h, ki, 0)),
+                             lambda h, t, ct, st, fl: (h, ct[t], 0)),
                 pl.BlockSpec((1, block_kv, dv_pad),
-                             lambda h, ki, qi, a, b, c, it: (h, ki, 0)),
+                             lambda h, t, ct, st, fl: (h, ct[t], 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_kv, d_pad), jnp.float32),
@@ -1049,10 +1415,10 @@ def flash_attention_varlen_bwd(
             jax.ShapeDtypeStruct((num_heads, nkb * block_kv, dv_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qmin, qmax, qidx, interior, *base_args)
+    )(kv_ctab, kv_stab, kv_flags, *base_args)
 
     dk_gh = dk_gh[:, :total_k, :head_dim]
     dv_gh = dv_gh[:, :total_k, :head_dim_v]
@@ -1064,32 +1430,43 @@ def flash_attention_varlen_bwd(
     dk = dk.transpose(1, 0, 2).astype(out_dtype)
     dv = dv.transpose(1, 0, 2).astype(out_dtype)
 
-    # ---- dQ: grid (h, q, kv) ----
+    # ---- dQ: flat worklist over q chains ----
     dq_kernel = functools.partial(
         _varlen_dq_kernel,
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkb_eff,
+        block_q=block_q, block_kv=block_kv,
         d_pad=d_pad,
-        scale=float(softmax_scale), causal=causal, window=window,
-        attention_chunk=int(attention_chunk),
+        scale=float(softmax_scale),
         softcap=float(softcap), dropout_p=float(dropout_p),
         has_alibi=has_alibi, has_qv=has_qv, out_dtype=out_dtype,
+        has_bias=has_bias, bias_grad=bias_grad,
+        exact_worklist=q_exact, **mod_kwargs,
     )
     dq_specs = specs_for(
-        clamp_q=lambda qi, kj, mn, mx, ix: qi,
-        clamp_kv=lambda qi, kj, mn, mx, ix: ix[qi, kj],
+        clamp_q=lambda t, ct, st: ct[t],
+        clamp_kv=lambda t, ct, st: st[t],
     )
     dq_out_specs = [
         pl.BlockSpec((1, block_q, d_pad),
-                     lambda h, qi, ki, a, b, c, it: (h, qi, 0)),
+                     lambda h, t, ct, st, fl: (h, ct[t], 0)),
     ]
     dq_out_shape = [
         jax.ShapeDtypeStruct((num_heads, nqb * block_q, d_pad), out_dtype),
     ]
     dq_scratch = [pltpu.VMEM((block_q, d_pad), jnp.float32)]
+    if bias_grad:
+        dq_out_specs.append(
+            pl.BlockSpec((1, block_q, block_kv),
+                         lambda h, t, ct, st, fl: (h, ct[t], st[t]))
+        )
+        dq_out_shape.append(
+            jax.ShapeDtypeStruct(
+                (num_heads, nqb * block_q, nkb * block_kv), jnp.float32
+            )
+        )
     if has_qv:
         dq_out_specs.append(
             pl.BlockSpec((1, block_q, dv_pad),
-                         lambda h, qi, ki, a, b, c, it: (h, qi, 0))
+                         lambda h, t, ct, st, fl: (h, ct[t], 0))
         )
         dq_out_shape.append(
             jax.ShapeDtypeStruct((num_heads, nqb * block_q, dv_pad), out_dtype)
@@ -1098,21 +1475,29 @@ def flash_attention_varlen_bwd(
     results = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(num_heads, nqb, nkb_eff),
+            num_scalar_prefetch=3,
+            grid=(num_heads, q_steps),
             in_specs=dq_specs,
             out_specs=dq_out_specs,
             scratch_shapes=dq_scratch,
         ),
         out_shape=dq_out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvmin, kvmax, kidx, interior, *base_args)
+    )(q_ctab, q_stab, q_flags, *base_args)
 
     dq = results[0][:, :total_q, :head_dim].transpose(1, 0, 2)
+    ret = [dq, dk, dv]
+    ri = 1
+    if bias_grad:
+        dbias = results[ri][:, :total_q, :total_k]
+        ri += 1
+        if bias_h == 1:
+            dbias = dbias.sum(axis=0, keepdims=True)
+        ret.append(dbias.astype(attn_bias.dtype))
     if has_qv:
-        dqv = results[1][:, :total_q, :head_dim_v].transpose(1, 0, 2)
-        return dq, dk, dv, dqv
-    return dq, dk, dv
+        dqv = results[ri][:, :total_q, :head_dim_v].transpose(1, 0, 2)
+        ret.append(dqv)
+    return tuple(ret)

@@ -61,36 +61,42 @@ class RotaryEmbedding:
 
     def __call__(
         self,
-        qkv: jnp.ndarray,  # (b, s, 3, h, d) or q (b, s, h, d) with kv separate
+        qkv: jnp.ndarray,  # (b, s, 3, h, d) or q (b, s, h, d) with kv
+                           # separate; with cu_seqlens: (total, 3, h, d) /
+                           # (total, h, d) packed varlen layouts
         kv: Optional[jnp.ndarray] = None,
         seqlen_offset: Union[int, jnp.ndarray] = 0,
         max_seqlen: Optional[int] = None,
+        cu_seqlens: Optional[jnp.ndarray] = None,
     ):
         if max_seqlen is None:
-            s = qkv.shape[1]
+            s = qkv.shape[0] if cu_seqlens is not None else qkv.shape[1]
             max_seqlen = s + (
                 int(seqlen_offset) if isinstance(seqlen_offset, int) else 0
             )
         cos, sin = self.cos_sin(max_seqlen)
-        if kv is None and qkv.ndim == 5:
+        rot = dict(
+            interleaved=self.interleaved, seqlen_offsets=seqlen_offset,
+            cu_seqlens=cu_seqlens,
+        )
+        packed_dim = 1 if cu_seqlens is not None else 2
+        if kv is None and qkv.ndim == (5 if cu_seqlens is None else 4):
             q = apply_rotary_emb(
-                qkv[:, :, 0], cos, sin,
-                interleaved=self.interleaved, seqlen_offsets=seqlen_offset,
+                jnp.take(qkv, 0, axis=packed_dim), cos, sin, **rot
             )
             k = apply_rotary_emb(
-                qkv[:, :, 1], cos, sin,
-                interleaved=self.interleaved, seqlen_offsets=seqlen_offset,
+                jnp.take(qkv, 1, axis=packed_dim), cos, sin, **rot
             )
-            return jnp.stack([q, k, qkv[:, :, 2]], axis=2)
-        q = apply_rotary_emb(
-            qkv, cos, sin,
-            interleaved=self.interleaved, seqlen_offsets=seqlen_offset,
-        )
+            return jnp.stack(
+                [q, k, jnp.take(qkv, 2, axis=packed_dim)], axis=packed_dim
+            )
+        q = apply_rotary_emb(qkv, cos, sin, **rot)
         if kv is not None:
             k = apply_rotary_emb(
-                kv[:, :, 0], cos, sin,
-                interleaved=self.interleaved, seqlen_offsets=seqlen_offset,
+                jnp.take(kv, 0, axis=packed_dim), cos, sin, **rot
             )
-            kv = jnp.stack([k, kv[:, :, 1]], axis=2)
+            kv = jnp.stack(
+                [k, jnp.take(kv, 1, axis=packed_dim)], axis=packed_dim
+            )
             return q, kv
         return q

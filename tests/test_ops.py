@@ -170,3 +170,41 @@ def test_rotary_interleaved_partial():
     # Pass-through of non-rotated tail.
     assert jnp.array_equal(y[..., 16:], x[..., 16:])
     assert not jnp.allclose(y[..., :16], x[..., :16])
+
+
+def test_rotary_varlen_cu_seqlens():
+    """Packed varlen rotary (reference layers/rotary.py:194,267): positions
+    reset per sequence; per-sequence offsets supported."""
+    import numpy as np
+
+    lens = [7, 19, 3]
+    total = sum(lens)
+    x = jax.random.normal(jax.random.PRNGKey(1), (total, 2, 32), jnp.float32)
+    inv = 1.0 / (10000 ** (jnp.arange(0, 32, 2) / 32))
+    t = jnp.arange(64)[:, None] * inv[None, :]
+    cos, sin = jnp.cos(t), jnp.sin(t)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+
+    packed = apply_rotary_emb(x, cos, sin, cu_seqlens=cu)
+    off = 0
+    for ln in lens:
+        dense = apply_rotary_emb(x[off:off + ln][None], cos, sin)[0]
+        assert jnp.abs(packed[off:off + ln] - dense).max() < 1e-5
+        off += ln
+
+    # Per-sequence offsets (chunked-prefill resume positions).
+    offs = jnp.asarray([5, 0, 11], jnp.int32)
+    packed_o = apply_rotary_emb(x, cos, sin, cu_seqlens=cu,
+                                seqlen_offsets=offs)
+    off = 0
+    for j, ln in enumerate(lens):
+        dense = apply_rotary_emb(
+            x[off:off + ln][None], cos, sin, seqlen_offsets=offs[j:j + 1]
+        )[0]
+        assert jnp.abs(packed_o[off:off + ln] - dense).max() < 1e-5
+        off += ln
+
+    # Interleaved variant round-trips through the same packed positions.
+    y = apply_rotary_emb(x, cos, sin, cu_seqlens=cu, interleaved=True)
+    x_back = apply_rotary_emb(y, cos, -sin, cu_seqlens=cu, interleaved=True)
+    assert jnp.abs(x_back - x).max() < 1e-5

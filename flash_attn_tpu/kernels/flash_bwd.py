@@ -302,10 +302,15 @@ def _bwd_dkv_kernel(
         chain_start = qi == 0
         chain_end = qi == num_q_blocks - 1
 
-    @pl.when(chain_start)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
+    # Folded-grid chains start on always-live steps: fold the init into the
+    # accumulate (write-through, see flash_fwd.py). Predicated grids may
+    # skip the qi==0 step, so they keep the explicit zero-init.
+    write_through = fold_m > 0
+    if not write_through:
+        @pl.when(chain_start)
+        def _init():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
 
     if fold_m == 0:
         min_kv_blk, max_kv_blk = make_causal_window_bounds(
@@ -363,19 +368,32 @@ def _bwd_dkv_kernel(
             qv=qv_ref[0, 0] if has_qv else None,
         )
         # dV += P_drop^T dO   (contract over q rows)
-        dv_scr[...] += jax.lax.dot_general(
+        if write_through:
+            dv_prev = jnp.where(
+                chain_start, jnp.zeros_like(dv_scr), dv_scr[...]
+            )
+        else:
+            dv_prev = dv_scr[...]
+        dv_new = dv_prev + jax.lax.dot_general(
             p_drop, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
             # V also enters the scores: dV += dS^T Qv.
-            dv_scr[...] += jax.lax.dot_general(
+            dv_new = dv_new + jax.lax.dot_general(
                 ds_scaled, qv_ref[0, 0].astype(jnp.float32),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        dv_scr[...] = dv_new
         # dK += dS^T Q
-        dk_scr[...] += jax.lax.dot_general(
+        if write_through:
+            dk_prev = jnp.where(
+                chain_start, jnp.zeros_like(dk_scr), dk_scr[...]
+            )
+        else:
+            dk_prev = dk_scr[...]
+        dk_scr[...] = dk_prev + jax.lax.dot_general(
             ds_scaled, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -501,11 +519,14 @@ def _bwd_dq_kernel(
         chain_start = ki == 0
         chain_end = ki == num_kv_blocks - 1
 
-    @pl.when(chain_start)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
-        if has_qv:
-            dqv_scr[...] = jnp.zeros_like(dqv_scr)
+    # Write-through chain start on the folded grid (see the dkv kernel).
+    write_through = fold_r > 0
+    if not write_through:
+        @pl.when(chain_start)
+        def _init():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
+            if has_qv:
+                dqv_scr[...] = jnp.zeros_like(dqv_scr)
 
     if fold_r == 0:
         min_kv_blk, max_kv_blk = make_causal_window_bounds(
@@ -566,13 +587,25 @@ def _bwd_dq_kernel(
             qv=qv_ref[0, 0] if has_qv else None,
         )
         # dQ += dS K
-        dq_scr[...] += jax.lax.dot_general(
+        if write_through:
+            dq_prev = jnp.where(
+                chain_start, jnp.zeros_like(dq_scr), dq_scr[...]
+            )
+        else:
+            dq_prev = dq_scr[...]
+        dq_scr[...] = dq_prev + jax.lax.dot_general(
             ds_scaled, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_qv:
             # dQv += dS V (MLA absorbed scores).
-            dqv_scr[...] += jax.lax.dot_general(
+            if write_through:
+                dqv_prev = jnp.where(
+                    chain_start, jnp.zeros_like(dqv_scr), dqv_scr[...]
+                )
+            else:
+                dqv_prev = dqv_scr[...]
+            dqv_scr[...] = dqv_prev + jax.lax.dot_general(
                 ds_scaled, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

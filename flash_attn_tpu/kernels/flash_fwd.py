@@ -192,11 +192,18 @@ def _fwd_kernel(
         chain_start = ki == 0
         chain_end = ki == num_kv_blocks - 1
 
-    @pl.when(chain_start)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, _MASK2)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    # Folded-grid chains start on always-live steps, so chain start can be
+    # folded into the compute step (write-through: scalar-predicated selects
+    # gate out stale scratch — no zero-fill region, shorter chain-boundary
+    # bubble). Predicated grids may skip the ki==0 step, so they keep the
+    # explicit init.
+    write_through = fold_r > 0
+    if not write_through:
+        @pl.when(chain_start)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, _MASK2)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if fold_r > 0:
         pass  # every grid step is a visible tile by construction
@@ -375,7 +382,12 @@ def _fwd_kernel(
 
         # Softmax statistics are kept lane-replicated (block_q, 128) so every
         # update is a full-width VPU op; single-lane broadcasts are slow.
-        m_prev = m_scr[...]  # (block_q, 128)
+        if write_through:
+            m_prev = jnp.where(
+                chain_start, jnp.full_like(m_scr, _MASK2), m_scr[...]
+            )
+        else:
+            m_prev = m_scr[...]  # (block_q, 128)
         m_cur = jnp.max(m_in, axis=1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_cur)  # lane-replicated (block_q, 128)
         alpha = jnp.exp2(m_prev - m_next)
@@ -388,7 +400,10 @@ def _fwd_kernel(
         # junk p that the finalize zeroes via m == _MASK2.
         p = jnp.exp2(m_in - m_full)
 
-        l_prev = l_scr[...]
+        if write_through:
+            l_prev = jnp.where(chain_start, jnp.zeros_like(l_scr), l_scr[...])
+        else:
+            l_prev = l_scr[...]
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
@@ -406,7 +421,13 @@ def _fwd_kernel(
             v = v.astype(jnp.bfloat16)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
-        acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
+        if write_through:
+            acc_prev = jnp.where(
+                chain_start, jnp.zeros_like(acc_scr), acc_scr[...]
+            )
+        else:
+            acc_prev = acc_scr[...]
+        acc_scr[...] = acc_prev * alpha_full + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -331,3 +331,21 @@ def make_causal_window_bounds(
         return jnp.clip(lo // block_kv, 0, num_kv_blocks - 1)
 
     return min_kv_block, max_kv_block
+
+
+def upcast_quant_tile(x):
+    """bf16 view of a quantized (int8/fp8) VMEM tile, for the PV operand or
+    score matmuls that need >=16-bit inputs.
+
+    fp8 routes through f32: Mosaic's direct fp8->bf16 convert lowering is
+    ~2x slower than fp8->f32->bf16 and ~5x slower than the int8 convert
+    (measured on v5e: 73 / 158 / 363 Gelem/s). NOTE XLA's own (non-Pallas)
+    fp8 convert runs at full HBM speed (~1200 Gelem/s) — compute-bound
+    paths should upcast whole tensors BEFORE the kernel instead
+    (flash_attention_fwd does).
+    """
+    if x.dtype.itemsize >= 2:
+        return x
+    if x.dtype == jnp.int8:
+        return x.astype(jnp.bfloat16)
+    return x.astype(jnp.float32).astype(jnp.bfloat16)

@@ -47,6 +47,7 @@ from flash_attn_tpu.kernels.common import (
     interpret_mode,
     pad_to_block,
     round_up,
+    upcast_quant_tile,
 )
 
 _MASK2 = DEFAULT_MASK_VALUE
@@ -176,8 +177,9 @@ def _decode_kernel(
         if k.dtype.itemsize < 2:
             # Quantized KV cache: upcast the K tile; its per-head descale
             # folds into the softmax scale (in-kernel dequant path, maps
-            # fp8_kv_dequant, cute/interface.py:482-497).
-            k = k.astype(jnp.bfloat16)
+            # fp8_kv_dequant, cute/interface.py:482-497). fp8 routes
+            # through f32 (see common.upcast_quant_tile).
+            k = upcast_quant_tile(k)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (rows, block_kv)
@@ -188,7 +190,7 @@ def _decode_kernel(
             qv_t = qv_ref[0, 0]
             v_t = v_ref[0, 0]
             if v_t.dtype.itemsize < 2:
-                v_t = v_t.astype(jnp.bfloat16)
+                v_t = upcast_quant_tile(v_t)
             s = s + jax.lax.dot_general(
                 qv_t, v_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -267,7 +269,7 @@ def _decode_kernel(
 
         v = v_ref[0, 0]
         if v.dtype.itemsize < 2:
-            v = v.astype(jnp.bfloat16)
+            v = upcast_quant_tile(v)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
         acc_scr[...] = acc_scr[...] * alpha_full + jax.lax.dot_general(
@@ -394,6 +396,17 @@ def flash_attention_decode(
         _, num_heads_kv, smax, _ = k_cache.shape
         if block_kv is None:
             block_kv = min(512, round_up(smax, NUM_LANES))
+        if (k_cache.dtype.itemsize == 1
+                and jnp.issubdtype(k_cache.dtype, jnp.floating)):
+            # fp8 KV cache, contiguous layout: one XLA-level upcast pass.
+            # Mosaic's in-kernel fp8 convert reads ~60 GB/s of fp8 bytes;
+            # XLA's convert runs at HBM speed, so read-N + write-2N +
+            # kernel-read-2N beats per-tile dequant ~2.5x (measured; the
+            # kv_scale descale still folds in-kernel). Paged pools keep
+            # in-kernel dequant — converting a whole serving pool per step
+            # would read cold pages.
+            k_cache = k_cache.astype(jnp.bfloat16)
+            v_cache = v_cache.astype(jnp.bfloat16)
         k_cache = pad_to_block(k_cache, 2, block_kv)
         v_cache = pad_to_block(v_cache, 2, block_kv)
         smax_pad = k_cache.shape[2]

@@ -54,6 +54,7 @@ from flash_attn_tpu.kernels.common import (
     pad_aux_table,
     pad_to_block,
     round_up,
+    upcast_quant_tile,
 )
 
 # Mask value used in base-2 log space. Kept finite (never -inf) so
@@ -276,8 +277,8 @@ def _fwd_kernel(
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
-            qc = q if q.dtype.itemsize >= 2 else q.astype(jnp.bfloat16)
-            kc = k if k.dtype.itemsize >= 2 else k.astype(jnp.bfloat16)
+            qc = upcast_quant_tile(q)
+            kc = upcast_quant_tile(k)
             s = jax.lax.dot_general(
                 qc, kc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -289,9 +290,9 @@ def _fwd_kernel(
             qv_t = qv_ref[0, 0]
             v_t = v_ref[0, 0]
             if v_t.dtype.itemsize < 2:
-                v_t = v_t.astype(jnp.bfloat16)
+                v_t = upcast_quant_tile(v_t)
             if qv_t.dtype.itemsize < 2:
-                qv_t = qv_t.astype(jnp.bfloat16)
+                qv_t = upcast_quant_tile(qv_t)
             s = s + jax.lax.dot_general(
                 qv_t, v_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -418,7 +419,7 @@ def _fwd_kernel(
         if v.dtype.itemsize < 2:
             # Quantized V: upcast the tile; its descale is folded into the
             # finalize normalizer (fp8_kv_dequant, cute/interface.py:482-497).
-            v = v.astype(jnp.bfloat16)
+            v = upcast_quant_tile(v)
         d_rep = acc_scr.shape[1] // alpha.shape[1]
         alpha_full = pltpu.repeat(alpha, d_rep, axis=1) if d_rep > 1 else alpha
         if write_through:
@@ -592,8 +593,29 @@ def flash_attention_fwd(
         bkv=block_kv, qv=has_qv, dtype=q.dtype.name,
     )
 
+    # fp8 inputs upcast to bf16 at the XLA level BEFORE the kernel: v5e has
+    # no fp8 MXU, and XLA's fp8 convert runs at HBM speed (~1200 Gelem/s)
+    # while Mosaic's in-kernel lowering crawls (~73-158) — one whole-tensor
+    # pass is ~10x cheaper than per-tile dequant on a compute-bound path.
+    # int8 stays quantized in-kernel (int8 MXU path). Descales still fold
+    # into the softmax scale / finalize normalizer. fp8 KV CACHES (decode)
+    # keep in-kernel dequant — see common.upcast_quant_tile.
+    def _xla_upcast_fp8(x):
+        if (x is not None and x.dtype.itemsize == 1
+                and jnp.issubdtype(x.dtype, jnp.floating)):
+            return x.astype(jnp.bfloat16)
+        return x
+
+    fp8_in = any(
+        x is not None and x.dtype.itemsize == 1
+        and jnp.issubdtype(x.dtype, jnp.floating) for x in (q, k, v)
+    )
+    q, k, v, qv = (_xla_upcast_fp8(x) for x in (q, k, v, qv))
+
     # Quantized inputs produce bf16 outputs (reference FP8 fwd returns fp16).
-    out_dtype = q.dtype if q.dtype.itemsize >= 2 else jnp.bfloat16
+    out_dtype = (
+        q.dtype if q.dtype.itemsize >= 2 and not fp8_in else jnp.bfloat16
+    )
     if out_quant_dtype is not None:
         out_dtype = out_quant_dtype
 

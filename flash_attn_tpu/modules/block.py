@@ -32,6 +32,11 @@ class Block(nn.Module):
     prenorm: bool = True
     resid_dropout1: float = 0.0
     resid_dropout2: float = 0.0
+    # Stochastic depth (reference block.py drop_path1/2, torchvision
+    # StochasticDepth "row" mode): drops the whole residual branch per
+    # SAMPLE, scaled by 1/(1-p) — a per-batch-row dropout.
+    drop_path1: float = 0.0
+    drop_path2: float = 0.0
     residual_in_fp32: bool = True
     rms_norm: bool = False
     parallel_block: bool = False
@@ -47,6 +52,9 @@ class Block(nn.Module):
             self.norm2 = norm_cls(epsilon=self.norm_eps, dtype=jnp.float32, name="norm2")
         self.drop1 = nn.Dropout(self.resid_dropout1)
         self.drop2 = nn.Dropout(self.resid_dropout2)
+        # broadcast over (seq, feature) -> one keep/drop decision per sample
+        self.droppath1 = nn.Dropout(self.drop_path1, broadcast_dims=(1, 2))
+        self.droppath2 = nn.Dropout(self.drop_path2, broadcast_dims=(1, 2))
 
     def __call__(
         self,
@@ -56,12 +64,22 @@ class Block(nn.Module):
         *,
         deterministic: bool = True,
         mixer_kwargs: Optional[dict] = None,
+        mixer_subset: Optional[slice] = None,
     ):
         """prenorm: takes/returns (hidden_states, residual) with residual the
-        fp32 stream; postnorm: plain (hidden_states,). Mirrors block.py:108."""
+        fp32 stream; postnorm: plain (hidden_states,). Mirrors block.py:108.
+
+        mixer_subset (reference block.py mixer_subset, ViT/BERT last-layer
+        cls-token optimization): the mixer attends only the given query
+        slice over the full key/value sequence; the residual stream narrows
+        to that slice.
+        """
         if self.prenorm:
             acc = jnp.float32 if self.residual_in_fp32 else hidden_states.dtype
-            hidden_states = self.drop1(hidden_states, deterministic=deterministic)
+            hidden_states = self.droppath1(
+                self.drop1(hidden_states, deterministic=deterministic),
+                deterministic=deterministic,
+            )
             res = hidden_states.astype(acc) if residual is None else (
                 residual + hidden_states.astype(acc)
             )
@@ -78,11 +96,22 @@ class Block(nn.Module):
                 )
                 mlp_out = self.mlp_mod(normed2)
                 return attn_out + mlp_out, res
-            attn_out = self.mixer_mod(
-                normed1, inference_params=inference_params,
-                deterministic=deterministic, **(mixer_kwargs or {}),
+            if mixer_subset is not None:
+                attn_out = self.mixer_mod(
+                    normed1[:, mixer_subset], normed1,
+                    inference_params=inference_params,
+                    deterministic=deterministic, **(mixer_kwargs or {}),
+                )
+                res = res[:, mixer_subset]
+            else:
+                attn_out = self.mixer_mod(
+                    normed1, inference_params=inference_params,
+                    deterministic=deterministic, **(mixer_kwargs or {}),
+                )
+            attn_out = self.droppath2(
+                self.drop2(attn_out, deterministic=deterministic),
+                deterministic=deterministic,
             )
-            attn_out = self.drop2(attn_out, deterministic=deterministic)
             res = res + attn_out.astype(acc)
             normed2 = self.norm2(res).astype(self.dtype)
             mlp_out = self.mlp_mod(normed2)

@@ -45,6 +45,9 @@ def _multihost_scaling():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Compute-bound proxy configuration (per-host batch sized to hide the
+    # grad psum — the >=85%-at-2-hosts recipe).
+    env["FLASH_ATTN_TPU_PROXY_HEAVY"] = "1"
     print("== multihost scaling (2-process CPU proxy) ==", flush=True)
     procs = [
         subprocess.Popen(
@@ -59,11 +62,15 @@ def _multihost_scaling():
         for p in procs:
             p.kill()
         return [{"bench": "multihost_scaling_cpu_proxy", "error": "timeout"}]
-    m = None
+    m = p = None
     for out in outs:
         m = m or re.search(
             r"ENGINE_DP_OK tokens=(\d+) agg_tps=([\d.]+) "
             r"scaling_eff=([\d.]+)", out
+        )
+        p = p or re.search(
+            r"SCALING_PROXY_OK t_local=([\d.]+) t_global=([\d.]+) "
+            r"overhead_eff=([\d.]+)", out
         )
     if m is None:
         return [{"bench": "multihost_scaling_cpu_proxy",
@@ -75,10 +82,21 @@ def _multihost_scaling():
         # construction; the number then validates correctness + overhead
         # accounting, not scaling.
         note += f"; host has {cpus} CPU(s): eff is core-limited"
-    return [{"bench": "multihost_scaling_cpu_proxy", "nproc": 2,
+    rows = [{"bench": "multihost_scaling_cpu_proxy", "nproc": 2,
              "host_cpus": cpus,
              "tokens": int(m.group(1)), "agg_tps": float(m.group(2)),
              "scaling_eff": float(m.group(3)), "note": note}]
+    if p is not None:
+        rows.append({
+            "bench": "multihost_overhead_proxy", "nproc": 2,
+            "t_local_s": float(p.group(1)), "t_global_s": float(p.group(2)),
+            "overhead_eff": float(p.group(3)),
+            "note": ("equal-total-work proxy: same per-device compute on a "
+                     "process-local vs the cross-process mesh; isolates "
+                     "DCN-analog (gRPC) collective overhead — the "
+                     "core-limited host cannot show raw parallel speedup"),
+        })
+    return rows
 
 
 def main(argv=None):

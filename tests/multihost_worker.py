@@ -146,5 +146,90 @@ if is_primary():
     print(f"ENGINE_DP_OK tokens={n_toks * nproc} "
           f"agg_tps={rates.sum():.1f} scaling_eff={eff:.2f}")
 
+# --- 4. Compute-bound scaling proxy: equal-total-work overhead ------------
+# One host core cannot show parallel speedup (N processes time-share it, so
+# agg/(N*solo) ~ 1/N by construction). What IS measurable is DISTRIBUTION
+# overhead: run the same per-process training work twice under identical
+# 2-process contention — once on a process-LOCAL mesh (no cross-process
+# collectives) and once on the global mesh (grad psum over the DCN analog).
+# Total compute is identical; the wall-clock ratio isolates jax.distributed
+# + collective cost. eff >= 0.85 == "DCN-analog overhead <= 15%".
+# Knobs: the test uses a tiny config (seconds); the benchmark grid sets
+# FLASH_ATTN_TPU_PROXY_HEAVY=1 for the compute-bound configuration where
+# per-host work is sized to hide the grad psum — the scaling-book recipe
+# behind the >=85%%-at-2-hosts target (per-host batch large enough that
+# DCN grad sync overlaps/amortizes; params stay small relative to
+# activations, as in real LLM DP).
+HEAVY = os.environ.get("FLASH_ATTN_TPU_PROXY_HEAVY", "0") == "1"
+D, L, B, K = (256, 6, 2048, 2) if HEAVY else (512, 6, 8, 24)
+REPS = 8 if HEAVY else 3
+wp = jnp.asarray(rng.randn(D, D).astype(np.float32)) * 0.05
+xb = jnp.asarray(rng.randn(B, D).astype(np.float32))
+
+
+def make_step(mesh_, spec, xin=None):
+    # Global-mesh arrays must be ARGUMENTS (closing over non-addressable
+    # shards is disallowed).
+    xs = jax.device_put(xb if xin is None else xin, NamedSharding(mesh_, spec))
+    wr = jax.device_put(wp, NamedSharding(mesh_, P(None, None)))
+
+    @jax.jit
+    def steps(w, x):
+        def body(w, _):
+            def loss_fn(w):
+                h = x
+                for _ in range(L):
+                    h = jnp.tanh(h @ w)
+                return (h ** 2).sum()
+
+            g = jax.grad(loss_fn)(w)
+            return w - 1e-3 * g, ()
+
+        w, _ = jax.lax.scan(body, w, None, length=K)
+        return w
+
+    return steps, wr, xs
+
+
+local_mesh = Mesh(
+    np.array(jax.local_devices()).reshape(1, 4), ("data", "model")
+)
+# Equal per-DEVICE work: the local phase gets this process's batch shard
+# (the global mesh splits xb over `data`=nproc).
+steps_l, w_l, x_l = make_step(local_mesh, P("data", None),
+                              xin=xb[: xb.shape[0] // nproc])
+steps_g, w_g, x_g = make_step(mesh, P("data", None))
+jax.block_until_ready(steps_l(w_l, x_l))  # compile
+jax.block_until_ready(steps_g(w_g, x_g))
+
+# One warm pass of each phase (first-touch/page-fault asymmetry), then
+# barrier-synced timed passes.
+jax.block_until_ready(steps_l(w_l, x_l))
+jax.block_until_ready(steps_g(w_g, x_g))
+
+multihost_utils.sync_global_devices("proxy_local_start")
+t0 = time.perf_counter()
+for _ in range(REPS):
+    w_l = steps_l(w_l, x_l)
+jax.block_until_ready(w_l)
+multihost_utils.sync_global_devices("proxy_local_end")
+t_local = time.perf_counter() - t0
+
+multihost_utils.sync_global_devices("proxy_global_start")
+t0 = time.perf_counter()
+for _ in range(REPS):
+    w_g = steps_g(w_g, x_g)
+jax.block_until_ready(w_g)
+multihost_utils.sync_global_devices("proxy_global_end")
+t_global = time.perf_counter() - t0
+
+ts = np.asarray(multihost_utils.process_allgather(
+    jnp.asarray([t_local, t_global])))
+t_l, t_g = float(ts[..., 0].max()), float(ts[..., 1].max())
+eff_ov = min(t_l / t_g, 1.0) if t_g > 0 else 0.0
+if is_primary():
+    print(f"SCALING_PROXY_OK t_local={t_l:.3f} t_global={t_g:.3f} "
+          f"overhead_eff={eff_ov:.3f}")
+
 if is_primary():
     print("MULTIHOST_OK", loss)

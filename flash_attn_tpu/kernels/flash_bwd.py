@@ -519,8 +519,13 @@ def _bwd_dq_kernel(
         chain_start = ki == 0
         chain_end = ki == num_kv_blocks - 1
 
-    # Write-through chain start on the folded grid (see the dkv kernel).
-    write_through = fold_r > 0
+    # Write-through chain start on the folded grid (see the dkv kernel) —
+    # and on unfolded dq grids whose ki==0 step is provably live (causal and
+    # dense chains always see kv block 0; only left windows / chunking can
+    # raise the lower bound).
+    write_through = fold_r > 0 or (
+        not is_local(window) and attention_chunk == 0
+    )
     if not write_through:
         @pl.when(chain_start)
         def _init():

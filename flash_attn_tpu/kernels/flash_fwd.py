@@ -196,9 +196,12 @@ def _fwd_kernel(
     # Folded-grid chains start on always-live steps, so chain start can be
     # folded into the compute step (write-through: scalar-predicated selects
     # gate out stale scratch — no zero-fill region, shorter chain-boundary
-    # bubble). Predicated grids may skip the ki==0 step, so they keep the
-    # explicit init.
-    write_through = fold_r > 0
+    # bubble). Unfolded grids qualify too when the ki==0 step is provably
+    # live for every chain: only a left window or chunked attention can
+    # raise min_kv_blk above 0 (causal/dense always see kv block 0).
+    write_through = fold_r > 0 or (
+        not is_local(window) and attention_chunk == 0
+    )
     if not write_through:
         @pl.when(chain_start)
         def _init():

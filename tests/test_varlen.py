@@ -343,3 +343,39 @@ def test_aot_compile_from_specs():
     ref = flash_attn_varlen_func(q, k, v, cu_q, cu_k, causal=True,
                                  block_q=128, block_kv=128)
     assert jnp.abs(out - ref).max() < 1e-6
+
+
+def test_varlen_traced_cu_seqlens():
+    """cu_seqlens as jit ARGUMENTS (tracers): the worklist builder must fall
+    back to the rectangular dead-step grid and stay correct, fwd and bwd."""
+    import numpy as np
+
+    lens = [100, 156]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    tot = sum(lens)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (tot, 2, 64), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (tot, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (tot, 2, 64), jnp.bfloat16)
+
+    @jax.jit
+    def f(q, k, v, cu):
+        return flash_attn_varlen_func(q, k, v, cu, cu, causal=True,
+                                      block_q=128, block_kv=128)
+
+    out = f(q, k, v, cu)
+    ref, off = [], 0
+    for ln in lens:
+        ref.append(attention_ref(q[off:off + ln][None], k[off:off + ln][None],
+                                 v[off:off + ln][None], causal=True)[0][0])
+        off += ln
+    ref = jnp.concatenate(ref, 0)
+    err = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max()
+    assert err < 2e-2, err
+
+    g = jax.jit(jax.grad(
+        lambda q, k, v, cu: jnp.sum(f(q, k, v, cu).astype(jnp.float32)),
+        argnums=(0, 1, 2),
+    ))(q, k, v, cu)
+    for x in g:
+        assert not bool(jnp.isnan(x).any())

@@ -16,11 +16,11 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)  # resolve benchmark_sparse from any cwd / -m runs
 
 from benchmark_sparse import bench  # noqa: E402
-
-HERE = os.path.dirname(os.path.abspath(__file__))
 
 # (b, h, s, d, density, slash_frac) — batch sized to keep total work similar.
 SWEEP = [
@@ -65,14 +65,38 @@ def main():
             f"| {r['s']} | {r['density']} | {r['slash_frac']} | "
             f"{r['speedup_vs_dense']} | {r['us_sparse']} | {r['us_dense']} |"
         )
+    # Derive the routing claim from THIS run's rows (ADVICE r3: never let
+    # hardcoded prose contradict the measured table on a noisy tunnel day).
+    wins = [r for r in rows if r["speedup_vs_dense"] > 1.0]
+    losses = [r for r in rows if r["speedup_vs_dense"] <= 1.0]
+    if wins:
+        win_desc = ", ".join(
+            f"s={r['s']} density={r['density']} slash={r['slash_frac']}"
+            f" ({r['speedup_vs_dense']}x)"
+            for r in wins
+        )
+        min_win_s = min(r["s"] for r in wins)
+        max_win_density = max(r["density"] for r in wins)
+        measured = [
+            "Measured conclusion of THIS run: `sparse_attn_func` beat dense at "
+            f"{win_desc}.",
+            f"Every winning cell has s >= {min_win_s} and density <= "
+            f"{max_win_density}; all other swept cells lost to dense.",
+        ]
+    else:
+        measured = [
+            "Measured conclusion of THIS run: no swept cell beat the dense "
+            "kernel — route everything to dense until a re-run says otherwise.",
+        ]
     lines += [
         "",
-        "Routing guidance (encoded nowhere automatic — density is only known",
-        "to the caller): prefer `sparse_attn_func` when the context is >=8k",
-        "AND density <= ~12% AND the pattern is slash-dominated; below 4k or",
-        "for scattered-vertical-heavy patterns the dense kernel's larger",
-        "tiles win. The DMA-gather kernel (flash_sparse_gather.py) is chosen",
-        "automatically when eligible and is what makes the long-context",
+        *measured,
+        "",
+        "Prior expectation (not a conclusion of this run): sparse wins at",
+        "long context (>=8k), low density (<=~12%), slash-dominated patterns;",
+        "below 4k or for scattered-vertical-heavy patterns the dense kernel's",
+        "larger tiles win. The DMA-gather kernel (flash_sparse_gather.py) is",
+        "chosen automatically when eligible and is what makes long-context",
         "low-density cells profitable.",
         "",
     ]

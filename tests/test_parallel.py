@@ -411,3 +411,78 @@ def test_ulysses_rejects_indivisible_heads():
     q = jnp.zeros((1, 4, 64, 32), jnp.bfloat16)  # h=4 < cp=8
     with pytest.raises(ValueError, match="divisible"):
         ulysses_flash_attention(q, q, q, mesh)
+
+
+def test_parallel_linears_shard_standalone():
+    """ColumnParallelLinear/RowParallelLinear constructed OUTSIDE
+    parallel/sharding.py must actually shard (VERDICT r3 #8): kernel specs
+    P(None, model) / P(model, None) applied via with_sharding_constraint,
+    matching the reference classes that shard by construction
+    (flash_attn/ops/fused_dense.py:166,206)."""
+    from flash_attn_tpu.ops.fused_dense import (
+        ColumnParallelLinear, RowParallelLinear,
+    )
+
+    mesh = make_mesh(data=1, model=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.float32)
+
+    col = ColumnParallelLinear(features=128, dtype=jnp.float32,
+                               param_dtype=jnp.float32)
+    with mesh:
+        cparams = col.init(jax.random.PRNGKey(1), x)
+        y_col = jax.jit(col.apply)(cparams, x)
+    # Output of a column-parallel matmul is sharded on the model axis.
+    assert y_col.sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, "model")), y_col.ndim
+    ), y_col.sharding
+    golden = x @ cparams["params"]["kernel"] + cparams["params"]["bias"]
+    assert jnp.abs(y_col - golden).max() < 1e-5
+
+    row = RowParallelLinear(features=32, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+    xr = jax.random.normal(jax.random.PRNGKey(2), (4, 128), jnp.float32)
+    with mesh:
+        rparams = row.init(jax.random.PRNGKey(3), xr)
+        y_row = jax.jit(row.apply)(rparams, xr)
+    golden_r = xr @ rparams["params"]["kernel"] + rparams["params"]["bias"]
+    assert jnp.abs(y_row - golden_r).max() < 1e-4
+
+    # Column -> Row composition: the Megatron MLP pattern, numerics must
+    # survive the intermediate model-sharded activation.
+    with mesh:
+        y2 = jax.jit(lambda p1, p2, x: row.apply(
+            p2, jax.nn.gelu(col.apply(p1, x))
+        ))(cparams, rparams, x)
+    ref = jax.nn.gelu(golden) @ rparams["params"]["kernel"] \
+        + rparams["params"]["bias"]
+    assert jnp.abs(y2 - ref).max() < 1e-4
+
+
+def test_parallel_linears_require_mesh():
+    """No ambient mesh and no mesh= arg -> loud error, never a silent
+    plain Dense (VERDICT r3 #8)."""
+    from flash_attn_tpu.ops.fused_dense import (
+        ColumnParallelLinear, RowParallelLinear,
+    )
+
+    x = jnp.ones((2, 16), jnp.float32)
+    with pytest.raises(ValueError, match="mesh"):
+        ColumnParallelLinear(features=32).init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="mesh"):
+        RowParallelLinear(features=32).init(jax.random.PRNGKey(0), x)
+    # strict=False opts out explicitly (single-device debugging).
+    p = ColumnParallelLinear(features=32, strict=False).init(
+        jax.random.PRNGKey(0), x
+    )
+    assert p["params"]["kernel"].shape == (16, 32)
+    # explicit mesh= works without a context manager.
+    mesh = make_mesh(data=1, model=8)
+    colm = ColumnParallelLinear(features=32, mesh=mesh,
+                                param_dtype=jnp.float32)
+    pm = colm.init(jax.random.PRNGKey(0), x)
+    y = colm.apply(pm, x)
+    assert y.shape == (2, 32)
+    # wrong axis name -> loud error
+    bad = ColumnParallelLinear(features=32, mesh=mesh, tp_axis="nope")
+    with pytest.raises(ValueError, match="nope"):
+        bad.init(jax.random.PRNGKey(0), x)

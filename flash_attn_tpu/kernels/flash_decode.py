@@ -336,23 +336,27 @@ def flash_attention_decode(
     paged = block_table is not None
     if fused_kv_dim > 0:
         # Fused K|V page pool (engine-internal layout): only the multipage
-        # kernel understands it, and its feature set must suffice.
+        # kernel understands it, and its feature set must suffice. 1-byte
+        # (int8/fp8) pools ride the same path with per-head descales — the
+        # serving quantized-KV route (fp8_kv_dequant analog,
+        # cute/interface.py:482-497).
         assert paged and causal and v_cache is None
         assert sink is None and alibi_slopes is None
         assert cache_leftpad is None and cache_batch_idx is None
-        assert k_scale is None and v_scale is None
         assert sink_token_length == 0 and attention_chunk == 0
-        assert k_cache.dtype.itemsize >= 2
+        assert not (k_cache.dtype.itemsize == 1 and qv is not None)
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
         )
         from flash_attn_tpu.utils.fa_logging import log_dispatch
 
         log_dispatch("decode", route="multipage-dma-fused",
-                     page=k_cache.shape[2], b=batch, h=num_heads)
+                     page=k_cache.shape[2], b=batch, h=num_heads,
+                     quant=k_cache.dtype.itemsize == 1)
         return flash_attention_decode_multipage(
             q, k_cache, None, cache_seqlens, block_table, qv=qv,
             fused_kv_dim=fused_kv_dim, fused_kv_dim_v=fused_kv_dim_v,
+            k_scale=k_scale, v_scale=v_scale,
             softmax_scale=softmax_scale, window_left=window_left,
             softcap=softcap, interpret=interpret,
         )
@@ -366,10 +370,12 @@ def flash_attention_decode(
         and causal
         and sink is None and alibi_slopes is None
         and cache_leftpad is None and cache_batch_idx is None
-        and k_scale is None and v_scale is None
         and sink_token_length == 0
         and attention_chunk == 0
-        and k_cache.dtype.itemsize >= 2
+        and (k_cache.dtype.itemsize >= 2 or qv is None)
+        # descales on a >=2-byte cache only exist on the index-map path
+        and ((k_scale is None and v_scale is None)
+             or k_cache.dtype.itemsize == 1)
     ):
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
@@ -377,9 +383,11 @@ def flash_attention_decode(
         from flash_attn_tpu.utils.fa_logging import log_dispatch
 
         log_dispatch("decode", route="multipage-dma", page=k_cache.shape[2],
-                     b=batch, h=num_heads)
+                     b=batch, h=num_heads,
+                     quant=k_cache.dtype.itemsize == 1)
         return flash_attention_decode_multipage(
             q, k_cache, v_cache, cache_seqlens, block_table, qv=qv,
+            k_scale=k_scale, v_scale=v_scale,
             softmax_scale=softmax_scale, window_left=window_left,
             softcap=softcap, interpret=interpret,
         )

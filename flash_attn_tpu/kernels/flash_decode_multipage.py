@@ -70,10 +70,16 @@ def _mp_decode_kernel(
     scale: float, window_left: int, softcap: float,
     has_qv: bool, out_dtype,
     fused_dim: int = 0,
+    quant: bool = False,
 ):
     # fused_dim > 0: K and V live page-adjacent in ONE pool of last-dim
     # width fused_dim + d_v, so each page gather is a single DMA of twice
     # the size — the lever that matters for permuted small-page tables.
+    # quant: the pool is 1-byte (int8/fp8) — pages DMA at HALF the bytes,
+    # tiles upcast in VMEM after the gather, and the per-head descales
+    # (SMEM (2, hk)) fold into the softmax scale (K) and the output
+    # normalizer (V) — the serving fp8_kv_dequant analog
+    # (cute/interface.py:482-497) at DMA-pipeline speed.
     fused = fused_dim > 0
     idx = 0
     q_ref = refs[idx]; idx += 1          # (1, hk, rows, d) VMEM
@@ -84,6 +90,9 @@ def _mp_decode_kernel(
     v_hbm = None
     if not fused:
         v_hbm = refs[idx]; idx += 1
+    kvscale_ref = None
+    if quant:
+        kvscale_ref = refs[idx]; idx += 1  # SMEM (2, hk) f32 descales
     o_ref = refs[idx]; idx += 1          # (1, hk, rows, d_v)
     lse_ref = refs[idx]; idx += 1
     kbuf = refs[idx]; idx += 1           # (2, P, hk, page, d[+d_v]) VMEM
@@ -227,6 +236,13 @@ def _mp_decode_kernel(
             else:
                 k = kbuf[slot, :, h].reshape(sup, kbuf.shape[-1])  # (sup, d)
                 v = vbuf[slot, :, h].reshape(sup, vbuf.shape[-1])  # (sup, d_v)
+            if quant:
+                # Upcast AFTER the half-size DMA; descales fold into
+                # scalars (K into the softmax scale, V at finalize).
+                from flash_attn_tpu.kernels.common import upcast_quant_tile
+
+                k = upcast_quant_tile(k)
+                v = upcast_quant_tile(v)
             q = q_ref[0, h]  # (rows, d)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -238,10 +254,11 @@ def _mp_decode_kernel(
                     qv_ref[0, h], v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+            scale_h = scale * kvscale_ref[0, h] if quant else scale
             if softcap > 0.0:
-                s2 = jnp.tanh(s * (scale / softcap)) * (softcap * LOG2E)
+                s2 = jnp.tanh(s * (scale_h / softcap)) * (softcap * LOG2E)
             else:
-                s2 = s * (scale * LOG2E)
+                s2 = s * (scale_h * LOG2E)
 
             r_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
                 + rb * rows
@@ -283,6 +300,9 @@ def _mp_decode_kernel(
         m = m_scr[h][:, 0:1]
         l = l_scr[h][:, 0:1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if quant:
+            # V descale folds into the output normalizer (one scalar).
+            l_inv = l_inv * kvscale_ref[1, h]
         o_ref[0, h] = (acc_scr[h] * l_inv).astype(out_dtype)
         lse_ref[0, h] = jnp.where(
             l == 0.0, -jnp.inf, (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E
@@ -301,6 +321,8 @@ def flash_attention_decode_multipage(
                             # K head dim fused_kv_dim; v_pages must be None
     fused_kv_dim_v: int = 0,  # true V head dim in the fused pool
                               # (default: the padded remainder)
+    k_scale: Optional[jnp.ndarray] = None,  # (hk,) descales for 1-byte pools
+    v_scale: Optional[jnp.ndarray] = None,
     softmax_scale: Optional[float] = None,
     window_left: int = -1,
     softcap: float = 0.0,
@@ -337,6 +359,21 @@ def flash_attention_decode_multipage(
     if interpret is None:
         interpret = interpret_mode()
     out_dtype = q.dtype
+
+    quant = k_pages.dtype.itemsize == 1
+    if quant:
+        assert not has_qv, "qv unsupported with a quantized pool"
+        num_hk = k_pages.shape[1]
+        k_scale = (
+            jnp.ones((num_hk,), jnp.float32) if k_scale is None
+            else jnp.asarray(k_scale, jnp.float32).reshape(num_hk)
+        )
+        v_scale = (
+            jnp.ones((num_hk,), jnp.float32) if v_scale is None
+            else jnp.asarray(v_scale, jnp.float32).reshape(num_hk)
+        )
+    else:
+        assert k_scale is None and v_scale is None
 
     d_pad = round_up(head_dim, NUM_LANES)
     dv_pad = round_up(head_dim_v, NUM_LANES)
@@ -437,6 +474,12 @@ def flash_attention_decode_multipage(
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         args += [k_pages, v_pages]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((2, num_heads_kv), lambda b, rb, s, t, c: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.stack([k_scale, v_scale]))
 
     kernel = functools.partial(
         _mp_decode_kernel,
@@ -446,6 +489,7 @@ def flash_attention_decode_multipage(
         scale=float(softmax_scale), window_left=int(window_left),
         softcap=float(softcap), has_qv=has_qv, out_dtype=out_dtype,
         fused_dim=d_pad if fused else 0,
+        quant=quant,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -31,6 +31,7 @@ Feature lattice (one kernel, not four generations):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -926,7 +927,11 @@ def flash_attention_fwd(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("arbitrary",) * 4
+                if os.environ.get("FA_FWD_ALL_ARBITRARY", "0") == "1"
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
         ),
         cost_estimate=cost,
         interpret=interpret,

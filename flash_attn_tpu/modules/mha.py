@@ -242,13 +242,23 @@ class MHA(nn.Module):
         b, s = q.shape[0], q.shape[1]
         layer = self.layer_idx if self.layer_idx is not None else 0
         entry = inference_params.key_value_memory_dict[layer]
-        # A bare array (not a (k, v) tuple) marks the fused K|V page pool
-        # layout (runtime/kv_cache.py allocate_fused_paged_kv_cache).
-        fused = not isinstance(entry, tuple)
-        if fused:
-            kv_cache, k_cache, v_cache = entry, None, None
+        from flash_attn_tpu.runtime.kv_cache import QuantPagedKV
+
+        # Entry forms: QuantPagedKV (1-byte pool + per-head descales), a
+        # bare array (fused bf16 K|V page pool), or a (k, v) tuple.
+        quant_entry = isinstance(entry, QuantPagedKV)
+        if quant_entry:
+            fused = entry.fused
+            if fused:
+                kv_cache, k_cache, v_cache = entry.k, None, None
+            else:
+                k_cache, v_cache, kv_cache = entry.k, entry.v, None
         else:
-            k_cache, v_cache = entry
+            fused = not isinstance(entry, tuple)
+            if fused:
+                kv_cache, k_cache, v_cache = entry, None, None
+            else:
+                k_cache, v_cache = entry
         offset = inference_params.seqlen_offset
         if isinstance(offset, int):
             offsets = jnp.full((b,), offset, jnp.int32)
@@ -267,6 +277,55 @@ class MHA(nn.Module):
             )
 
         table = inference_params.block_table
+        if quant_entry:
+            # Quantized serving cache: new K/V quantize ON WRITE with the
+            # pool's per-head descales; decode dequantizes in-kernel
+            # (reference fp8_kv_dequant serving contract,
+            # cute/interface.py:482-497).
+            assert table is not None, "quantized caches are paged (engine)"
+            assert self._alibi_slopes is None
+            from flash_attn_tpu.runtime.kv_cache import (
+                quantize_to_cache_dtype,
+                update_fused_paged_kv_cache,
+                update_paged_kv_cache,
+            )
+
+            pool_dtype = (kv_cache if fused else k_cache).dtype
+            k_q = quantize_to_cache_dtype(k, entry.k_scale, pool_dtype)
+            v_q = quantize_to_cache_dtype(v, entry.v_scale, pool_dtype)
+            if fused:
+                kv_cache = update_fused_paged_kv_cache(
+                    kv_cache, k_q, v_q, offsets, table
+                )
+                entry = entry.replace(k=kv_cache)
+                inference_params.key_value_memory_dict[layer] = entry
+                out, _ = flash_attention_decode(
+                    q, kv_cache, None, offsets + s,
+                    block_table=table,
+                    fused_kv_dim=k.shape[-1],
+                    fused_kv_dim_v=v.shape[-1],
+                    k_scale=entry.k_scale, v_scale=entry.v_scale,
+                    softmax_scale=self.softmax_scale,
+                    causal=True,
+                    window_left=self.window_size[0],
+                    softcap=self.softcap,
+                )
+                return out
+            k_cache, v_cache = update_paged_kv_cache(
+                k_cache, v_cache, k_q, v_q, offsets, table
+            )
+            entry = entry.replace(k=k_cache, v=v_cache)
+            inference_params.key_value_memory_dict[layer] = entry
+            out, _ = flash_attention_decode(
+                q, k_cache, v_cache, offsets + s,
+                block_table=table,
+                k_scale=entry.k_scale, v_scale=entry.v_scale,
+                softmax_scale=self.softmax_scale,
+                causal=True,
+                window_left=self.window_size[0],
+                softcap=self.softcap,
+            )
+            return out
         if table is not None:
             if fused:
                 assert self._alibi_slopes is None, (

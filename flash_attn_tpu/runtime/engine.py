@@ -82,6 +82,18 @@ class EngineConfig:
     # on permuted small-page tables). None = auto (on when the model's
     # attention features allow it and head dims are 128-aligned).
     fused_kv_pages: Optional[bool] = None
+    # Quantized KV-cache serving (reference fp8_kv_dequant,
+    # flash_attn/cute/interface.py:482-497): page pools hold 1-byte
+    # elements — int8 or fp8 (e4m3) — halving the KV working set. New K/V
+    # quantize on write with per-head descales; decode dequantizes
+    # in-kernel on the multipage DMA pipeline. None = model dtype (no
+    # quantization). Values: "int8" | "fp8" | "fp8_e4m3".
+    kv_cache_dtype: Optional[str] = None
+    # Per-head DEQUANT scale for the quantized pools (x = x_q * scale).
+    # vLLM-style static calibration: a scalar applied to every kv head, or
+    # a per-layer {layer_idx: scalar} dict. fp8 e4m3's wide dynamic range
+    # makes 1.0 a safe default; int8 should be calibrated to ~amax/127.
+    kv_cache_scale: float | dict = 1.0
 
 
 @dataclasses.dataclass
@@ -106,10 +118,66 @@ class LLMEngine:
         # padded decode slots (block-table entries of -1 are redirected to it).
         self._trash_page = config.num_pages
 
+        def _quant_dtype():
+            name = config.kv_cache_dtype
+            if name is None:
+                return None
+            table = {
+                "int8": jnp.int8,
+                "fp8": jnp.float8_e4m3fn,
+                "fp8_e4m3": jnp.float8_e4m3fn,
+            }
+            if name not in table:
+                raise ValueError(f"kv_cache_dtype {name!r} not in {list(table)}")
+            return table[name]
+
+        def _scale_for(layer_idx: int, hk: int):
+            s = config.kv_cache_scale
+            if isinstance(s, dict):
+                s = s[layer_idx]
+            return jnp.full((hk,), float(s), jnp.float32)
+
         def alloc_caches(mc):
+            from flash_attn_tpu.runtime.kv_cache import QuantPagedKV
+
             hk = mc.n_head_kv if mc.n_head_kv is not None else mc.n_head
             d = (mc.head_dim if mc.head_dim is not None
                  else mc.n_embd // mc.n_head)
+            qdtype = _quant_dtype()
+            if qdtype is not None:
+                if getattr(mc, "attn_type", "mha") == "mla":
+                    raise ValueError(
+                        "kv_cache_dtype is not supported with MLA latent "
+                        "caches (absorbed qv needs >=16-bit V)"
+                    )
+                if getattr(mc, "use_alibi", False):
+                    raise ValueError(
+                        "kv_cache_dtype requires the multipage decode "
+                        "kernel, which excludes ALiBi"
+                    )
+                fused = config.fused_kv_pages
+                if fused is None:
+                    fused = True  # one half-size DMA per page: best case
+                caches = {}
+                for i in range(mc.n_layer):
+                    ks, vs = _scale_for(i, hk), _scale_for(i, hk)
+                    if fused:
+                        pool = allocate_fused_paged_kv_cache(
+                            config.num_pages + 1, config.page_size, hk, d,
+                            dtype=qdtype,
+                        )
+                        caches[i] = QuantPagedKV(
+                            k=pool, v=None, k_scale=ks, v_scale=vs
+                        )
+                    else:
+                        kp, vp = allocate_paged_kv_cache(
+                            config.num_pages + 1, config.page_size, hk, d,
+                            qdtype,
+                        )
+                        caches[i] = QuantPagedKV(
+                            k=kp, v=vp, k_scale=ks, v_scale=vs
+                        )
+                return caches
             if getattr(mc, "attn_type", "mha") == "mla":
                 # Latent page pools: rope-key + latent, ONE kv head. Fused
                 # by default — the rope pages alone are tiny (page=16 ->

@@ -17,8 +17,49 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import flax
 import jax
 import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class QuantPagedKV:
+    """Quantized paged KV pool + per-head dequant scales, one engine layer.
+
+    The serving analog of the reference's fp8 KV-cache dequant contract
+    (flash_attn/cute/interface.py:482-497: bf16 Q x fp8 paged KV with
+    k/v descales): `k`/`v` hold 1-byte pages (int8 or float8_e4m3fn), and
+    dequantization is `x_q * scale` per kv head. For the fused K|V layout
+    `v` is None and `k` is the fused pool (allocate_fused_paged_kv_cache
+    layout with a 1-byte dtype)."""
+
+    k: jnp.ndarray
+    v: Optional[jnp.ndarray]
+    k_scale: jnp.ndarray  # (hk,) float32
+    v_scale: jnp.ndarray  # (hk,) float32
+
+    @property
+    def fused(self) -> bool:
+        return self.v is None
+
+
+def quantize_to_cache_dtype(x: jnp.ndarray, scale: jnp.ndarray,
+                            dtype) -> jnp.ndarray:
+    """Quantize new K/V tokens (b, s, hk, d) for a 1-byte cache.
+
+    `scale` is the per-head DEQUANT scale (hk,): stored value is
+    x / scale, saturating-clipped to the target dtype's range (int8
+    symmetric +-127; e4m3 +-448). Subnormal-flush keeps e4m3 exactly
+    representable by the fast bit-dequant path."""
+    xs = x.astype(jnp.float32) / scale.reshape(1, 1, -1, 1)
+    if dtype == jnp.int8:
+        return jnp.clip(jnp.round(xs), -127, 127).astype(jnp.int8)
+    info = jnp.finfo(dtype)
+    xs = jnp.clip(xs, float(info.min), float(info.max))
+    # Flush e4m3 subnormals (|x| < 2^-6) to zero: keeps every stored bit
+    # pattern normal so integer-domain dequant tricks stay exact.
+    xs = jnp.where(jnp.abs(xs) < float(info.tiny), 0.0, xs)
+    return xs.astype(dtype)
 
 
 def update_kv_cache(

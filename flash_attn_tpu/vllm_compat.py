@@ -159,6 +159,64 @@ def flash_attn_varlen_func(
         raise ValueError("max_seqlen_q required with block_table")
     sq = int(max_seqlen_q)
 
+    # Native paged varlen PREFILL (VERDICT r3 #5; reference
+    # hopper/paged_kv.h + varlen q, hopper/flash_api.cpp:737): chunked
+    # prefill dispatches total_q packed rows — not nseq x max_seqlen_q
+    # padded rows. The pages each sequence uses are gathered into a
+    # PAGE-ALIGNED packed KV layout (one XLA gather at HBM speed; page
+    # boundaries land on lane-tile boundaries), cu_seqlens_k becomes the
+    # page-aligned cumsum, and seqused_k masks the per-sequence tail —
+    # the exact-worklist varlen kernel then prunes invisible tiles and
+    # returns packed outputs directly (no repack scatter). Decode-shaped
+    # calls (sq <= 4) and quantized/sink/descale features stay on the
+    # decode kernel's multipage DMA pipeline.
+    use_varlen_paged = (
+        sq > 4
+        and k.dtype.itemsize >= 2
+        and q_descale is None and k_descale is None and v_descale is None
+        and s_aux is None
+        and cp_world_size == 1
+    )
+    if use_varlen_paged:
+        import numpy as np
+
+        from flash_attn_tpu.kernels.flash_varlen import (
+            flash_attention_varlen_fwd,
+        )
+        from flash_attn_tpu.utils.fa_logging import log_dispatch
+
+        npages_pool, page, hk, _ = k.shape
+        table = jnp.asarray(block_table, jnp.int32)
+        maxp = table.shape[1]
+        try:
+            used_host = np.asarray(jax.device_get(seqused_k))
+            pages_per_seq = [
+                max(1, int(-(-int(u) // page))) for u in used_host
+            ]
+            pages_in_order = jnp.concatenate(
+                [table[j, : pages_per_seq[j]] for j in range(nseq)]
+            )
+            cu_k_pad = np.concatenate(
+                [[0], np.cumsum([p * page for p in pages_per_seq])]
+            ).astype(np.int32)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            # Traced lengths: static full-table layout (masked tails).
+            pages_in_order = table.reshape(-1)
+            cu_k_pad = (np.arange(nseq + 1) * maxp * page).astype(np.int32)
+        pages_in_order = jnp.clip(pages_in_order, 0, npages_pool - 1)
+        k_packed = k[pages_in_order].reshape(-1, hk, k.shape[3])
+        v_packed = v[pages_in_order].reshape(-1, hk, v.shape[3])
+        log_dispatch("varlen", route="paged-prefill-gather", page=page,
+                     nseq=nseq, total_q=total_q)
+        out, lse = flash_attention_varlen_fwd(
+            q, k_packed, v_packed, cu_q, jnp.asarray(cu_k_pad),
+            seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+            softmax_scale=softmax_scale, causal=True,
+            window_size=window_size, softcap=softcap,
+        )
+        return (out, lse) if return_softmax_lse else out  # lse (h, total_q)
+
     # Right-align each sequence's q tokens into (nseq, sq).
     lens = cu_q[1:] - cu_q[:-1]  # (nseq,)
     row = jnp.arange(sq, dtype=jnp.int32)[None, :]

@@ -75,6 +75,61 @@ def bench_quant_kv_decode(b, smax, hk, d, dtype, page=None):
     return bytes_kv / sec / 1e9  # GB/s of quantized-cache reads
 
 
+def bench_quant_paged_decode(b, smax, hk, d, dtype, page=128,
+                             permuted=True, fused=False):
+    """Quantized PAGED pools through the multipage DMA pipeline — the
+    serving route (EngineConfig.kv_cache_dtype; VERDICT r3 #3). Reports
+    GB/s of quantized-cache bytes; tokens/s parity with bf16 requires
+    matching GELEM/s (2x the GB/s of a bf16 pool at the same tokens)."""
+    import numpy as np
+
+    maxp = smax // page
+    npages = b * maxp + 1
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    qd = jax.random.normal(ks[0], (b, 1, hk, d), jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    if permuted:
+        tb = rng.permutation(npages - 1)[: b * maxp] + 1
+    else:
+        tb = np.arange(1, b * maxp + 1)
+    table = jnp.asarray(tb.reshape(b, maxp), jnp.int32)
+    if dtype is None:  # bf16 baseline
+        kp = jax.random.normal(ks[1], (npages, hk, page, d), jnp.bfloat16)
+        vp = jax.random.normal(ks[2], (npages, hk, page, d), jnp.bfloat16)
+        k_s = v_s = None
+    else:
+        kp = jax.random.randint(
+            ks[1], (npages, hk, page, d), -127, 127, jnp.int8
+        ).astype(dtype) if dtype == jnp.int8 else jax.random.normal(
+            ks[1], (npages, hk, page, d), jnp.float32).astype(dtype)
+        vp = jax.random.randint(
+            ks[2], (npages, hk, page, d), -127, 127, jnp.int8
+        ).astype(dtype) if dtype == jnp.int8 else jax.random.normal(
+            ks[2], (npages, hk, page, d), jnp.float32).astype(dtype)
+        k_s = v_s = jnp.full((hk,), 0.05, jnp.float32)
+    seqlens = jnp.full((b,), smax, jnp.int32)
+    if fused:
+        kvp = jnp.concatenate([kp, vp], axis=-1)
+
+        def f(qd):
+            return flash_attention_decode(
+                qd, kvp, None, seqlens, block_table=table,
+                fused_kv_dim=d, fused_kv_dim_v=d,
+                k_scale=k_s, v_scale=v_s, causal=True,
+            )[0]
+    else:
+        def f(qd):
+            return flash_attention_decode(
+                qd, kp, vp, seqlens, block_table=table,
+                k_scale=k_s, v_scale=v_s, causal=True,
+            )[0]
+
+    sec = benchmark_forward(f, qd)
+    itemsize = 2 if dtype is None else jnp.dtype(dtype).itemsize
+    bytes_kv = 2 * b * hk * smax * d * itemsize
+    return bytes_kv / sec / 1e9, bytes_kv / itemsize / sec / 1e9  # GB/s, Gelem/s
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -104,6 +159,24 @@ def main(argv=None):
                 "smax": smax, "hk": hk, "d": d,
                 "cache_read_gbps": round(gbs, 1),
             }), flush=True)
+
+    paged_sweep = [(8, 4096, 2, 128)] if args.quick else [
+        (8, 4096, 2, 128), (8, 8192, 2, 128),
+    ]
+    for b, smax, hk, d in paged_sweep:
+        for dtype, name in ((None, "bf16"), (jnp.int8, "int8"),
+                            (FP8, "fp8_e4m3")):
+            for fused in ((False,) if args.quick else (False, True)):
+                gbs, gels = bench_quant_paged_decode(
+                    b, smax, hk, d, dtype, fused=fused
+                )
+                print(json.dumps({
+                    "bench": "quant_paged_decode", "dtype": name, "b": b,
+                    "smax": smax, "hk": hk, "d": d, "page": 128,
+                    "fused": fused, "permuted": True,
+                    "cache_read_gbps": round(gbs, 1),
+                    "gelem_per_s": round(gels, 1),
+                }), flush=True)
 
 
 if __name__ == "__main__":

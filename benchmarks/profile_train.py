@@ -40,15 +40,18 @@ def slope_time(make_run, make_state, lo=4, hi=12):
     for n in (lo, hi):
         run = make_run(n)
         st = make_state(jnp.int32(0))
-        jax.block_until_ready(run(*st, jnp.int32(0)))
+        loss, p_out, o_out = run(*st, jnp.int32(0))  # compile
+        jax.block_until_ready(loss)
+        del st, p_out, o_out  # one resident params/opt copy at a time
         best = float("inf")
         for t in range(3):
             st = make_state(jnp.int32(t + 1))
             jax.block_until_ready(st)
             t0 = time.perf_counter()
-            out = run(*st, jnp.int32(t + 1))
-            jax.block_until_ready(out[0])
+            loss, p_out, o_out = run(*st, jnp.int32(t + 1))
+            jax.block_until_ready(loss)
             best = min(best, time.perf_counter() - t0)
+            del st, p_out, o_out
         times[n] = best
     return (times[hi] - times[lo]) / (hi - lo)
 
@@ -166,12 +169,14 @@ def main(argv=None):
                            jnp.bfloat16)
 
     def mm_fwdbwd(x, w):
+        # Squared loss keeps the fwd matmul live in the grad (a linear
+        # sum's grad is x-independent and gets hoisted out of the chain).
         return jax.grad(
-            lambda x: (x @ w).astype(jnp.float32).sum()
+            lambda x: jnp.sum((x @ w).astype(jnp.float32) ** 2)
         )(x)
 
     mt = benchmark_forward(mm_fwdbwd, xa, wa)
-    mm_flops = 3 * 2 * b * s * config.n_embd * 4 * config.n_embd
+    mm_flops = 2 * 2 * b * s * config.n_embd * 4 * config.n_embd
     print(json.dumps({
         "row": "gemm_fwdbwd", "ms": round(mt * 1e3, 3),
         "tflops": round(mm_flops / mt / 1e12, 1),

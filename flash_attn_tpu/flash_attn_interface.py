@@ -900,6 +900,27 @@ def sparse_attn_func(
     BLOCK_M = BLOCK_N = 64."""
     del deterministic, return_attn_probs
 
+    # Crossover advisory (utils/sparse_crossover.py): below the measured
+    # boundary exact dense attention is FASTER — log when host-known
+    # metadata shows this call is on the losing side.
+    try:
+        import numpy as _np
+
+        import jax as _jax
+        from flash_attn_tpu.utils.sparse_crossover import warn_if_slow
+
+        _sk = k.shape[1] if layout == "bshd" else k.shape[2]
+        _sq = q.shape[1] if layout == "bshd" else q.shape[2]
+        _bc = _np.asarray(_jax.device_get(block_count), dtype=_np.int64)
+        _cc = _np.asarray(_jax.device_get(column_count), dtype=_np.int64)
+        _dens = float(
+            (_bc.sum() * 64 * 64 + _cc.sum() * 64)
+            / max(_bc.shape[0] * _bc.shape[1] * _sq * _sk, 1)
+        )
+        warn_if_slow(int(_sk), _dens)
+    except Exception:
+        pass  # traced metadata / logging disabled: no advisory
+
     if layout == "bshd":
         q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     else:

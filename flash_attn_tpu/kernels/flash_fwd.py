@@ -311,8 +311,10 @@ def _fwd_kernel(
 
         if softcap > 0.0:
             s_nat = jnp.tanh(s * (scale_dyn / softcap)) * softcap
-        else:
+        elif score_mod is not None:
             s_nat = s * scale_dyn
+        else:
+            s_nat = None  # fold scale into the LOG2E multiply below
         if score_mod is not None:
             # FA4-style programmable attention: a traced callable inlined
             # into the kernel at trace time (cute/interface.py:363-427
@@ -324,7 +326,13 @@ def _fwd_kernel(
             s_nat = call_mod(
                 score_mod, s_nat, b, h, sm_rows, sm_cols, aux=aux
             ).astype(jnp.float32)
-        s2 = s_nat * LOG2E
+        if s_nat is None:
+            # Fold scale and the base-2 conversion into ONE tile-wide
+            # multiply — Mosaic does no algebraic simplification, so
+            # (s*a)*b is two VPU passes over the full tile as written.
+            s2 = s * (scale_dyn * LOG2E)
+        else:
+            s2 = s_nat * LOG2E
 
         if has_alibi:
             slope2 = slopes_ref[b if alibi_batched else 0, h] * LOG2E

@@ -521,8 +521,10 @@ def _varlen_fwd_kernel(
             )
         if softcap > 0.0:
             s_nat = jnp.tanh(s * (scale / softcap)) * softcap
-        else:
+        elif score_mod is not None:
             s_nat = s * scale
+        else:
+            s_nat = None  # fold scale into the LOG2E multiply below
         if score_mod is not None:
             # FA4 varlen programmable attention (cute/interface.py:3015):
             # mods see per-SEQUENCE coordinates — b is the segment id of
@@ -536,7 +538,11 @@ def _varlen_fwd_kernel(
             s_nat = call_mod(
                 score_mod, s_nat, b_rows, h, sm_rows, sm_cols, aux=aux
             ).astype(jnp.float32)
-        s2 = s_nat * LOG2E
+        if s_nat is None:
+            # One fused multiply (Mosaic does no algebraic simplification).
+            s2 = s * (scale * LOG2E)
+        else:
+            s2 = s_nat * LOG2E
         if has_bias:
             # Packed-coordinate additive bias: bias[h, i, j] for packed
             # token coordinates i, j (the varlen layout of the reference

@@ -494,3 +494,18 @@ def test_legacy_blocksparse_dropout():
     assert jnp.array_equal(out1, out2)
     base = flash_blocksparse_attn_func(q, k, v, blockmask, dropout_p=0.0)
     assert not jnp.array_equal(out1, base)
+
+
+def test_sparse_crossover_routing_boundary():
+    """Pin the measured sparse-vs-dense routing boundary (VERDICT r3 #6;
+    benchmarks/SPARSE_CROSSOVER.md): sparse only wins at long context, low
+    density, slash-dominated patterns."""
+    from flash_attn_tpu.utils.sparse_crossover import should_use_sparse
+
+    assert should_use_sparse(8192, 0.04, 0.98)
+    assert should_use_sparse(4096, 0.048, 0.98)
+    assert should_use_sparse(16384, 0.028, 0.9)
+    assert not should_use_sparse(2048, 0.04, 0.98)   # short context
+    assert not should_use_sparse(8192, 0.10, 0.98)   # density 0.1 lost 0.39-0.6x
+    assert not should_use_sparse(8192, 0.30, 0.98)   # too dense
+    assert not should_use_sparse(8192, 0.04, 0.30)   # vertical-heavy lost 0.4x

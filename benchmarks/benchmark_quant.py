@@ -160,9 +160,9 @@ def main(argv=None):
                 "cache_read_gbps": round(gbs, 1),
             }), flush=True)
 
-    paged_sweep = [(8, 4096, 2, 128)] if args.quick else [
-        (8, 4096, 2, 128), (8, 8192, 2, 128),
-    ]
+    # One paged shape: each cell is a fresh kernel compile (~2-4 min via
+    # the remote tunnel) and the grid gives this script 1h total.
+    paged_sweep = [(8, 4096, 2, 128)]
     for b, smax, hk, d in paged_sweep:
         for dtype, name in ((None, "bf16"), (jnp.int8, "int8"),
                             (FP8, "fp8_e4m3")):

@@ -381,13 +381,6 @@ def _varlen_fwd_kernel(
     score_mod=None, mask_mod=None,
     num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     exact_worklist: bool = True,
-    cf_nkb: int = 0,
-    cf_cps: int = 1,
-    grid3: bool = False,
-    no_qmeta: bool = False,
-    arr4d: bool = False,
-    native: bool = False,
-    kv2blk: bool = False,
 ):
     # Worklist grid: one flat `t` dimension walks the exact list of visible
     # (q block, kv block) tiles (build_worklist) — zero predicated-off grid
@@ -399,19 +392,11 @@ def _varlen_fwd_kernel(
     has_kmeta = score_mod is not None or mask_mod is not None
     idx = 0
     q_ref = refs[idx]; idx += 1
-    if native or kv2blk:
-        k_ref = refs[idx]; idx += 1
-        v_ref = refs[idx]; idx += 1
-        kv_ref = None
-    else:
-        kv_ref = refs[idx]; idx += 1
+    kv_ref = refs[idx]; idx += 1
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1
-    if no_qmeta:
-        qmeta_ref = None
-    else:
-        qmeta_ref = refs[idx]; idx += 1
+    qmeta_ref = refs[idx]; idx += 1
     kmeta_ref = None
     if has_kmeta:
         kmeta_ref = refs[idx]; idx += 1
@@ -435,38 +420,17 @@ def _varlen_fwd_kernel(
     acc_scr = refs[idx]; idx += 1
 
     h = pl.program_id(0)
-    if grid3:
-        # 3D chain grid (experiment): chains x steps like the dense kernel.
-        qi = pl.program_id(1)
-        j = pl.program_id(2)
-        t = qi * cf_nkb + j
-        ki = (qi // cf_cps) * cf_nkb + j
-        fl = jnp.int32(_WL_INTERIOR)
-        start = j == 0
-        is_end = j == cf_nkb - 1
-    elif cf_nkb > 0:
-        # Closed-form uniform grid (experiment): no scalar-table reads.
-        # cf_nkb = per-chain span; cf_cps = chains per sequence.
-        t = pl.program_id(1)
-        qi = t // cf_nkb
-        j = t % cf_nkb
-        ki = (qi // cf_cps) * cf_nkb + j
-        fl = jnp.int32(_WL_INTERIOR)
-        start = j == 0
-        is_end = j == cf_nkb - 1
-    else:
-        t = pl.program_id(1)
-        qi = qtab_ref[t]
-        ki = ktab_ref[t]
-        fl = flags_ref[t]
-        is_end = None
+    t = pl.program_id(1)
+    qi = qtab_ref[t]
+    ki = ktab_ref[t]
+    fl = flags_ref[t]
     # Chain start is folded into the compute step (write-through): instead
     # of a separate zero-init region, the scalar `start` predicate gates the
     # previous chain's stale accumulators out of the online-softmax update —
     # no VMEM fills, no extra predicated region, shorter chain-boundary
-    # pipeline bubble.
-    if cf_nkb == 0:
-        start = jnp.bitwise_and(fl, _WL_START) != 0
+    # pipeline bubble. (Table-driven index derivation measured IDENTICAL to
+    # closed-form and 3D chain grids — PROFILE_VARLEN.md round 4.)
+    start = jnp.bitwise_and(fl, _WL_START) != 0
 
     if exact_worklist:
         should_run = jnp.bool_(True)
@@ -494,22 +458,9 @@ def _varlen_fwd_kernel(
         aux = None
 
     def _compute(with_mask: bool):
-        if kv2blk:
-            q = q_ref[0]
-            k = k_ref[0]   # (bkv, d) clean lane-blocked view
-            v = v_ref[0]
-        elif native:
-            q = q_ref[:, 0, :]  # (bq, d) from a (bq, 1, d) native block
-            k = k_ref[:, 0, :]
-            v = v_ref[:, 0, :]
-        elif arr4d:
-            q = q_ref[0, 0]  # (bq, d)
-            k = kv_ref[0, 0][:, :d_pad]
-            v = kv_ref[0, 0][:, d_pad:]
-        else:
-            q = q_ref[0]  # (bq, d)
-            k = kv_ref[0][:, :d_pad]
-            v = kv_ref[0][:, d_pad:]
+        q = q_ref[0]  # (bq, d)
+        k = kv_ref[0][:, :d_pad]
+        v = kv_ref[0][:, d_pad:]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -634,8 +585,7 @@ def _varlen_fwd_kernel(
         def _body_edge():
             _compute(with_mask=True)
 
-    @pl.when(is_end if cf_nkb > 0
-             else jnp.bitwise_and(fl, _WL_END) != 0)
+    @pl.when(jnp.bitwise_and(fl, _WL_END) != 0)
     def _finalize():
         m = m_scr[...][:, 0:1]
         l = l_scr[...][:, 0:1]
@@ -652,15 +602,8 @@ def _varlen_fwd_kernel(
             -jnp.inf,
             (m + jnp.log2(jnp.maximum(l, 1e-37))) / LOG2E,
         )
-        if native:
-            o_ref[:, 0, :] = o_val
-            lse_ref[:, 0, :] = lse_val
-        elif arr4d:
-            o_ref[0, 0] = o_val
-            lse_ref[0, 0] = lse_val
-        else:
-            o_ref[0] = o_val
-            lse_ref[0] = lse_val
+        o_ref[0] = o_val
+        lse_ref[0] = lse_val
 
 
 def _varlen_recompute(
@@ -1088,38 +1031,18 @@ def flash_attention_varlen_fwd(
 
     import os as _os
 
-    native = (
-        _os.environ.get("FA_VARLEN_NATIVE", "0") == "1"
-        and not has_qv
+    qp = _prep_packed(q, block_q, d_pad)
+    # K|V fused along lanes: one per-step DMA + one dynamic index map
+    # instead of two (K at [:, :d_pad], V at [:, d_pad:]). Split operands,
+    # two lane-blocked views of one fused array, a 4D blocked layout, and
+    # Mosaic-rejected native (total, h, d) strided blocks all measured
+    # equal-or-worse — PROFILE_VARLEN.md round 4. The transpose/concat prep
+    # here is the structural price of the packed (total, h, d) API on TPU.
+    kvp = jnp.concatenate(
+        [_prep_packed(k, block_kv, d_pad),
+         _prep_packed(v, block_kv, dv_pad)],
+        axis=-1,
     )
-    if _os.environ.get("FA_VARLEN_PRETRANSPOSED", "0") == "1":
-        # Benchmark-only: inputs are ALREADY (h, total, d) — isolates the
-        # kernel time from the packed-layout transpose/concat prep.
-        native = False
-        qp = pad_to_block(pad_to_block(q, 2, d_pad), 1, block_q)
-        kvp = jnp.concatenate(
-            [pad_to_block(pad_to_block(k, 2, d_pad), 1, block_kv),
-             pad_to_block(pad_to_block(v, 2, dv_pad), 1, block_kv)],
-            axis=-1,
-        )
-    elif native:
-        # Native-layout experiment: the kernel reads (total, h, d) packed
-        # arrays DIRECTLY via (block, 1, d) strided blocks — zero
-        # transpose/concat prep passes, packed outputs written in place.
-        qp = pad_to_block(pad_to_block(q, 2, d_pad), 0, block_q)
-        knp = pad_to_block(pad_to_block(k, 2, d_pad), 0, block_kv)
-        vnp = pad_to_block(pad_to_block(v, 2, dv_pad), 0, block_kv)
-        kvp = None
-    else:
-        qp = _prep_packed(q, block_q, d_pad)
-        # K|V fused along lanes: one per-step DMA + one dynamic index map
-        # instead of two (K at [:, :d_pad], V at [:, d_pad:]). Split
-        # operands measured slightly SLOWER on v5e (PROFILE_VARLEN.md r4).
-        kvp = jnp.concatenate(
-            [_prep_packed(k, block_kv, d_pad),
-             _prep_packed(v, block_kv, dv_pad)],
-            axis=-1,
-        )
     # Per-token metadata rides as (tqp, 6) q-side columns
     # [seg|pos_adj|pos_raw|lo|hi|diag], fetched once per chain — element
     # masking needs NO k-side metadata (two compares against lo/hi).
@@ -1135,142 +1058,16 @@ def flash_attention_varlen_fwd(
     qtab, ktab, flags, n_steps, exact = build_worklist(
         kvmin, kvmax, interior, nqb, nkb
     )
-    # Experiment: closed-form grids for uniform-aligned packings. The
-    # worklist must be affine: every chain has the same span S and chain c
-    # starts at kv block (c // cps) * S (cps = chains per sequence).
-    cf_nkb, cf_cps, grid3 = 0, 1, False
-    if (_os.environ.get("FA_VARLEN_CLOSED_FORM", "0") == "1" and exact):
-        mn = np.asarray(jax.device_get(kvmin))
-        mx = np.asarray(jax.device_get(kvmax))
-        spans = mx - mn + 1
-        if len(set(spans.tolist())) == 1:
-            S = int(spans[0])
-            uniq = np.unique(mn)
-            if nqb % len(uniq) == 0:
-                cps = nqb // len(uniq)
-                if (np.array_equal(mn, np.repeat(uniq, cps))
-                        and np.array_equal(
-                            uniq, np.arange(len(uniq)) * S)):
-                    cf_nkb, cf_cps = S, cps
-                    grid3 = (
-                        _os.environ.get("FA_VARLEN_GRID3", "0") == "1"
-                    )
-    no_prefetch = (
-        cf_nkb > 0
-        and _os.environ.get("FA_VARLEN_NO_PREFETCH", "0") == "1"
-        and not has_mods and not has_qv
-    )
-    # Experiment: drop the qmeta operand (only legal when nothing reads it —
-    # cf interior mode).
-    no_qmeta = (
-        cf_nkb > 0
-        and _os.environ.get("FA_VARLEN_NO_QMETA", "0") == "1"
-        and _os.environ.get("FA_VARLEN_FORCE_BODY", "") == "interior"
-    )
-
-    arr4d = (
-        grid3 and no_qmeta
-        and _os.environ.get("FA_VARLEN_ARR4D", "0") == "1"
-    )
-    kv2blk = (
-        _os.environ.get("FA_VARLEN_KV2BLK", "0") == "1"
-        and d_pad == dv_pad and not native
-    )
-    if kv2blk:
-        # Two lane-blocked views into the SAME fused array: K = lane block
-        # 0, V = lane block 1 — two clean (bkv, d) VMEM operands, one HBM
-        # buffer, no in-kernel slicing.
-        in_specs = [
-            pl.BlockSpec((1, block_q, d_pad),
-                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
-            pl.BlockSpec(
-                (1, block_kv, d_pad),
-                lambda h, t, qt, kt, fl: (h // group_size, kt[t], 0),
-            ),
-            pl.BlockSpec(
-                (1, block_kv, d_pad),
-                lambda h, t, qt, kt, fl: (h // group_size, kt[t], 1),
-            ),
-            pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
-        ]
-        args = [qp, kvp, kvp, qmeta]
-    elif native:
-        in_specs = [
-            pl.BlockSpec((block_q, 1, d_pad),
-                         lambda h, t, qt, kt, fl: (qt[t], h, 0)),
-            pl.BlockSpec(
-                (block_kv, 1, d_pad),
-                lambda h, t, qt, kt, fl: (kt[t], h // group_size, 0),
-            ),
-            pl.BlockSpec(
-                (block_kv, 1, dv_pad),
-                lambda h, t, qt, kt, fl: (kt[t], h // group_size, 0),
-            ),
-            pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
-        ]
-        args = [qp, knp, vnp, qmeta]
-    elif grid3:
-        if arr4d:
-            # Blocked 4D layout experiment: blocks are whole array slices.
-            q4 = qp.reshape(qp.shape[0], nqb, block_q, d_pad)
-            kv4 = kvp.reshape(kvp.shape[0], nkb, block_kv, d_pad + dv_pad)
-            in_specs = [
-                pl.BlockSpec((1, 1, block_q, d_pad),
-                             lambda h, c, j, *a: (h, c, 0, 0)),
-                pl.BlockSpec(
-                    (1, 1, block_kv, d_pad + dv_pad),
-                    lambda h, c, j, *a: (
-                        h // group_size, (c // cf_cps) * cf_nkb + j, 0, 0
-                    ),
-                ),
-            ]
-            args = [q4, kv4]
-        else:
-            in_specs = [
-                pl.BlockSpec((1, block_q, d_pad),
-                             lambda h, c, j, *a: (h, c, 0)),
-                pl.BlockSpec(
-                    (1, block_kv, d_pad + dv_pad),
-                    lambda h, c, j, *a: (
-                        h // group_size, (c // cf_cps) * cf_nkb + j, 0
-                    ),
-                ),
-            ]
-            args = [qp, kvp]
-        if not no_qmeta:
-            in_specs.append(
-                pl.BlockSpec((block_q, 6), lambda h, c, j, *a: (c, 0))
-            )
-            args.append(qmeta)
-    elif cf_nkb:
-        in_specs = [
-            pl.BlockSpec((1, block_q, d_pad),
-                         lambda h, t, *a: (h, t // cf_nkb, 0)),
-            pl.BlockSpec(
-                (1, block_kv, d_pad + dv_pad),
-                lambda h, t, *a: (
-                    h // group_size,
-                    (t // cf_nkb // cf_cps) * cf_nkb + t % cf_nkb, 0
-                ),
-            ),
-        ]
-        args = [qp, kvp]
-        if not no_qmeta:
-            in_specs.append(
-                pl.BlockSpec((block_q, 6), lambda h, t, *a: (t // cf_nkb, 0))
-            )
-            args.append(qmeta)
-    else:
-        in_specs = [
-            pl.BlockSpec((1, block_q, d_pad),
-                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
-            pl.BlockSpec(
-                (1, block_kv, d_pad + dv_pad),
-                lambda h, t, qt, kt, fl: (h // group_size, kt[t], 0),
-            ),
-            pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
-        ]
-        args = [qp, kvp, qmeta]
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad),
+                     lambda h, t, qt, kt, fl: (h, qt[t], 0)),
+        pl.BlockSpec(
+            (1, block_kv, d_pad + dv_pad),
+            lambda h, t, qt, kt, fl: (h // group_size, kt[t], 0),
+        ),
+        pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
+    ]
+    args = [qp, kvp, qmeta]
     if has_mods:
         in_specs.append(pl.BlockSpec(
             (2, block_kv), lambda h, t, qt, kt, fl: (0, kt[t])
@@ -1361,55 +1158,18 @@ def flash_attention_varlen_fwd(
         num_aux=len(aux_tensors), aux_shapes=aux_shapes,
         num_aux_scalars=len(aux_scalars),
         exact_worklist=exact,
-        cf_nkb=cf_nkb,
-        cf_cps=cf_cps,
-        grid3=grid3,
-        no_qmeta=no_qmeta,
-        arr4d=arr4d,
-        native=native,
-        kv2blk=kv2blk,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_heads, nqb, cf_nkb) if grid3 else (num_heads, n_steps),
+        grid=(num_heads, n_steps),
         in_specs=in_specs,
-        out_specs=(
-            [
-                pl.BlockSpec((block_q, 1, dv_pad),
-                             lambda h, t, *a: (a[0][t], h, 0)),
-                pl.BlockSpec((block_q, 1, 1),
-                             lambda h, t, *a: (a[0][t], h, 0)),
-            ]
-            if native
-            else [
-                pl.BlockSpec((1, 1, block_q, dv_pad),
-                             lambda h, c, j, *a: (h, c, 0, 0)),
-                pl.BlockSpec((1, 1, block_q, 1),
-                             lambda h, c, j, *a: (h, c, 0, 0)),
-            ]
-            if arr4d
-            else [
-                pl.BlockSpec((1, block_q, dv_pad),
-                             lambda h, c, j, *a: (h, c, 0)),
-                pl.BlockSpec((1, block_q, 1),
-                             lambda h, c, j, *a: (h, c, 0)),
-            ]
-            if grid3
-            else [
-                pl.BlockSpec((1, block_q, dv_pad),
-                             lambda h, t, *a: (h, t // cf_nkb, 0)),
-                pl.BlockSpec((1, block_q, 1),
-                             lambda h, t, *a: (h, t // cf_nkb, 0)),
-            ]
-            if cf_nkb
-            else [
-                pl.BlockSpec((1, block_q, dv_pad),
-                             lambda h, t, qt, kt, fl: (h, qt[t], 0)),
-                pl.BlockSpec((1, block_q, 1),
-                             lambda h, t, qt, kt, fl: (h, qt[t], 0)),
-            ]
-        ),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dv_pad),
+                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda h, t, qt, kt, fl: (h, qt[t], 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -1419,76 +1179,25 @@ def flash_attention_varlen_fwd(
 
     cost = pl.CostEstimate(
         flops=4 * block_q * block_kv * (d_pad + dv_pad) * num_heads * n_steps,
-        bytes_accessed=(qp.size + (kvp.size if kvp is not None else 0))
-        * 2,
+        bytes_accessed=(qp.size + kvp.size) * 2,
         transcendentals=block_q * block_kv * num_heads * n_steps,
     )
-    if no_prefetch:
-        # Experiment: identical kernel on a PLAIN grid (no scalar-prefetch
-        # machinery) — isolates PrefetchScalarGridSpec's pipeline cost.
-        out, lse = pl.pallas_call(
-            functools.partial(kernel, None, None, None),
-            grid=(num_heads, n_steps),
-            in_specs=grid_spec.in_specs,
-            out_specs=grid_spec.out_specs,
-            scratch_shapes=grid_spec.scratch_shapes,
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (num_heads, nqb * block_q, dv_pad), out_dtype),
-                jax.ShapeDtypeStruct(
-                    (num_heads, nqb * block_q, 1), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-            ),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(*args)
-    else:
-        out, lse = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(
-                [
-                    jax.ShapeDtypeStruct(
-                        (nqb * block_q, num_heads, dv_pad), out_dtype),
-                    jax.ShapeDtypeStruct(
-                        (nqb * block_q, num_heads, 1), jnp.float32),
-                ]
-                if native
-                else [
-                    jax.ShapeDtypeStruct(
-                        (num_heads, nqb, block_q, dv_pad), out_dtype),
-                    jax.ShapeDtypeStruct(
-                        (num_heads, nqb, block_q, 1), jnp.float32),
-                ]
-                if arr4d
-                else [
-                    jax.ShapeDtypeStruct(
-                        (num_heads, nqb * block_q, dv_pad), out_dtype),
-                    jax.ShapeDtypeStruct(
-                        (num_heads, nqb * block_q, 1), jnp.float32),
-                ]
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=(
-                    ("parallel", "parallel", "arbitrary")
-                    if grid3 else ("parallel", "arbitrary")
-                ),
-            ),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qtab, ktab, flags, *args)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (num_heads, nqb * block_q, dv_pad), out_dtype),
+            jax.ShapeDtypeStruct(
+                (num_heads, nqb * block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qtab, ktab, flags, *args)
 
-    if native:
-        # Outputs are already packed (total, h, d) — no untranspose pass.
-        return (
-            out[:total_q, :, :head_dim_v],
-            lse[:total_q, :, 0].T,
-        )
-    if arr4d:
-        out = out.reshape(num_heads, nqb * block_q, dv_pad)
-        lse = lse.reshape(num_heads, nqb * block_q, 1)
     out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
     return out, lse

@@ -124,7 +124,9 @@ def bench_quant_paged_decode(b, smax, hk, d, dtype, page=128,
                 k_scale=k_s, v_scale=v_s, causal=True,
             )[0]
 
-    sec = benchmark_forward(f, qd)
+    # ~100us/call: long chains defeat the tunnel's dedup/early-return
+    # artifact (short chains measured NaN/garbage slopes here).
+    sec = benchmark_forward(f, qd, iters_lo=32, iters_hi=128)
     itemsize = 2 if dtype is None else jnp.dtype(dtype).itemsize
     bytes_kv = 2 * b * hk * smax * d * itemsize
     return bytes_kv / sec / 1e9, bytes_kv / itemsize / sec / 1e9  # GB/s, Gelem/s

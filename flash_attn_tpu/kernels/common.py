@@ -333,6 +333,33 @@ def make_causal_window_bounds(
     return min_kv_block, max_kv_block
 
 
+def upcast_e4m3_bits(x):
+    """Integer-domain e4m3 -> bf16 dequant (exact incl. subnormals; the
+    one non-value bit pattern, NaN 0x7F, decodes to 480 — garbage-in
+    garbage-out for a KV cache).
+
+    Why: Mosaic's fp8->f32->bf16 convert chain collapses to ~66 Gelem/s
+    inside the multipage DMA-pipeline loop (measured round 4) — far below
+    the int8 convert class (~363). A normal e4m3 is
+    (-1)^s * 2^(e-7) * (1 + m/8) with bits s.eeee.mmm; the f32 encoding of
+    the same value is sign<<31 | (e+120)<<23 | m<<20, i.e. ONE widening
+    shift + ONE bias add in int32, then a free bitcast. Subnormals
+    (e == 0) are m/8 * 2^-6 = m * 2^-9, built with one int->f32 convert.
+    """
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    sign = (b & 0x80) << 24
+    expman = b & 0x7F
+    f32_bits = sign | ((expman << 20) + (120 << 23))
+    sub = expman < 8  # e == 0: +-0 and subnormals
+    sub_val = jax.lax.bitcast_convert_type(
+        (expman.astype(jnp.float32) * (2.0 ** -9)), jnp.uint32
+    ).astype(jnp.int32) | sign
+    f32_bits = jnp.where(sub, sub_val, f32_bits)
+    return jax.lax.bitcast_convert_type(
+        f32_bits.astype(jnp.uint32), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
 def upcast_quant_tile(x):
     """bf16 view of a quantized (int8/fp8) VMEM tile, for the PV operand or
     score matmuls that need >=16-bit inputs.

@@ -238,11 +238,22 @@ def _mp_decode_kernel(
                 v = vbuf[slot, :, h].reshape(sup, vbuf.shape[-1])  # (sup, d_v)
             if quant:
                 # Upcast AFTER the half-size DMA; descales fold into
-                # scalars (K into the softmax scale, V at finalize).
-                from flash_attn_tpu.kernels.common import upcast_quant_tile
+                # scalars (K into the softmax scale, V at finalize). fp8
+                # uses the integer-domain bit dequant — engine pools are
+                # written subnormal-flushed (quantize_to_cache_dtype), and
+                # Mosaic's f32-route fp8 convert measured 66 Gelem/s in
+                # this loop vs int8's ~363 class.
+                from flash_attn_tpu.kernels.common import (
+                    upcast_e4m3_bits,
+                    upcast_quant_tile,
+                )
 
-                k = upcast_quant_tile(k)
-                v = upcast_quant_tile(v)
+                if k.dtype == jnp.float8_e4m3fn:
+                    k = upcast_e4m3_bits(k)
+                    v = upcast_e4m3_bits(v)
+                else:
+                    k = upcast_quant_tile(k)
+                    v = upcast_quant_tile(v)
             q = q_ref[0, h]  # (rows, d)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),

@@ -19,8 +19,9 @@ g.dryrun_multichip(8)
 
 echo "== compiled-TPU gate (skipped if no TPU; CI_TPU=0 to force-skip) =="
 # The CPU suite proves interpreter semantics; this gate proves the
-# Mosaic-COMPILED kernels (the 103-test compiled matrix) plus determinism
-# stress at the reference's 250 reruns (tests/test_flash_attn.py:2199).
+# Mosaic-COMPILED kernels (the 138-test compiled matrix incl. varlen and
+# paged-quant) plus determinism stress at the reference's 250 reruns
+# (tests/test_flash_attn.py:2199).
 if [ "${CI_TPU:-1}" != "0" ] && python -c "
 import jax, sys; sys.exit(0 if jax.default_backend() == 'tpu' else 1)
 " 2>/dev/null; then
@@ -29,7 +30,8 @@ import jax, sys; sys.exit(0 if jax.default_backend() == 'tpu' else 1)
     python -m pytest \
         tests/test_flash_attn.py tests/test_kvcache.py \
         tests/test_headdim_v.py tests/test_sparse_and_mods.py \
-        tests/test_quant.py tests/test_determinism_stress.py \
+        tests/test_quant.py tests/test_varlen.py \
+        tests/test_determinism_stress.py \
         -q -x
 else
     echo "no TPU attached (or CI_TPU=0); compiled gate skipped"

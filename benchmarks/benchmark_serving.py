@@ -43,7 +43,7 @@ def build_model(n_embd=256, n_layer=4, n_head=8, vocab=512):
 
 def run_engine(model, params, prompts, max_new, *, decode_depth=1,
                prefix_caching=False, speculative_k=0, draft=None,
-               repeats=1):
+               repeats=1, kv_cache_dtype=None, kv_cache_scale=1.0):
     from flash_attn_tpu.runtime.engine import EngineConfig, LLMEngine
 
     engine = LLMEngine(model, params, EngineConfig(
@@ -51,6 +51,7 @@ def run_engine(model, params, prompts, max_new, *, decode_depth=1,
         max_pages_per_seq=32, prefill_chunk=256, max_seqlen=2048,
         decode_depth=decode_depth, enable_prefix_caching=prefix_caching,
         speculative_k=speculative_k,
+        kv_cache_dtype=kv_cache_dtype, kv_cache_scale=kv_cache_scale,
     ), draft_model=draft[0] if draft else None,
        draft_params=draft[1] if draft else None)
     # Warm-up wave compiles prefill + decode programs (and, with caching,
@@ -109,6 +110,23 @@ def main(argv=None):
         }
         if pc:
             row["prefix_hits"] = engine.prefix_cache.hits
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # Quantized-KV serving (EngineConfig.kv_cache_dtype): same waves on
+    # 1-byte page pools — 2x KV capacity; tokens/s tracks bf16 when the
+    # model is small enough that cache bandwidth isn't the bound.
+    for kvd, scale in (("int8", 0.05), ("fp8", 1.0)):
+        tps, engine = run_engine(
+            model, params, prompts, args.max_new,
+            decode_depth=4, kv_cache_dtype=kvd, kv_cache_scale=scale,
+        )
+        row = {
+            "bench": "serving_engine", "decode_depth": 4,
+            "kv_cache_dtype": kvd, "tokens_per_s": round(tps, 1),
+            "nprompts": args.nprompts, "prompt_len": args.prompt_len,
+            "max_new": args.max_new, "backend": jax.default_backend(),
+        }
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -38,10 +38,13 @@ def make_packed(nseq, mean_len, h, d, seed=0):
 
 def bench_varlen(nseq, mean_len, h, d, causal=True):
     q, k, v, cu, lens = make_packed(nseq, mean_len, h, d)
+    # Same mean-keyed tile default as the public API
+    # (flash_attn_interface._varlen_default_tiles).
+    bq, bkv = (1024, 512) if mean_len > 2048 else (512, 1024)
 
     def f(q, k, v):
         return flash_attention_varlen_fwd(
-            q, k, v, cu, cu, causal=causal,
+            q, k, v, cu, cu, causal=causal, block_q=bq, block_kv=bkv,
         )[0]
 
     sec = benchmark_forward(f, q, k, v)

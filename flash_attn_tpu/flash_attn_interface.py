@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -912,24 +913,28 @@ def sparse_attn_func(
 
     # Crossover advisory (utils/sparse_crossover.py): below the measured
     # boundary exact dense attention is FASTER — log when host-known
-    # metadata shows this call is on the losing side.
-    try:
-        import numpy as _np
+    # metadata shows this call is on the losing side. Gated on the logger
+    # being enabled so the silent case never pays a blocking device_get.
+    from flash_attn_tpu.utils.fa_logging import get_logger
 
-        import jax as _jax
-        from flash_attn_tpu.utils.sparse_crossover import warn_if_slow
+    if get_logger().isEnabledFor(logging.INFO):
+        try:
+            import numpy as _np
 
-        _sk = k.shape[1] if layout == "bshd" else k.shape[2]
-        _sq = q.shape[1] if layout == "bshd" else q.shape[2]
-        _bc = _np.asarray(_jax.device_get(block_count), dtype=_np.int64)
-        _cc = _np.asarray(_jax.device_get(column_count), dtype=_np.int64)
-        _dens = float(
-            (_bc.sum() * 64 * 64 + _cc.sum() * 64)
-            / max(_bc.shape[0] * _bc.shape[1] * _sq * _sk, 1)
-        )
-        warn_if_slow(int(_sk), _dens)
-    except Exception:
-        pass  # traced metadata / logging disabled: no advisory
+            import jax as _jax
+            from flash_attn_tpu.utils.sparse_crossover import warn_if_slow
+
+            _sk = k.shape[1] if layout == "bshd" else k.shape[2]
+            _sq = q.shape[1] if layout == "bshd" else q.shape[2]
+            _bc = _np.asarray(_jax.device_get(block_count), dtype=_np.int64)
+            _cc = _np.asarray(_jax.device_get(column_count), dtype=_np.int64)
+            _dens = float(
+                (_bc.sum() * 64 * 64 + _cc.sum() * 64)
+                / max(_bc.shape[0] * _bc.shape[1] * _sq * _sk, 1)
+            )
+            warn_if_slow(int(_sk), _dens)
+        except Exception:
+            pass  # traced metadata: no advisory
 
     if layout == "bshd":
         q_, k_, v_ = (x.transpose(0, 2, 1, 3) for x in (q, k, v))

@@ -345,6 +345,15 @@ def flash_attention_decode(
         assert cache_leftpad is None and cache_batch_idx is None
         assert sink_token_length == 0 and attention_chunk == 0
         assert not (k_cache.dtype.itemsize == 1 and qv is not None)
+        if k_cache.dtype.itemsize >= 2 and (
+            k_scale is not None or v_scale is not None
+        ):
+            raise ValueError(
+                "k_scale/v_scale descales are the quantized-pool contract: "
+                "a fused K|V pool only carries them when its elements are "
+                "1-byte (int8/fp8). For a bf16/fp16 fused pool pass no "
+                "descales (fold them into softmax_scale instead)."
+            )
         from flash_attn_tpu.kernels.flash_decode_multipage import (
             flash_attention_decode_multipage,
         )

@@ -501,11 +501,10 @@ def _varlen_fwd_kernel(
             s2 = s2 + bias_ref[0].astype(jnp.float32) * LOG2E
 
         if with_mask:
-            # Two-op interval mask: (col - lo) <u span. Masked elements get
-            # the finite _MASK2 score; exp2(_MASK2 - m) underflows to
-            # exactly 0 whenever the row has any visible element, so no
-            # second where on p is needed — fully-empty rows are detected
-            # at finalize via m == _MASK2.
+            # Masked elements get the finite _MASK2 score; exp2(_MASK2 - m)
+            # underflows to exactly 0 whenever the row has any visible
+            # element, so no second where on p is needed — fully-empty rows
+            # are detected at finalize via m == _MASK2.
             # Interval mask: two SIGNED compares. (A uint32 sub+compare
             # "one-op" trick measured 17% SLOWER per masked step on v5e —
             # the unsigned compare + dtype converts lower worse than

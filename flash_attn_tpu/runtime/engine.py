@@ -144,7 +144,12 @@ class LLMEngine:
             d = (mc.head_dim if mc.head_dim is not None
                  else mc.n_embd // mc.n_head)
             qdtype = _quant_dtype()
+            dv = getattr(mc, "v_head_dim", None)
             if qdtype is not None:
+                # Eligibility is checked HERE, loudly — quantized pools are
+                # only readable by the multipage decode kernel, and a
+                # feature it excludes would otherwise surface as a bare
+                # AssertionError deep in dispatch (ADVICE r4).
                 if getattr(mc, "attn_type", "mha") == "mla":
                     raise ValueError(
                         "kv_cache_dtype is not supported with MLA latent "
@@ -154,6 +159,11 @@ class LLMEngine:
                     raise ValueError(
                         "kv_cache_dtype requires the multipage decode "
                         "kernel, which excludes ALiBi"
+                    )
+                if dv is not None and dv != d:
+                    raise ValueError(
+                        "kv_cache_dtype with v_head_dim != head_dim is not "
+                        "supported (non-MLA serving assumes square heads)"
                     )
                 fused = config.fused_kv_pages
                 if fused is None:

@@ -180,6 +180,17 @@ def flash_attn_varlen_func(
     if use_varlen_paged:
         import numpy as np
 
+        # The gather plan needs host-concrete per-sequence lengths; under
+        # jit with traced seqused_k a full-block-table fallback would
+        # materialize nseq*max_pages*page tokens of K/V per call (the
+        # memory blowup this path exists to avoid), so traced-length calls
+        # route to the padded decode path below instead (ADVICE r4).
+        try:
+            used_host = np.asarray(jax.device_get(seqused_k))
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            use_varlen_paged = False
+    if use_varlen_paged:
         from flash_attn_tpu.kernels.flash_varlen import (
             flash_attention_varlen_fwd,
         )
@@ -187,23 +198,15 @@ def flash_attn_varlen_func(
 
         npages_pool, page, hk, _ = k.shape
         table = jnp.asarray(block_table, jnp.int32)
-        maxp = table.shape[1]
-        try:
-            used_host = np.asarray(jax.device_get(seqused_k))
-            pages_per_seq = [
-                max(1, int(-(-int(u) // page))) for u in used_host
-            ]
-            pages_in_order = jnp.concatenate(
-                [table[j, : pages_per_seq[j]] for j in range(nseq)]
-            )
-            cu_k_pad = np.concatenate(
-                [[0], np.cumsum([p * page for p in pages_per_seq])]
-            ).astype(np.int32)
-        except (jax.errors.ConcretizationTypeError,
-                jax.errors.TracerArrayConversionError):
-            # Traced lengths: static full-table layout (masked tails).
-            pages_in_order = table.reshape(-1)
-            cu_k_pad = (np.arange(nseq + 1) * maxp * page).astype(np.int32)
+        pages_per_seq = [
+            max(1, int(-(-int(u) // page))) for u in used_host
+        ]
+        pages_in_order = jnp.concatenate(
+            [table[j, : pages_per_seq[j]] for j in range(nseq)]
+        )
+        cu_k_pad = np.concatenate(
+            [[0], np.cumsum([p * page for p in pages_per_seq])]
+        ).astype(np.int32)
         pages_in_order = jnp.clip(pages_in_order, 0, npages_pool - 1)
         k_packed = k[pages_in_order].reshape(-1, hk, k.shape[3])
         v_packed = v[pages_in_order].reshape(-1, hk, v.shape[3])

@@ -19,8 +19,14 @@ from flash_attn_tpu.flash_attn_interface import (
     flash_attn_with_kvcache,
     sparse_attn_func,
 )
+from flash_attn_tpu.kernels.block_sparsity import (
+    BlockSparseTensors,
+    compute_block_sparsity,
+)
 
 __all__ = [
+    "BlockSparseTensors",
+    "compute_block_sparsity",
     "compile_flash_attn_varlen_func_from_specs",
     "flash_attn_combine",
     "flash_attn_func",

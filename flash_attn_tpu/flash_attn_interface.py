@@ -40,6 +40,24 @@ __all__ = [
 ]
 
 
+class _StaticPlan:
+    """Identity-hashed host-side block-sparsity plan (the jit cache keys on
+    object identity: reuse one plan object across layers/steps for cache
+    hits — matching the reference's build-once amortization,
+    cute/compute_block_sparsity.py:334)."""
+
+    __slots__ = ("bst",)
+
+    def __init__(self, bst):
+        self.bst = bst
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 @dataclasses.dataclass(frozen=True)
 class _Config:
     softmax_scale: Optional[float]
@@ -57,6 +75,7 @@ class _Config:
     num_aux_scalars: int
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
+    block_sparse: Optional[_StaticPlan] = None
 
 
 def _zero_cotangent(x):
@@ -84,6 +103,22 @@ def _aux_from(tensors, config):
 
 def _core_fwd(tensors, config):
     aux_tensors, aux_scalars = _aux_from(tensors, config)
+    if config.block_sparse is not None:
+        from flash_attn_tpu.kernels.block_sparsity import (
+            flash_attention_blocksparse_fwd,
+        )
+
+        return flash_attention_blocksparse_fwd(
+            tensors["q"], tensors["k"], tensors["v"],
+            config.block_sparse.bst,
+            mask_mod=config.mask_mod,
+            score_mod=config.score_mod,
+            aux_tensors=aux_tensors,
+            aux_scalars=aux_scalars,
+            softmax_scale=config.softmax_scale,
+            softcap=config.softcap,
+            interpret=config.interpret,
+        )
     return flash_attention_fwd(
         tensors["q"], tensors["k"], tensors["v"],
         qv=tensors.get("qv"),
@@ -126,6 +161,33 @@ def _core_bwd_vjp(config, residuals, cotangents):
             " — matches the reference (FP8 is forward-only)"
         )
     aux_tensors, aux_scalars = _aux_from(tensors, config)
+    if config.block_sparse is not None:
+        from flash_attn_tpu.kernels.block_sparsity import (
+            flash_attention_blocksparse_bwd,
+        )
+
+        dq, dk, dv = flash_attention_blocksparse_bwd(
+            tensors["q"], tensors["k"], tensors["v"], out, lse, do,
+            config.block_sparse.bst,
+            mask_mod=config.mask_mod,
+            score_mod=config.score_mod,
+            aux_tensors=aux_tensors,
+            aux_scalars=aux_scalars,
+            softmax_scale=config.softmax_scale,
+            softcap=config.softcap,
+            interpret=config.interpret,
+        )
+        grads = {}
+        for name, val in tensors.items():
+            if name == "q":
+                grads[name] = dq
+            elif name == "k":
+                grads[name] = dk
+            elif name == "v":
+                grads[name] = dv
+            else:
+                grads[name] = _zero_cotangent(val)
+        return (grads,)
     res = flash_attention_bwd(
         tensors["q"], tensors["k"], tensors["v"], out, lse, do,
         qv=tensors.get("qv"),
@@ -264,6 +326,9 @@ def flash_attn_func(
     mask_mod=None,   # callable(b, h, q_idx, kv_idx[, aux]) -> bool keep-mask
     aux_tensors=(),  # runtime arrays for mods (FA4 aux_tensors; AuxData arg)
     aux_scalars=(),  # runtime fp32 scalars for mods (FA4 aux_scalars)
+    block_sparse_tensors=None,  # BlockSparseTensors plan: execute mask_mod
+    # block-sparsely — skipped/full/partial tiles from compute_block_sparsity
+    # (FA4 block sparsity, cute/interface.py:392)
     dropout_seed: Optional[jnp.ndarray] = None,
     layout: str = "bshd",
     block_sizes: Optional[BlockSizes] = None,
@@ -338,6 +403,28 @@ def flash_attn_func(
     for i, x in enumerate(aux_scalars):
         tensors[f"aux_s{i}"] = jnp.asarray(x, jnp.float32)
 
+    block_sparse = None
+    if block_sparse_tensors is not None:
+        unsupported = {
+            "attn_bias": attn_bias, "alibi_slopes": alibi_slopes,
+            "sink": sink, "q_segment_ids": q_segment_ids, "qv": qv,
+        }
+        bad = [k2 for k2, v2 in unsupported.items() if v2 is not None]
+        if causal or window_size != (-1, -1) or attention_chunk or \
+                sink_token_length or dropout_p > 0.0 or has_descale or bad:
+            raise ValueError(
+                "block_sparse_tensors composes with mask_mod/score_mod/"
+                "softcap only — express causality/windows inside the "
+                f"mask_mod (got causal={causal}, window={window_size}, "
+                f"chunk={attention_chunk}, dropout={dropout_p}, "
+                f"extras={bad})"
+            )
+        from flash_attn_tpu.kernels.block_sparsity import BlockSparseTensors
+
+        if not isinstance(block_sparse_tensors, BlockSparseTensors):
+            block_sparse_tensors = BlockSparseTensors(*block_sparse_tensors)
+        block_sparse = _StaticPlan(block_sparse_tensors.host())
+
     config = _Config(
         softmax_scale=None if softmax_scale is None else float(softmax_scale),
         causal=bool(causal),
@@ -354,6 +441,7 @@ def flash_attn_func(
         num_aux_scalars=len(aux_scalars),
         block_sizes=block_sizes,
         interpret=interpret,
+        block_sparse=block_sparse,
     )
     out, lse = _flash_attn_core(tensors, config)
     if layout == "bshd":

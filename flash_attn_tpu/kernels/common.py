@@ -47,6 +47,26 @@ class AuxData(NamedTuple):
     scalars: tuple = ()
 
 
+# When True, aux_take/aux_at lower as plain XLA gathers instead of the
+# Mosaic roll/select machinery. Set by the block-sparsity planner
+# (kernels/block_sparsity.py), which evaluates user mods OUTSIDE any Pallas
+# kernel — pltpu.roll has no lowering there, while XLA gathers are native.
+_MOD_EVAL_XLA = False
+
+
+class _xla_mod_eval:
+    """Context manager: evaluate mods with XLA-native aux gathers."""
+
+    def __enter__(self):
+        global _MOD_EVAL_XLA
+        self._prev = _MOD_EVAL_XLA
+        _MOD_EVAL_XLA = True
+
+    def __exit__(self, *exc):
+        global _MOD_EVAL_XLA
+        _MOD_EVAL_XLA = self._prev
+
+
 def pad_aux_table(a: jnp.ndarray) -> jnp.ndarray:
     """Edge-pad a 1-D aux tensor to a lane multiple (host-side).
 
@@ -75,23 +95,38 @@ def aux_take(table, idx):
     score_mod/mask_mod:
         aux_take(aux.tensors[0], kv_idx - q_idx + offset)
     """
+    if _MOD_EVAL_XLA:
+        flat = table.reshape(-1)
+        return jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
     table = table.reshape(1, -1)
     n = table.shape[1]
     rows, cols = idx.shape
     idx = jnp.clip(idx, 0, n - 1)
-    zeros_rows = jnp.zeros((rows, 1), table.dtype)
     out_chunks = []
     # Mosaic's tpu.dynamic_gather only gathers within one 128-lane tile, and
-    # rejects offset-layout operands — so sweep both the index array and the
-    # table in 128-lane windows, using pltpu.roll (+ offset-0 slices) to
-    # materialize clean operands, then stitch column chunks back together.
+    # BOTH its operands must be in clean (non-offset) layouts — so sweep the
+    # index array and the table in 128-lane windows, materializing each via
+    # pltpu.roll + offset-0 slice, then stitch column chunks back together.
+    # Two Mosaic landmines mapped empirically (v5e, round 5):
+    #   * the index chunk must come from a ROLL even when cc == 0 (a full-
+    #     width rotation) — a bare slice of a >128-lane array feeding the
+    #     gather crashes the relayout pass ("limits[i] <= dim(i)");
+    #   * the (1, 128) window is materialized to (rows, 128) with an
+    #     explicit sublane broadcast — `+ zeros((rows, 1))` crashes the
+    #     same pass for rows > 128.
     for cc in range(0, cols, NUM_LANES):
-        ic_src = pltpu.roll(idx, cols - cc, axis=1) if cc else idx
-        ic = jax.lax.slice(ic_src, (0, 0), (rows, NUM_LANES))
+        if cols > NUM_LANES:
+            ic_src = pltpu.roll(idx, cols - cc, axis=1)
+            ic = jax.lax.slice(ic_src, (0, 0), (rows, NUM_LANES))
+        else:
+            ic = idx
         acc = None
         for w0 in range(0, n, NUM_LANES):
             rolled = pltpu.roll(table, n - w0, axis=1) if w0 else table
-            win = jax.lax.slice(rolled, (0, 0), (1, NUM_LANES)) + zeros_rows
+            win = jnp.broadcast_to(
+                jax.lax.slice(rolled, (0, 0), (1, NUM_LANES)),
+                (rows, NUM_LANES),
+            )
             rel = ic - w0
             in_rng = jnp.logical_and(rel >= 0, rel < NUM_LANES)
             vals = jnp.take_along_axis(
@@ -112,6 +147,9 @@ def aux_at(table, i):
     per-head/per-batch tables. Use inside score_mod/mask_mod:
         aux_at(aux.tensors[0], h)
     """
+    if _MOD_EVAL_XLA:
+        flat = table.reshape(-1)
+        return jnp.take(flat, jnp.clip(i, 0, flat.shape[0] - 1))
     table = table.reshape(1, -1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
     return jnp.sum(jnp.where(lanes == i, table, jnp.zeros_like(table)))

@@ -22,11 +22,13 @@ from flash_attn_tpu.flash_attn_interface import (
 from flash_attn_tpu.kernels.block_sparsity import (
     BlockSparseTensors,
     compute_block_sparsity,
+    compute_block_sparsity_varlen,
 )
 
 __all__ = [
     "BlockSparseTensors",
     "compute_block_sparsity",
+    "compute_block_sparsity_varlen",
     "compile_flash_attn_varlen_func_from_specs",
     "flash_attn_combine",
     "flash_attn_func",

@@ -776,6 +776,9 @@ def flash_attn_varlen_func(
     mask_mod=None,   # callable(b, h, q_idx, kv_idx[, aux]) -> bool
     aux_tensors=(),  # runtime arrays for mods (FA4 aux_tensors; AuxData arg)
     aux_scalars=(),
+    block_sparse_tensors=None,  # varlen block-sparse plan from
+    # compute_block_sparsity_varlen (FA4 varlen block sparsity,
+    # cute/interface.py:3015 + block_sparsity cu_total_m_blocks)
     block_q: Optional[int] = None,  # None -> per-pass tuned defaults
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -798,6 +801,29 @@ def flash_attn_varlen_func(
     returns dbias after dq.
     """
     del max_seqlen_q, max_seqlen_k, deterministic
+    if block_sparse_tensors is not None:
+        bad = [
+            nm for nm, vv in (
+                ("attn_bias", attn_bias), ("alibi_slopes", alibi_slopes),
+                ("qv", qv), ("gather_kv_indices", gather_kv_indices),
+            ) if vv is not None
+        ]
+        if causal or window_size != (-1, -1) or attention_chunk or \
+                dropout_p > 0.0 or bad:
+            raise ValueError(
+                "varlen block_sparse_tensors composes with mask_mod/"
+                "score_mod/softcap only — express causality inside the "
+                f"mask_mod (got causal={causal}, extras={bad})"
+            )
+        return _varlen_blocksparse(
+            q, k, v, cu_seqlens_q, cu_seqlens_k,
+            seqused_q=seqused_q, seqused_k=seqused_k,
+            mask_mod=mask_mod, score_mod=score_mod,
+            aux_tensors=aux_tensors, aux_scalars=aux_scalars,
+            block_sparse_tensors=block_sparse_tensors,
+            softmax_scale=softmax_scale, softcap=softcap,
+            return_attn_probs=return_attn_probs, interpret=interpret,
+        )
     if gather_kv_indices is not None:
         out = _topk_gather_attention_varlen(
             q, k, v, qv, gather_kv_indices,
@@ -850,6 +876,98 @@ def flash_attn_varlen_func(
         interpret=interpret,
     )
     out, lse = _flash_attn_varlen_core(tensors, config)
+    if return_attn_probs:
+        return out, lse, None
+    return out
+
+
+def _varlen_blocksparse(
+    q, k, v, cu_seqlens_q, cu_seqlens_k, *,
+    seqused_q, seqused_k, mask_mod, score_mod,
+    aux_tensors, aux_scalars, block_sparse_tensors,
+    softmax_scale, softcap, return_attn_probs, interpret,
+):
+    """Varlen block-sparse execution (FA4 varlen block sparsity).
+
+    The packed batch is unpadded to a left-aligned (nseq, smax) layout
+    sized to the PLAN's block grid, per-sequence bounds are folded into
+    the mask_mod (kernels/block_sparsity.py wrap_varlen_mask_mod — the
+    same wrap compute_block_sparsity_varlen planned with), the dense
+    block-sparse kernel runs, and outputs repack to (total, h, d) with
+    lse in the reference (h, total_q) layout. Unpack/repack are jnp
+    gathers, so autodiff covers the backward through the block-sparse
+    custom-vjp core. cu_seqlens must be host-concrete (static plan)."""
+    import numpy as np
+
+    from flash_attn_tpu.kernels.block_sparsity import (
+        BlockSparseTensors,
+        wrap_varlen_mask_mod,
+    )
+
+    if not isinstance(block_sparse_tensors, BlockSparseTensors):
+        block_sparse_tensors = BlockSparseTensors(*block_sparse_tensors)
+    tile_m, tile_n = block_sparse_tensors.block_size
+    nm = np.asarray(block_sparse_tensors.mask_block_idx).shape[2]
+    nn = np.asarray(block_sparse_tensors.mask_block_idx).shape[3]
+    sq, sk = nm * tile_m, nn * tile_n
+
+    cu_q = np.asarray(jax.device_get(cu_seqlens_q), np.int64)
+    cu_k = np.asarray(jax.device_get(cu_seqlens_k), np.int64)
+    nseq = len(cu_q) - 1
+    lq = np.diff(cu_q)
+    if seqused_q is not None:
+        lq = np.minimum(lq, np.asarray(jax.device_get(seqused_q), np.int64))
+    lk = np.diff(cu_k)
+    if seqused_k is not None:
+        lk = np.minimum(lk, np.asarray(jax.device_get(seqused_k), np.int64))
+    total_q, num_heads, _ = q.shape
+    total_k = k.shape[0]
+
+    def unpack(x, cu, smax, total):
+        row = jnp.arange(smax, dtype=jnp.int32)[None, :]
+        src = jnp.asarray(cu[:-1], jnp.int32)[:, None] + row
+        safe = jnp.clip(src, 0, max(total - 1, 0))
+        return jnp.take(x, safe.reshape(-1), axis=0).reshape(
+            nseq, smax, *x.shape[1:]
+        ), src
+
+    qp, qsrc = unpack(q, cu_q, sq, total_q)
+    kp, _ = unpack(k, cu_k, sk, total_k)
+    vp, _ = unpack(v, cu_k, sk, total_k)
+
+    user_aux = tuple(aux_tensors or ())
+    user_has_aux = bool(user_aux or aux_scalars)
+    wrapped = wrap_varlen_mask_mod(mask_mod, len(user_aux), user_has_aux)
+    aux_ext = user_aux + (
+        jnp.asarray(lq, jnp.int32), jnp.asarray(lk, jnp.int32),
+    )
+    if score_mod is not None and not user_has_aux:
+        # The extended aux makes call_mod pass an aux argument; preserve
+        # the user's 5-arg signature.
+        def score_w(s, b, h, qi, ki, aux, _sm=score_mod):
+            return _sm(s, b, h, qi, ki)
+    else:
+        score_w = score_mod
+
+    out_p, lse_p, _ = flash_attn_func(
+        qp, kp, vp,
+        softmax_scale=softmax_scale, softcap=softcap,
+        mask_mod=wrapped, score_mod=score_w,
+        aux_tensors=aux_ext, aux_scalars=aux_scalars,
+        block_sparse_tensors=block_sparse_tensors,
+        return_attn_probs=True, interpret=interpret,
+    )  # out (nseq, sq, h, dv); lse (nseq, h, sq)
+
+    valid = jnp.arange(sq, dtype=jnp.int32)[None, :] \
+        < jnp.asarray(lq, jnp.int32)[:, None]
+    dst = jnp.where(valid, qsrc, total_q).reshape(-1)
+    flat_out = out_p.reshape(nseq * sq, num_heads, -1)
+    out = jnp.zeros(
+        (total_q + 1, num_heads, flat_out.shape[-1]), out_p.dtype
+    ).at[dst].set(flat_out)[:total_q]
+    flat_lse = lse_p.transpose(0, 2, 1).reshape(nseq * sq, num_heads)
+    lse = jnp.zeros((total_q + 1, num_heads), jnp.float32) \
+        .at[dst].set(flat_lse)[:total_q].T
     if return_attn_probs:
         return out, lse, None
     return out

@@ -235,6 +235,89 @@ def compute_block_sparsity(
     )
 
 
+def wrap_varlen_mask_mod(mask_mod, num_user_aux: int, user_has_aux: bool):
+    """Per-sequence bounds wrapper for varlen block sparsity.
+
+    The wrapped mod expects two int32 length tables APPENDED to the user's
+    aux_tensors (at indices num_user_aux and num_user_aux+1): per-sequence
+    q lengths and kv lengths. `b` is the sequence index; q_idx/kv_idx are
+    in-sequence positions (== padded left-aligned coordinates), matching
+    the varlen mod convention. Out-of-sequence elements count as MASKED,
+    so the planner classifies sequence-tail tiles as partial and the
+    kernel masks them exactly — no static bounds flags needed.
+    """
+    from flash_attn_tpu.kernels.common import aux_at
+
+    def wrapped(b, h, q_idx, kv_idx, aux):
+        lq = aux_at(aux.tensors[num_user_aux], b)
+        lk = aux_at(aux.tensors[num_user_aux + 1], b)
+        keep = jnp.logical_and(q_idx < lq, kv_idx < lk)
+        if mask_mod is not None:
+            inner = (
+                mask_mod(b, h, q_idx, kv_idx, aux)
+                if user_has_aux
+                else mask_mod(b, h, q_idx, kv_idx)
+            )
+            keep = jnp.logical_and(keep, inner)
+        return keep
+
+    return wrapped
+
+
+def compute_block_sparsity_varlen(
+    mask_mod,
+    *,
+    cu_seqlens_q,
+    cu_seqlens_k=None,
+    seqused_k=None,
+    num_heads: int,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
+    tile_m: int = 512,
+    tile_n: int = 512,
+    aux_tensors=(),
+    aux_scalars=(),
+    compute_full_blocks: bool = True,
+    use_fast_sampling: bool = False,
+):
+    """Varlen plan (reference compute_block_sparsity with cu_seqlens_q/k,
+    cute/compute_block_sparsity.py:345-349). Classification runs over the
+    left-aligned padded layout with per-sequence bounds folded into the
+    mod — blocks wholly past a sequence's end are skipped, tail blocks
+    are partial. Returns (BlockSparseTensors, wrapped_mask_mod,
+    aux_tensors_with_lengths); pass all three to flash_attn_varlen_func
+    (or reuse the wrapped mod + extended aux on the dense padded call).
+
+    cu_seqlens must be host-concrete (the plan is a static worklist —
+    built once per shape bucket and reused, like the reference's
+    prepare pass)."""
+    cu_q = np.asarray(jax.device_get(cu_seqlens_q), np.int64)
+    nseq = len(cu_q) - 1
+    lq = np.diff(cu_q)
+    if seqused_k is not None:
+        lk = np.asarray(jax.device_get(seqused_k), np.int64)
+    else:
+        lk = np.diff(np.asarray(jax.device_get(cu_seqlens_k), np.int64))
+    sq = int(max_seqlen_q if max_seqlen_q is not None else lq.max())
+    sk = int(max_seqlen_k if max_seqlen_k is not None else lk.max())
+    user_aux = tuple(aux_tensors or ())
+    wrapped = wrap_varlen_mask_mod(
+        mask_mod, len(user_aux),
+        user_has_aux=bool(user_aux or aux_scalars),
+    )
+    aux_ext = user_aux + (
+        jnp.asarray(lq, jnp.int32), jnp.asarray(lk, jnp.int32),
+    )
+    bst = compute_block_sparsity(
+        wrapped, batch_size=nseq, num_heads=num_heads,
+        seqlen_q=sq, seqlen_k=sk, tile_m=tile_m, tile_n=tile_n,
+        aux_tensors=aux_ext, aux_scalars=aux_scalars,
+        compute_full_blocks=compute_full_blocks,
+        use_fast_sampling=use_fast_sampling,
+    )
+    return bst, wrapped, aux_ext
+
+
 # ---------------------------------------------------------------------------
 # Worklist construction (host, numpy).
 # ---------------------------------------------------------------------------

@@ -324,6 +324,86 @@ def test_blocksparse_rejects_feature_combos():
             q, k, v, dropout_p=0.1, mask_mod=fn, block_sparse_tensors=bst)
 
 
+def test_blocksparse_varlen_matches_varlen_kernel():
+    """Varlen block sparsity (reference varlen block_sparsity with
+    cu_total_m_blocks): the block-sparse route must match the exact
+    varlen kernel's causal path when the plan encodes causality."""
+    from flash_attn_tpu import (
+        compute_block_sparsity_varlen,
+        flash_attn_varlen_func,
+    )
+
+    lens = [200, 380, 120]
+    total = sum(lens)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (total, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, H, D), jnp.bfloat16)
+
+    def causal_mod(b, h, q_idx, kv_idx):
+        return kv_idx <= q_idx
+
+    bst, _, _ = compute_block_sparsity_varlen(
+        causal_mod, cu_seqlens_q=cu, cu_seqlens_k=cu, num_heads=H,
+        tile_m=TILE, tile_n=TILE,
+    )
+    got = flash_attn_varlen_func(
+        q, k, v, cu, cu, mask_mod=causal_mod, block_sparse_tensors=bst)
+    want = flash_attn_varlen_func(q, k, v, cu, cu, causal=True)
+    err = jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max()
+    assert err <= 2e-2, float(err)
+    # Sequence-tail skipping really happened: live blocks < full grid.
+    live = (np.asarray(bst.mask_block_cnt).sum()
+            + np.asarray(bst.full_block_cnt).sum())
+    nm = np.asarray(bst.mask_block_idx).shape[2]
+    nn = np.asarray(bst.mask_block_idx).shape[3]
+    assert live < 3 * H * nm * nn * 0.5
+
+
+def test_blocksparse_varlen_doc_mod_bwd():
+    """Varlen block-sparse with a per-sequence aux mod, fwd + grads vs
+    the dense-masked varlen path."""
+    from flash_attn_tpu import (
+        compute_block_sparsity_varlen,
+        flash_attn_varlen_func,
+    )
+
+    lens = [256, 250]
+    total = sum(lens)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (total, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, H, D), jnp.bfloat16)
+
+    def window_mod(b, h, q_idx, kv_idx):
+        return jnp.logical_and(kv_idx <= q_idx, q_idx - kv_idx < 100)
+
+    bst, _, _ = compute_block_sparsity_varlen(
+        window_mod, cu_seqlens_q=cu, cu_seqlens_k=cu, num_heads=H,
+        tile_m=TILE, tile_n=TILE,
+    )
+
+    def loss(use_bst, q, k, v):
+        out = flash_attn_varlen_func(
+            q, k, v, cu, cu, mask_mod=window_mod,
+            block_sparse_tensors=bst if use_bst else None)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    ld = functools.partial(loss, False)
+    ls = functools.partial(loss, True)
+    fd = ld(q, k, v)
+    fs = ls(q, k, v)
+    assert jnp.abs(fd - fs) <= 1e-2 * (jnp.abs(fd) + 1.0)
+    gd = jax.grad(ld, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(ls, argnums=(0, 1, 2))(q, k, v)
+    for nm_, a, b in zip(("dq", "dk", "dv"), gd, gs):
+        err = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+        ref = jnp.abs(a.astype(jnp.float32)).max()
+        assert err <= 2e-2 * (ref + 1.0), (nm_, float(err))
+
+
 def test_blocksparse_without_mod_is_blockmask():
     """A plan without mask_mod acts as a pure block mask (legacy
     blocksparse granularity): listed blocks attend fully."""

@@ -23,9 +23,15 @@ from flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen_fwd
 from flash_attn_tpu.utils.benchmark import benchmark_forward
 
 
-def make_packed(nseq, mean_len, h, d, seed=0):
+def make_packed(nseq, mean_len, h, d, seed=0, align=None):
     rng = np.random.RandomState(seed)
     lens = rng.randint(mean_len // 2, mean_len + mean_len // 2, nseq)
+    if align:
+        # Round the LAST sequence up so the packed total lands on a tile
+        # boundary (what a serving layer's shape bucketing produces) —
+        # then the head-major path's pad is a no-op.
+        total = int(lens.sum())
+        lens[-1] += (-total) % align
     cu = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
     total = int(cu[-1])
     key = jax.random.PRNGKey(seed)
@@ -36,15 +42,21 @@ def make_packed(nseq, mean_len, h, d, seed=0):
     return q, k, v, jnp.asarray(cu), lens
 
 
-def bench_varlen(nseq, mean_len, h, d, causal=True):
-    q, k, v, cu, lens = make_packed(nseq, mean_len, h, d)
-    # Same mean-keyed tile default as the public API
-    # (flash_attn_interface._varlen_default_tiles).
-    bq, bkv = (1024, 512) if mean_len > 2048 else (512, 1024)
+def bench_varlen(nseq, mean_len, h, d, causal=True, layout="thd"):
+    # Same tile default as the public API
+    # (flash_attn_interface._varlen_default_tiles, round-5 sweep).
+    bq, bkv = 1024, 1024
+    q, k, v, cu, lens = make_packed(
+        nseq, mean_len, h, d,
+        align=max(bq, bkv) if layout == "hsd" else None,
+    )
+    if layout == "hsd":
+        q, k, v = (x.transpose(1, 0, 2) for x in (q, k, v))
 
     def f(q, k, v):
         return flash_attention_varlen_fwd(
             q, k, v, cu, cu, causal=causal, block_q=bq, block_kv=bkv,
+            layout=layout,
         )[0]
 
     sec = benchmark_forward(f, q, k, v)
@@ -62,11 +74,13 @@ def main(argv=None):
         (8, 2048, 8, 128), (16, 1024, 8, 128), (4, 8192, 8, 128),
     ]
     for nseq, mean_len, h, d in sweep:
-        tf = bench_varlen(nseq, mean_len, h, d)
-        print(json.dumps({
-            "bench": "varlen_fwd", "nseq": nseq, "mean_len": mean_len,
-            "h": h, "d": d, "causal": True, "useful_tflops": round(tf, 1),
-        }), flush=True)
+        for layout in ("thd", "hsd"):
+            tf = bench_varlen(nseq, mean_len, h, d, layout=layout)
+            print(json.dumps({
+                "bench": "varlen_fwd", "nseq": nseq, "mean_len": mean_len,
+                "h": h, "d": d, "causal": True, "layout": layout,
+                "useful_tflops": round(tf, 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -640,6 +640,7 @@ class _VarlenConfig:
     block_q: Optional[int]  # None -> per-pass tuned defaults
     block_kv: Optional[int]
     interpret: Optional[bool]
+    layout: str = "thd"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -647,20 +648,22 @@ def _flash_attn_varlen_core(tensors: dict, config: _VarlenConfig):
     return _varlen_fwd(tensors, config)
 
 
-def _varlen_default_tiles(tensors):
-    """Mean-seqlen-keyed fwd tiles (swept on v5e, round 4): (1024, 512)
-    wins at mean >= ~2k; (512, 1024) wins below (16x1k: 22.4 vs 20.9,
-    8x2k: 36.0 vs 34.9 TF/s) — short chains favor the wider kv tile."""
-    nseq = max(tensors["cu_seqlens_q"].shape[0] - 1, 1)
-    mean = tensors["q"].shape[0] / nseq
-    return (1024, 512) if mean > 2048 else (512, 1024)
+def _varlen_default_tiles(tensors, config):
+    """Varlen fwd tiles. Round-5 sweep on v5e (random AND uniform lens,
+    thd AND hsd layouts): (1024, 1024) dominates every shape measured —
+    4x8k 63.3/78.1 (thd/hsd), 8x2k 39.2/49.3, 16x1k 23.4/29.0 TF/s vs the
+    round-4 mean-keyed defaults' 55.6/35.5/22.8. Bigger q tiles halve the
+    chain count (amortizing chain init), bigger kv tiles halve per-chain
+    step count; the balance beats both rectangles."""
+    del tensors, config
+    return (1024, 1024)
 
 
 def _varlen_fwd(tensors, config):
     from flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen_fwd
 
     aux_tensors, aux_scalars = _aux_from(tensors, config)
-    def_bq, def_bkv = _varlen_default_tiles(tensors)
+    def_bq, def_bkv = _varlen_default_tiles(tensors, config)
     return flash_attention_varlen_fwd(
         tensors["q"], tensors["k"], tensors["v"],
         tensors["cu_seqlens_q"], tensors["cu_seqlens_k"],
@@ -682,6 +685,7 @@ def _varlen_fwd(tensors, config):
         aux_scalars=aux_scalars,
         block_q=config.block_q or def_bq,
         block_kv=config.block_kv or def_bkv,
+        layout=config.layout,
         interpret=config.interpret,
     )
 
@@ -720,6 +724,7 @@ def _varlen_bwd_vjp(config, residuals, cotangents):
         aux_scalars=aux_scalars,
         block_q=config.block_q or 256,
         block_kv=config.block_kv or 256,
+        layout=config.layout,
         interpret=config.interpret,
     )
     res = list(res)
@@ -781,6 +786,10 @@ def flash_attn_varlen_func(
     # cute/interface.py:3015 + block_sparsity cu_total_m_blocks)
     block_q: Optional[int] = None,  # None -> per-pass tuned defaults
     block_kv: Optional[int] = None,
+    layout: str = "thd",  # "hsd": q/k/v (and qv/out/grads) head-major
+    # (h, total, d) — the kernel-native layout; skips the per-call
+    # transpose prep entirely (PROFILE_VARLEN.md residue). Keep tensors
+    # head-major across layers to serve varlen at dense speed.
     interpret: Optional[bool] = None,
 ):
     """Packed variable-length attention; analog of the reference
@@ -801,6 +810,15 @@ def flash_attn_varlen_func(
     returns dbias after dq.
     """
     del max_seqlen_q, max_seqlen_k, deterministic
+    if layout not in ("thd", "hsd"):
+        raise ValueError(f"unknown varlen layout {layout!r}")
+    if layout == "hsd" and (
+        block_sparse_tensors is not None or gather_kv_indices is not None
+    ):
+        raise ValueError(
+            "layout='hsd' is not supported with block_sparse_tensors/"
+            "gather_kv_indices (those routes consume packed (total, h, d))"
+        )
     if block_sparse_tensors is not None:
         bad = [
             nm for nm, vv in (
@@ -874,6 +892,7 @@ def flash_attn_varlen_func(
         block_q=None if block_q is None else int(block_q),
         block_kv=None if block_kv is None else int(block_kv),
         interpret=interpret,
+        layout=str(layout),
     )
     out, lse = _flash_attn_varlen_core(tensors, config)
     if return_attn_probs:

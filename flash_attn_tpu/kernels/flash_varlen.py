@@ -960,9 +960,18 @@ def _varlen_dq_kernel(
 # Host wrappers.
 # ---------------------------------------------------------------------------
 
-def _prep_packed(x, axis_block, d_pad):
-    # (total, h, d) -> (h, total_pad, d_pad)
-    x = x.transpose(1, 0, 2)
+def _prep_packed(x, axis_block, d_pad, layout="thd"):
+    # (total, h, d) -> (h, total_pad, d_pad); layout="hsd" inputs are
+    # already (h, total, d) — the kernel-native layout — so prep is pad
+    # only (and when the caller pre-pads, a no-op). This is the knob that
+    # kills the transpose/concat residue PROFILE_VARLEN.md identified: a
+    # model/serving layer keeping Q/K/V head-major across layers pays no
+    # per-call relayout (the reference's varlen reads (total, h, d)
+    # natively because CUDA threads address strides directly,
+    # csrc/flash_attn/src/block_info.h:13; Mosaic requires lane-tiled
+    # last-2 dims, so head-major IS the TPU-native packed layout).
+    if layout != "hsd":
+        x = x.transpose(1, 0, 2)
     return pad_to_block(pad_to_block(x, 2, d_pad), 1, axis_block)
 
 
@@ -994,16 +1003,23 @@ def flash_attention_varlen_fwd(
     aux_scalars=(),
     block_q: int = 1024,
     block_kv: int = 512,
+    layout: str = "thd",  # "hsd": q/k/v/qv are head-major (h, total, d)
     interpret: Optional[bool] = None,
 ):
-    """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q))."""
-    total_q, num_heads, head_dim = q.shape
-    total_k, num_heads_kv, _ = k.shape
+    """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q));
+    with layout="hsd", inputs AND out are head-major (h, total, d)."""
+    if layout == "hsd":
+        num_heads, total_q, head_dim = q.shape
+        num_heads_kv, total_k = k.shape[0], k.shape[1]
+    else:
+        total_q, num_heads, head_dim = q.shape
+        total_k, num_heads_kv = k.shape[0], k.shape[1]
     group_size = num_heads // num_heads_kv
     has_qv = qv is not None
+    head_dim_v_ = v.shape[2]
     if softmax_scale is None:
         softmax_scale = (
-            (head_dim + v.shape[2]) ** -0.5 if has_qv else head_dim**-0.5
+            (head_dim + head_dim_v_) ** -0.5 if has_qv else head_dim**-0.5
         )
     if interpret is None:
         interpret = interpret_mode()
@@ -1030,16 +1046,17 @@ def flash_attention_varlen_fwd(
 
     import os as _os
 
-    qp = _prep_packed(q, block_q, d_pad)
+    qp = _prep_packed(q, block_q, d_pad, layout)
     # K|V fused along lanes: one per-step DMA + one dynamic index map
     # instead of two (K at [:, :d_pad], V at [:, d_pad:]). Split operands,
     # two lane-blocked views of one fused array, a 4D blocked layout, and
     # Mosaic-rejected native (total, h, d) strided blocks all measured
     # equal-or-worse — PROFILE_VARLEN.md round 4. The transpose/concat prep
-    # here is the structural price of the packed (total, h, d) API on TPU.
+    # here is the structural price of the packed (total, h, d) API on TPU;
+    # layout="hsd" callers skip the transposes (round 5).
     kvp = jnp.concatenate(
-        [_prep_packed(k, block_kv, d_pad),
-         _prep_packed(v, block_kv, dv_pad)],
+        [_prep_packed(k, block_kv, d_pad, layout),
+         _prep_packed(v, block_kv, dv_pad, layout)],
         axis=-1,
     )
     # Per-token metadata rides as (tqp, 6) q-side columns
@@ -1073,7 +1090,7 @@ def flash_attention_varlen_fwd(
         ))
         args.append(kmeta)
     if has_qv:
-        qvp = _prep_packed(qv, block_q, dv_pad)
+        qvp = _prep_packed(qv, block_q, dv_pad, layout)
         in_specs.insert(2, pl.BlockSpec(
             (1, block_q, dv_pad), lambda h, t, qt, kt, fl: (h, qt[t], 0)
         ))
@@ -1197,7 +1214,9 @@ def flash_attention_varlen_fwd(
         interpret=interpret,
     )(qtab, ktab, flags, *args)
 
-    out = out[:, :total_q, :head_dim_v].transpose(1, 0, 2)
+    out = out[:, :total_q, :head_dim_v]
+    if layout != "hsd":
+        out = out.transpose(1, 0, 2)
     lse = lse[:, :total_q, 0]
     return out, lse
 
@@ -1225,12 +1244,18 @@ def flash_attention_varlen_bwd(
     aux_scalars=(),
     block_q: int = 256,
     block_kv: int = 256,
+    layout: str = "thd",  # "hsd": q/k/v/qv/out/do are (h, total, d)
     interpret: Optional[bool] = None,
 ):
     """Packed varlen backward: returns (dq, dk, dv[, dbias][, dqv]) in
-    packed layout (dbias when bias_grad, dqv when `qv` is given)."""
-    total_q, num_heads, head_dim = q.shape
-    total_k, num_heads_kv, _ = k.shape
+    packed layout (dbias when bias_grad, dqv when `qv` is given). With
+    layout="hsd" all tensor args and grads are head-major (h, total, d)."""
+    if layout == "hsd":
+        num_heads, total_q, head_dim = q.shape
+        num_heads_kv, total_k = k.shape[0], k.shape[1]
+    else:
+        total_q, num_heads, head_dim = q.shape
+        total_k, num_heads_kv = k.shape[0], k.shape[1]
     group_size = num_heads // num_heads_kv
     has_qv = qv is not None
     if softmax_scale is None:
@@ -1261,17 +1286,22 @@ def flash_attention_varlen_bwd(
     # Fused operand blocks (see flash_attention_varlen_fwd): Q|dO, K|V,
     # LSE|delta, qseg|qpos|qpos_raw columns, kseg|kpos rows.
     qdop = jnp.concatenate(
-        [_prep_packed(q, block_q, d_pad), _prep_packed(do, block_q, dv_pad)],
+        [_prep_packed(q, block_q, d_pad, layout),
+         _prep_packed(do, block_q, dv_pad, layout)],
         axis=-1,
     )
     kvp = jnp.concatenate(
-        [_prep_packed(k, block_kv, d_pad), _prep_packed(v, block_kv, dv_pad)],
+        [_prep_packed(k, block_kv, d_pad, layout),
+         _prep_packed(v, block_kv, dv_pad, layout)],
         axis=-1,
     )
-    qvp = _prep_packed(qv, block_q, dv_pad) if qv is not None else None
+    qvp = (
+        _prep_packed(qv, block_q, dv_pad, layout) if qv is not None else None
+    )
     # lse/delta: (h, total_q) -> (h, tqp, 2) fused.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = delta.transpose(1, 0)  # (h, total_q)
+    if layout != "hsd":
+        delta = delta.transpose(1, 0)  # (h, total_q)
     ldp = jnp.stack(
         [pad_to_block(lse, 1, block_q), pad_to_block(delta, 1, block_q)],
         axis=-1,
@@ -1456,8 +1486,11 @@ def flash_attention_varlen_bwd(
         dv = dv_gh.reshape(num_heads_kv, group_size, total_k, head_dim_v).sum(1)
     else:
         dk, dv = dk_gh, dv_gh
-    dk = dk.transpose(1, 0, 2).astype(out_dtype)
-    dv = dv.transpose(1, 0, 2).astype(out_dtype)
+    if layout != "hsd":
+        dk = dk.transpose(1, 0, 2)
+        dv = dv.transpose(1, 0, 2)
+    dk = dk.astype(out_dtype)
+    dv = dv.astype(out_dtype)
 
     # ---- dQ: flat worklist over q chains ----
     dq_kernel = functools.partial(
@@ -1517,7 +1550,9 @@ def flash_attention_varlen_bwd(
         interpret=interpret,
     )(q_ctab, q_stab, q_flags, *base_args)
 
-    dq = results[0][:, :total_q, :head_dim].transpose(1, 0, 2)
+    dq = results[0][:, :total_q, :head_dim]
+    if layout != "hsd":
+        dq = dq.transpose(1, 0, 2)
     ret = [dq, dk, dv]
     ri = 1
     if bias_grad:
@@ -1527,6 +1562,8 @@ def flash_attention_varlen_bwd(
             dbias = dbias.sum(axis=0, keepdims=True)
         ret.append(dbias.astype(attn_bias.dtype))
     if has_qv:
-        dqv = results[ri][:, :total_q, :head_dim_v].transpose(1, 0, 2)
+        dqv = results[ri][:, :total_q, :head_dim_v]
+        if layout != "hsd":
+            dqv = dqv.transpose(1, 0, 2)
         ret.append(dqv)
     return tuple(ret)

@@ -24,11 +24,17 @@ from flash_attn_tpu.kernels.block_sparsity import (
     compute_block_sparsity,
     compute_block_sparsity_varlen,
 )
+from flash_attn_tpu.kernels.flash_varlen import (
+    VarlenPlan,
+    make_varlen_plan,
+)
 
 __all__ = [
     "BlockSparseTensors",
+    "VarlenPlan",
     "compute_block_sparsity",
     "compute_block_sparsity_varlen",
+    "make_varlen_plan",
     "compile_flash_attn_varlen_func_from_specs",
     "flash_attn_combine",
     "flash_attn_func",

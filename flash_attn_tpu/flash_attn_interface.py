@@ -641,6 +641,7 @@ class _VarlenConfig:
     block_kv: Optional[int]
     interpret: Optional[bool]
     layout: str = "thd"
+    sched_plan: Optional[_StaticPlan] = None  # host VarlenPlan wrapper
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -686,6 +687,9 @@ def _varlen_fwd(tensors, config):
         block_q=config.block_q or def_bq,
         block_kv=config.block_kv or def_bkv,
         layout=config.layout,
+        plan=(
+            config.sched_plan.bst if config.sched_plan is not None else None
+        ),
         interpret=config.interpret,
     )
 
@@ -790,6 +794,10 @@ def flash_attn_varlen_func(
     # (h, total, d) — the kernel-native layout; skips the per-call
     # transpose prep entirely (PROFILE_VARLEN.md residue). Keep tensors
     # head-major across layers to serve varlen at dense speed.
+    plan=None,  # kernels/flash_varlen.VarlenPlan from make_varlen_plan:
+    # a host-built exact worklist, reusable across layers/steps and the
+    # only way to get the exact grid under jit (traced seqlens fall back
+    # to the rectangular grid otherwise). Forward only; tiles must match.
     interpret: Optional[bool] = None,
 ):
     """Packed variable-length attention; analog of the reference
@@ -893,6 +901,7 @@ def flash_attn_varlen_func(
         block_kv=None if block_kv is None else int(block_kv),
         interpret=interpret,
         layout=str(layout),
+        sched_plan=None if plan is None else _StaticPlan(plan),
     )
     out, lse = _flash_attn_varlen_core(tensors, config)
     if return_attn_probs:

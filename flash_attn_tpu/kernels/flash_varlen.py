@@ -25,6 +25,7 @@ hopper/seqlen.h:36-59.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -69,6 +70,7 @@ def make_varlen_metadata(
     cp_world_size: int = 1,
     cp_rank: int = 0,
     cp_tot_seqused_k: Optional[jnp.ndarray] = None,  # (nseq,) totals
+    xp=jnp,  # array namespace: jnp (device/traced) or numpy (host plans)
 ):
     """Returns (qseg, qpos_adj, qpos_raw, lo, hi, diag, kseg, kpos, kvmin,
     kvmax, qmin, qmax, interior).
@@ -95,48 +97,48 @@ def make_varlen_metadata(
     tqp = nqb * block_q
     tkp = nkb * block_kv
 
-    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
-    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    cu_q = xp.asarray(cu_seqlens_q, xp.int32)
+    cu_k = xp.asarray(cu_seqlens_k, xp.int32)
     nseq = cu_q.shape[0] - 1
     sq_len = cu_q[1:] - cu_q[:-1]  # (nseq,)
     sk_len = cu_k[1:] - cu_k[:-1]
     used_k = (
-        jnp.asarray(seqused_k, jnp.int32) if seqused_k is not None else sk_len
+        xp.asarray(seqused_k, xp.int32) if seqused_k is not None else sk_len
     )
     # seqused_q (hopper/flash_attn_interface.py:30): only the first used_q
     # rows of each sequence participate; the bottom-right diagonal aligns
     # used_q against used_k.
     used_q = (
-        jnp.asarray(seqused_q, jnp.int32) if seqused_q is not None else sq_len
+        xp.asarray(seqused_q, xp.int32) if seqused_q is not None else sq_len
     )
     if cp_world_size > 1:
         # Round-robin CP (hopper/mask.h:103, seqlen.h:59): this rank's local
         # key i has absolute index i*W + rank; per-sequence totals come from
         # cp_tot_seqused_k and bound how many local keys are live.
         tot_k = (
-            jnp.asarray(cp_tot_seqused_k, jnp.int32)
+            xp.asarray(cp_tot_seqused_k, xp.int32)
             if cp_tot_seqused_k is not None else used_k * cp_world_size
         )
         used_k = (tot_k - cp_rank + cp_world_size - 1) // cp_world_size
 
-    qidx = jnp.arange(tqp, dtype=jnp.int32)
-    kidx = jnp.arange(tkp, dtype=jnp.int32)
+    qidx = xp.arange(tqp, dtype=xp.int32)
+    kidx = xp.arange(tkp, dtype=xp.int32)
     # searchsorted gives segment of each token; padding tail -> last+1.
-    qseg = jnp.searchsorted(cu_q, qidx, side="right").astype(jnp.int32) - 1
-    kseg = jnp.searchsorted(cu_k, kidx, side="right").astype(jnp.int32) - 1
-    qseg = jnp.where(qidx < total_q, qseg, -1)
-    kseg = jnp.where(kidx < total_k, kseg, -2)
+    qseg = xp.searchsorted(cu_q, qidx, side="right").astype(xp.int32) - 1
+    kseg = xp.searchsorted(cu_k, kidx, side="right").astype(xp.int32) - 1
+    qseg = xp.where(qidx < total_q, qseg, -1)
+    kseg = xp.where(kidx < total_k, kseg, -2)
 
-    qseg_c = jnp.clip(qseg, 0, nseq - 1)
-    kseg_c = jnp.clip(kseg, 0, nseq - 1)
+    qseg_c = xp.clip(qseg, 0, nseq - 1)
+    kseg_c = xp.clip(kseg, 0, nseq - 1)
     qpos = qidx - cu_q[qseg_c]
     kpos = kidx - cu_k[kseg_c]
     # seqused_k: keys at pos >= used are invisible.
-    kseg = jnp.where(kpos < used_k[kseg_c], kseg, -2)
+    kseg = xp.where(kpos < used_k[kseg_c], kseg, -2)
     # seqused_q: query rows at pos >= used are inert (masked everywhere;
     # out rows are zero, lse rows -inf, grads zero).
     if seqused_q is not None:
-        qseg = jnp.where(qpos < used_q[qseg_c], qseg, -1)
+        qseg = xp.where(qpos < used_q[qseg_c], qseg, -1)
     if cp_world_size > 1:
         kpos = kpos * cp_world_size + cp_rank  # absolute key positions
         offset = tot_k - used_q
@@ -157,55 +159,55 @@ def make_varlen_metadata(
     if W > 1:
         hi_rel = used_row - 1  # local column units
         if causal or right >= 0:
-            hi_rel = jnp.minimum(hi_rel, (qpos_adj + r_right - rank) // W)
-        lo_rel = jnp.zeros_like(qpos_adj)
+            hi_rel = xp.minimum(hi_rel, (qpos_adj + r_right - rank) // W)
+        lo_rel = xp.zeros_like(qpos_adj)
         if left >= 0:
-            lo_rel = jnp.maximum(lo_rel, -(-(qpos_adj - left - rank) // W))
+            lo_rel = xp.maximum(lo_rel, -(-(qpos_adj - left - rank) // W))
         if attention_chunk > 0:
             c_lo = qpos_adj - qpos_adj % attention_chunk
-            lo_rel = jnp.maximum(lo_rel, -(-(c_lo - rank) // W))
-            hi_rel = jnp.minimum(
+            lo_rel = xp.maximum(lo_rel, -(-(c_lo - rank) // W))
+            hi_rel = xp.minimum(
                 hi_rel, (c_lo + attention_chunk - 1 - rank) // W
             )
         diag = W * base_k + qpos_adj - rank
     else:
         hi_rel = used_row - 1
         if causal or right >= 0:
-            hi_rel = jnp.minimum(hi_rel, qpos_adj + r_right)
-        lo_rel = jnp.zeros_like(qpos_adj)
+            hi_rel = xp.minimum(hi_rel, qpos_adj + r_right)
+        lo_rel = xp.zeros_like(qpos_adj)
         if left >= 0:
-            lo_rel = jnp.maximum(lo_rel, qpos_adj - left)
+            lo_rel = xp.maximum(lo_rel, qpos_adj - left)
         if attention_chunk > 0:
             c_lo = qpos_adj - qpos_adj % attention_chunk
-            lo_rel = jnp.maximum(lo_rel, c_lo)
-            hi_rel = jnp.minimum(hi_rel, c_lo + attention_chunk - 1)
+            lo_rel = xp.maximum(lo_rel, c_lo)
+            hi_rel = xp.minimum(hi_rel, c_lo + attention_chunk - 1)
         diag = base_k + qpos_adj
     lo = base_k + lo_rel
     hi = base_k + hi_rel
     # Invalid rows (tail padding / seqused_q-trimmed): empty interval.
-    lo = jnp.where(qseg >= 0, lo, 1)
-    hi = jnp.where(qseg >= 0, hi, 0)
+    lo = xp.where(qseg >= 0, lo, 1)
+    hi = xp.where(qseg >= 0, hi, 0)
     # Rows that see nothing (hi_rel < lo_rel, e.g. bottom-right rows above
     # the diagonal or seqused_k == 0) must yield span == 0 EXACTLY — the
     # kernels' unsigned-compare mask wraps for negative spans.
-    hi = jnp.maximum(hi, lo - 1)
+    hi = xp.maximum(hi, lo - 1)
 
     # ---- per-q-block kv bounds ----
-    qb = jnp.arange(nqb, dtype=jnp.int32)
-    r_first = jnp.minimum(qb * block_q, total_q - 1)
-    r_last = jnp.minimum(qb * block_q + block_q - 1, total_q - 1)
+    qb = xp.arange(nqb, dtype=xp.int32)
+    r_first = xp.minimum(qb * block_q, total_q - 1)
+    r_last = xp.minimum(qb * block_q + block_q - 1, total_q - 1)
     jf = qseg_c[r_first]
     jl = qseg_c[r_last]
     if causal or right >= 0:
         r = 0 if (causal and right < 0) else right
-        kmax_g = cu_k[jl] + jnp.clip(
-            qpos_adj[r_last] + r, 0, jnp.maximum(used_k[jl] - 1, 0)
+        kmax_g = cu_k[jl] + xp.clip(
+            qpos_adj[r_last] + r, 0, xp.maximum(used_k[jl] - 1, 0)
         )
     else:
-        kmax_g = cu_k[jl] + jnp.maximum(used_k[jl] - 1, 0)
+        kmax_g = cu_k[jl] + xp.maximum(used_k[jl] - 1, 0)
     if left >= 0:
-        kmin_g = cu_k[jf] + jnp.clip(
-            qpos_adj[r_first] - left, 0, jnp.maximum(used_k[jf] - 1, 0)
+        kmin_g = cu_k[jf] + xp.clip(
+            qpos_adj[r_first] - left, 0, xp.maximum(used_k[jf] - 1, 0)
         )
     else:
         kmin_g = cu_k[jf]
@@ -214,84 +216,84 @@ def make_varlen_metadata(
         # [diag - diag % chunk, +chunk) with diag = qpos_adj.
         d_last = qpos_adj[r_last]
         chunk_hi = d_last - d_last % attention_chunk + attention_chunk - 1
-        kmax_g = jnp.minimum(
+        kmax_g = xp.minimum(
             kmax_g,
-            cu_k[jl] + jnp.clip(chunk_hi, 0, jnp.maximum(used_k[jl] - 1, 0)),
+            cu_k[jl] + xp.clip(chunk_hi, 0, xp.maximum(used_k[jl] - 1, 0)),
         )
         d_first = qpos_adj[r_first]
         chunk_lo = d_first - d_first % attention_chunk
-        kmin_g = jnp.maximum(
+        kmin_g = xp.maximum(
             kmin_g,
-            cu_k[jf] + jnp.clip(chunk_lo, 0, jnp.maximum(used_k[jf] - 1, 0)),
+            cu_k[jf] + xp.clip(chunk_lo, 0, xp.maximum(used_k[jf] - 1, 0)),
         )
-    kvmax = jnp.clip(kmax_g // block_kv, 0, nkb - 1)
-    kvmin = jnp.clip(kmin_g // block_kv, 0, nkb - 1)
-    kvmin = jnp.minimum(kvmin, kvmax)
+    kvmax = xp.clip(kmax_g // block_kv, 0, nkb - 1)
+    kvmin = xp.clip(kmin_g // block_kv, 0, nkb - 1)
+    kvmin = xp.minimum(kvmin, kvmax)
 
     # ---- per-kv-block q bounds (for the dkv grid) ----
-    kb = jnp.arange(nkb, dtype=jnp.int32)
-    c_first = jnp.minimum(kb * block_kv, total_k - 1)
-    c_last = jnp.minimum(kb * block_kv + block_kv - 1, total_k - 1)
+    kb = xp.arange(nkb, dtype=xp.int32)
+    c_first = xp.minimum(kb * block_kv, total_k - 1)
+    c_last = xp.minimum(kb * block_kv + block_kv - 1, total_k - 1)
     jkf = kseg_c[c_first]
     jkl = kseg_c[c_last]
     if causal or right >= 0:
         r = 0 if (causal and right < 0) else right
         # first q row with qpos_adj + r >= kpos(c_first)
-        qmin_g = cu_q[jkf] + jnp.clip(
+        qmin_g = cu_q[jkf] + xp.clip(
             kpos[c_first] - offset[jkf] - r, 0, sq_len[jkf]
         )
     else:
         qmin_g = cu_q[jkf]
     if left >= 0:
-        qmax_g = cu_q[jkl] + jnp.clip(
-            kpos[c_last] + left - offset[jkl], 0, jnp.maximum(sq_len[jkl] - 1, 0)
+        qmax_g = cu_q[jkl] + xp.clip(
+            kpos[c_last] + left - offset[jkl], 0, xp.maximum(sq_len[jkl] - 1, 0)
         )
     else:
-        qmax_g = jnp.minimum(cu_q[jkl + 1], total_q) - 1
+        qmax_g = xp.minimum(cu_q[jkl + 1], total_q) - 1
     if attention_chunk > 0:
         # Col c is only visible from rows with qpos_adj in
         # [c - c % chunk, +chunk).
         c_lo = kpos[c_first] - kpos[c_first] % attention_chunk
-        qmin_g = jnp.maximum(
-            qmin_g, cu_q[jkf] + jnp.clip(c_lo - offset[jkf], 0, sq_len[jkf])
+        qmin_g = xp.maximum(
+            qmin_g, cu_q[jkf] + xp.clip(c_lo - offset[jkf], 0, sq_len[jkf])
         )
         c_hi = (
             kpos[c_last] - kpos[c_last] % attention_chunk
             + attention_chunk - 1
         )
-        qmax_g = jnp.minimum(
+        qmax_g = xp.minimum(
             qmax_g,
-            cu_q[jkl] + jnp.clip(
-                c_hi - offset[jkl], 0, jnp.maximum(sq_len[jkl] - 1, 0)
+            cu_q[jkl] + xp.clip(
+                c_hi - offset[jkl], 0, xp.maximum(sq_len[jkl] - 1, 0)
             ),
         )
-    qmax = jnp.clip(qmax_g // block_q, 0, nqb - 1)
-    qmin = jnp.clip(qmin_g // block_q, 0, nqb - 1)
-    qmin = jnp.minimum(qmin, qmax)
+    qmax = xp.clip(qmax_g // block_q, 0, nqb - 1)
+    qmin = xp.clip(qmin_g // block_q, 0, nqb - 1)
+    qmin = xp.minimum(qmin, qmax)
 
     if cp_world_size > 1:
-        kvmin = jnp.zeros_like(kvmin)
-        kvmax = jnp.full_like(kvmax, nkb - 1)
-        qmin = jnp.zeros_like(qmin)
-        qmax = jnp.full_like(qmax, nqb - 1)
+        kvmin = xp.zeros_like(kvmin)
+        kvmax = xp.full_like(kvmax, nkb - 1)
+        qmin = xp.zeros_like(qmin)
+        qmax = xp.full_like(qmax, nqb - 1)
 
     # ---- per-(q-block, kv-block) interior table ----
     # A tile is INTERIOR when every element passes every mask test, i.e.
     # every row's visible interval covers the tile's full column range.
     # lo and hi are monotone non-decreasing within a segment, so endpoint
     # checks suffice once the tile's rows are one valid segment.
-    qseg_f = qseg[jnp.minimum(qb * block_q, tqp - 1)]
+    qseg_f = qseg[xp.minimum(qb * block_q, tqp - 1)]
     qseg_l = qseg[r_last]
-    q_uni = jnp.logical_and(qseg_f == qseg_l, qseg_f >= 0)  # (nqb,)
+    q_uni = xp.logical_and(qseg_f == qseg_l, qseg_f >= 0)  # (nqb,)
     c_first_u = kb * block_kv  # UNCLIPPED tile column range
     c_last_u = kb * block_kv + block_kv - 1
-    interior = jnp.logical_and(
+    interior = xp.logical_and(
         q_uni[:, None],
-        jnp.logical_and(
+        xp.logical_and(
             lo[r_last][:, None] <= c_first_u[None, :],
             hi[r_first][:, None] >= c_last_u[None, :],
         ),
-    ).astype(jnp.int32)
+    ).astype(xp.int32)
 
     return (
         qseg[:, None], qpos_adj[:, None], qpos[:, None],
@@ -306,6 +308,127 @@ _WL_START = 1     # first step of an output chain: zero the accumulators
 _WL_END = 2       # last step of a chain: normalize + write out
 _WL_INTERIOR = 4  # tile passes every mask test: skip element masking
 _WL_DEAD = 8      # predicated-off step (traced-metadata fallback only)
+# Bits >= _WL_PAGE_SHIFT carry the PHYSICAL page id of the step's kv block
+# in paged-pool mode (in-kernel block-table reads, reference
+# hopper/paged_kv.h:18,135 PagedKVManager/load_page_table): the kv
+# BlockSpec index map reads `flags[t] >> _WL_PAGE_SHIFT` so each grid step
+# DMAs its page straight from the pool — no gathered KV copy.
+_WL_PAGE_SHIFT = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class VarlenPlan:
+    """A real, reusable scheduler plan (the reference's consumable
+    scheduler_metadata: per-batch splits + ordering computed ONCE by
+    hopper/flash_prepare_scheduler.cu:43 and fed back through
+    hopper/flash_api.cpp:584 — here the exact tile worklist).
+
+    Built on the HOST by `make_varlen_plan` from concrete seqlens, then
+    passed into flash_attention_varlen_fwd (directly or via
+    vllm_compat.get_scheduler_metadata). Because the tables are numpy,
+    the plan stays host-concrete even when the attention call is traced
+    under jit — without a plan, a jitted call can only run the
+    rectangular fallback worklist (traced metadata), re-planning per
+    trace. Build once per shape bucket, reuse across layers and steps.
+    """
+
+    block_q: int
+    block_kv: int
+    causal: bool
+    window: Tuple[int, int]
+    attention_chunk: int
+    total_q: int
+    total_k: int
+    qtab: object   # numpy (n_steps,) int32 q-block per step
+    ktab: object   # numpy (n_steps,) int32 kv-block per step
+    flags: object  # numpy (n_steps,) int32 _WL_* bits (+ page ids)
+    n_steps: int
+
+    def with_pages(self, page_of_block) -> "VarlenPlan":
+        """Fold physical page ids into the flags (paged-pool mode)."""
+        pob = np.asarray(page_of_block, np.int64)
+        flags = (
+            np.asarray(self.flags, np.int64)
+            | (pob[np.asarray(self.ktab, np.int64)] << _WL_PAGE_SHIFT)
+        ).astype(np.int32)
+        return dataclasses.replace(self, flags=flags)
+
+
+def make_varlen_plan(
+    cu_seqlens_q,
+    cu_seqlens_k,
+    *,
+    seqused_q=None,
+    seqused_k=None,
+    total_q: Optional[int] = None,
+    total_k: Optional[int] = None,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+    causal: bool = False,
+    window: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
+    cp_world_size: int = 1,
+    cp_rank: int = 0,
+    cp_tot_seqused_k=None,
+) -> VarlenPlan:
+    """Build the exact forward worklist plan from HOST-concrete seqlens.
+
+    Runs ENTIRELY in numpy (make_varlen_metadata with xp=np), so it works
+    even when invoked from inside a traced region as long as the seqlen
+    arguments themselves are host-concrete; the returned plan is valid
+    inside jit for any tensors matching (total_q, total_k) and the
+    masking configuration it was built for.
+    """
+
+    def host(x):
+        return None if x is None else np.asarray(jax.device_get(x))
+
+    cu_q = np.asarray(jax.device_get(cu_seqlens_q), np.int64)
+    cu_k = np.asarray(jax.device_get(cu_seqlens_k), np.int64)
+    if total_q is None:
+        total_q = int(cu_q[-1])
+    if total_k is None:
+        total_k = int(cu_k[-1])
+    nqb = cdiv(total_q, block_q)
+    nkb = cdiv(total_k, block_kv)
+    (*_, kvmin, kvmax, _, _, interior) = make_varlen_metadata(
+        cu_q, cu_k, total_q, total_k,
+        seqused_q=host(seqused_q), seqused_k=host(seqused_k),
+        block_q=block_q, block_kv=block_kv,
+        causal=causal, window=window,
+        attention_chunk=attention_chunk,
+        cp_world_size=cp_world_size, cp_rank=cp_rank,
+        cp_tot_seqused_k=host(cp_tot_seqused_k),
+        xp=np,
+    )
+    qtab, ktab, flags, n_steps = _worklist_host(
+        np.asarray(kvmin), np.asarray(kvmax), np.asarray(interior), nqb
+    )
+    return VarlenPlan(
+        block_q=block_q, block_kv=block_kv, causal=causal,
+        window=(int(window[0]), int(window[1])),
+        attention_chunk=int(attention_chunk),
+        total_q=total_q, total_k=total_k,
+        qtab=qtab, ktab=ktab, flags=flags, n_steps=n_steps,
+    )
+
+
+def _worklist_host(mn, mx, it, n_chains: int):
+    """Numpy worklist core (shared by build_worklist's host branch and
+    make_varlen_plan, which must stay numpy-pure under tracing)."""
+    spans = (mx - mn + 1).astype(np.int64)
+    total = int(spans.sum())
+    ends = np.cumsum(spans)
+    starts = ends - spans
+    ctab = np.repeat(np.arange(n_chains, dtype=np.int32),
+                     spans).astype(np.int32)
+    stab = (
+        np.arange(total, dtype=np.int64) - starts[ctab] + mn[ctab]
+    ).astype(np.int32)
+    flags = (it[ctab, stab] * _WL_INTERIOR).astype(np.int32)
+    flags[starts] |= _WL_START
+    flags[ends - 1] |= _WL_END
+    return ctab, stab, flags, total
 
 
 def build_worklist(cmin, cmax, interior, n_chains: int, n_steps: int):
@@ -329,21 +452,12 @@ def build_worklist(cmin, cmax, interior, n_chains: int, n_steps: int):
       exact: True when the worklist has no dead steps.
     """
     try:
-        mn = np.asarray(jax.device_get(cmin))
-        mx = np.asarray(jax.device_get(cmax))
-        it = np.asarray(jax.device_get(interior))
-        spans = (mx - mn + 1).astype(np.int64)
-        total = int(spans.sum())
-        ends = np.cumsum(spans)
-        starts = ends - spans
-        ctab = np.repeat(np.arange(n_chains, dtype=np.int32),
-                         spans).astype(np.int32)
-        stab = (
-            np.arange(total, dtype=np.int64) - starts[ctab] + mn[ctab]
-        ).astype(np.int32)
-        flags = (it[ctab, stab] * _WL_INTERIOR).astype(np.int32)
-        flags[starts] |= _WL_START
-        flags[ends - 1] |= _WL_END
+        ctab, stab, flags, total = _worklist_host(
+            np.asarray(jax.device_get(cmin)),
+            np.asarray(jax.device_get(cmax)),
+            np.asarray(jax.device_get(interior)),
+            n_chains,
+        )
         return (
             jnp.asarray(ctab), jnp.asarray(stab), jnp.asarray(flags), total,
             True,
@@ -381,6 +495,7 @@ def _varlen_fwd_kernel(
     score_mod=None, mask_mod=None,
     num_aux: int = 0, aux_shapes: tuple = (), num_aux_scalars: int = 0,
     exact_worklist: bool = True,
+    paged_pool: Optional[str] = None,  # None | "fused" | "pair"
 ):
     # Worklist grid: one flat `t` dimension walks the exact list of visible
     # (q block, kv block) tiles (build_worklist) — zero predicated-off grid
@@ -389,10 +504,15 @@ def _varlen_fwd_kernel(
     # lane-concatenated block), every dynamic index map is a single SMEM
     # table load, and ALL masking is two compares against the per-row
     # [lo, hi] interval columns (k-side metadata rides only with mods).
+    # paged_pool: the kv operand reads pages straight from the KV pool via
+    # page ids packed into the flags table (in-kernel block-table reads).
     has_kmeta = score_mod is not None or mask_mod is not None
     idx = 0
     q_ref = refs[idx]; idx += 1
     kv_ref = refs[idx]; idx += 1
+    v2_ref = None
+    if paged_pool == "pair":
+        v2_ref = refs[idx]; idx += 1
     qv_ref = None
     if has_qv:
         qv_ref = refs[idx]; idx += 1
@@ -459,8 +579,16 @@ def _varlen_fwd_kernel(
 
     def _compute(with_mask: bool):
         q = q_ref[0]  # (bq, d)
-        k = kv_ref[0][:, :d_pad]
-        v = kv_ref[0][:, d_pad:]
+        if paged_pool == "fused":
+            kvt = kv_ref[0, 0]  # (page, kpad+vpad) straight from the pool
+            k = kvt[:, :d_pad]
+            v = kvt[:, d_pad:]
+        elif paged_pool == "pair":
+            k = kv_ref[0, 0]
+            v = v2_ref[0, 0]
+        else:
+            k = kv_ref[0][:, :d_pad]
+            v = kv_ref[0][:, d_pad:]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -1004,11 +1132,49 @@ def flash_attention_varlen_fwd(
     block_q: int = 1024,
     block_kv: int = 512,
     layout: str = "thd",  # "hsd": q/k/v/qv are head-major (h, total, d)
+    kv_pools=None,  # (k_pool, v_pool|None): in-kernel paged-KV reads.
+    # Pools are TPU-native head-major (npages, hk, page, d); v_pool=None
+    # means k_pool is a FUSED K|V pool (K at [:, :kpad], V at [:, kpad:],
+    # runtime/kv_cache.py allocate_fused_paged_kv_cache). block_kv is
+    # forced to the page size; each grid step DMAs its page straight from
+    # the pool through the worklist's page ids — no gathered KV copy
+    # (reference hopper/paged_kv.h:18 PagedKVManager).
+    kv_page_of_block=None,  # (num_kv_blocks,) int32 host-concrete page ids
+    head_dim_v: Optional[int] = None,  # required with a fused pool
+    plan: Optional[VarlenPlan] = None,  # precomputed scheduler plan
+    # (make_varlen_plan) — REQUIRED for the exact worklist under jit,
+    # where traced metadata would otherwise force the rectangular
+    # fallback grid; validated against this call's configuration
     interpret: Optional[bool] = None,
 ):
     """Packed varlen forward. Returns (out (total_q, h, d), lse (h, total_q));
     with layout="hsd", inputs AND out are head-major (h, total, d)."""
-    if layout == "hsd":
+    paged = kv_pools is not None
+    if paged:
+        assert kv_page_of_block is not None
+        k_pool, v_pool = kv_pools
+        fused_pool = v_pool is None
+        npages_pool, num_heads_kv, page = k_pool.shape[:3]
+        assert page % NUM_LANES == 0, "page size must be lane-aligned"
+        block_kv = page
+        total_k = len(kv_page_of_block) * page
+        if layout == "hsd":
+            num_heads, total_q, head_dim = q.shape
+        else:
+            total_q, num_heads, head_dim = q.shape
+        assert not (
+            attn_bias is not None or alibi_slopes is not None
+            or dropout_p > 0.0 or score_mod is not None
+            or mask_mod is not None or qv is not None or cp_world_size > 1
+        ), "paged-pool varlen prefill: mods/bias/alibi/dropout/qv/cp ride the gather route"
+        assert k_pool.dtype.itemsize >= 2, (
+            "quantized pools ride the gather + XLA-upcast route"
+        )
+        if fused_pool:
+            assert head_dim_v is not None
+        else:
+            head_dim_v = v_pool.shape[3]
+    elif layout == "hsd":
         num_heads, total_q, head_dim = q.shape
         num_heads_kv, total_k = k.shape[0], k.shape[1]
     else:
@@ -1016,7 +1182,7 @@ def flash_attention_varlen_fwd(
         total_k, num_heads_kv = k.shape[0], k.shape[1]
     group_size = num_heads // num_heads_kv
     has_qv = qv is not None
-    head_dim_v_ = v.shape[2]
+    head_dim_v_ = v.shape[2] if not paged else head_dim_v
     if softmax_scale is None:
         softmax_scale = (
             (head_dim + head_dim_v_) ** -0.5 if has_qv else head_dim**-0.5
@@ -1029,8 +1195,14 @@ def flash_attention_varlen_fwd(
     nqb = cdiv(total_q, block_q)
     nkb = cdiv(total_k, block_kv)
     d_pad = round_up(head_dim, NUM_LANES)
-    head_dim_v = v.shape[2]  # may differ (MLA / hdimdiff varlen)
+    if not paged:
+        head_dim_v = v.shape[2]  # may differ (MLA / hdimdiff varlen)
     dv_pad = round_up(head_dim_v, NUM_LANES)
+    if paged and fused_pool:
+        # Fused pools pad each section to the lane boundary; the V section
+        # width is whatever remains after K's padded section.
+        assert k_pool.shape[3] == d_pad + dv_pad, (
+            k_pool.shape, d_pad, dv_pad)
 
     (qseg, qpos, qpos_r, lo, hi, diag, kseg, kpos,
      kvmin, kvmax, _, _, interior) = make_varlen_metadata(
@@ -1053,12 +1225,14 @@ def flash_attention_varlen_fwd(
     # Mosaic-rejected native (total, h, d) strided blocks all measured
     # equal-or-worse — PROFILE_VARLEN.md round 4. The transpose/concat prep
     # here is the structural price of the packed (total, h, d) API on TPU;
-    # layout="hsd" callers skip the transposes (round 5).
-    kvp = jnp.concatenate(
-        [_prep_packed(k, block_kv, d_pad, layout),
-         _prep_packed(v, block_kv, dv_pad, layout)],
-        axis=-1,
-    )
+    # layout="hsd" callers skip the transposes (round 5). Paged-pool mode
+    # skips the KV prep entirely — pages are DMAed from the pool in-kernel.
+    if not paged:
+        kvp = jnp.concatenate(
+            [_prep_packed(k, block_kv, d_pad, layout),
+             _prep_packed(v, block_kv, dv_pad, layout)],
+            axis=-1,
+        )
     # Per-token metadata rides as (tqp, 6) q-side columns
     # [seg|pos_adj|pos_raw|lo|hi|diag], fetched once per chain — element
     # masking needs NO k-side metadata (two compares against lo/hi).
@@ -1069,21 +1243,67 @@ def flash_attention_varlen_fwd(
         jnp.concatenate([kseg, kpos], axis=1).T if has_mods else None
     )
 
-    # Exact worklist grid (build_worklist): the flat t dimension enumerates
-    # only the visible tiles; rectangular fallback under traced metadata.
-    qtab, ktab, flags, n_steps, exact = build_worklist(
-        kvmin, kvmax, interior, nqb, nkb
-    )
+    # Exact worklist grid: from a precomputed host plan when given
+    # (the only way to get the exact grid under jit), else built here
+    # (exact when metadata is concrete; rectangular fallback when traced).
+    if plan is not None:
+        assert (plan.block_q, plan.block_kv) == (block_q, block_kv), (
+            "plan was built for tiles "
+            f"({plan.block_q}, {plan.block_kv}), call uses "
+            f"({block_q}, {block_kv})")
+        assert (plan.total_q, plan.total_k) == (total_q, total_k), (
+            "plan/tensor shape mismatch: "
+            f"{(plan.total_q, plan.total_k)} vs {(total_q, total_k)}")
+        assert plan.causal == causal and tuple(plan.window) == window and \
+            plan.attention_chunk == attention_chunk, (
+            "plan masking configuration differs from the call's")
+        if paged:
+            plan = plan.with_pages(kv_page_of_block)
+        qtab = jnp.asarray(plan.qtab)
+        ktab = jnp.asarray(plan.ktab)
+        flags = jnp.asarray(plan.flags)
+        n_steps, exact = plan.n_steps, True
+    else:
+        qtab, ktab, flags, n_steps, exact = build_worklist(
+            kvmin, kvmax, interior, nqb, nkb
+        )
+        if paged:
+            assert exact, (
+                "paged-pool varlen needs host-concrete seqlens or a "
+                "precomputed plan (make_varlen_plan)")
+            pob = jnp.asarray(kv_page_of_block, jnp.int32)
+            flags = flags | (pob[ktab] << _WL_PAGE_SHIFT)
     in_specs = [
         pl.BlockSpec((1, block_q, d_pad),
                      lambda h, t, qt, kt, fl: (h, qt[t], 0)),
-        pl.BlockSpec(
+    ]
+    args = [qp]
+    if paged:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, page, k_pool.shape[3]),
+            lambda h, t, qt, kt, fl: (
+                fl[t] >> _WL_PAGE_SHIFT, h // group_size, 0, 0
+            ),
+        ))
+        args.append(k_pool)
+        if not fused_pool:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, page, v_pool.shape[3]),
+                lambda h, t, qt, kt, fl: (
+                    fl[t] >> _WL_PAGE_SHIFT, h // group_size, 0, 0
+                ),
+            ))
+            args.append(v_pool)
+    else:
+        in_specs.append(pl.BlockSpec(
             (1, block_kv, d_pad + dv_pad),
             lambda h, t, qt, kt, fl: (h // group_size, kt[t], 0),
-        ),
-        pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0)),
-    ]
-    args = [qp, kvp, qmeta]
+        ))
+        args.append(kvp)
+    in_specs.append(
+        pl.BlockSpec((block_q, 6), lambda h, t, qt, kt, fl: (qt[t], 0))
+    )
+    args.append(qmeta)
     if has_mods:
         in_specs.append(pl.BlockSpec(
             (2, block_kv), lambda h, t, qt, kt, fl: (0, kt[t])
@@ -1174,6 +1394,9 @@ def flash_attention_varlen_fwd(
         num_aux=len(aux_tensors), aux_shapes=aux_shapes,
         num_aux_scalars=len(aux_scalars),
         exact_worklist=exact,
+        paged_pool=(
+            ("fused" if fused_pool else "pair") if paged else None
+        ),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1193,9 +1416,13 @@ def flash_attention_varlen_fwd(
         ],
     )
 
+    kv_bytes = (
+        k_pool.size * k_pool.dtype.itemsize if paged
+        else kvp.size * kvp.dtype.itemsize
+    )
     cost = pl.CostEstimate(
         flops=4 * block_q * block_kv * (d_pad + dv_pad) * num_heads * n_steps,
-        bytes_accessed=(qp.size + kvp.size) * 2,
+        bytes_accessed=qp.size * qp.dtype.itemsize + kv_bytes,
         transcendentals=block_q * block_kv * num_heads * n_steps,
     )
     out, lse = pl.pallas_call(

@@ -38,11 +38,15 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class SchedulerMetadata:
-    """Opaque scheduler plan (reference: the int32 tensor produced by
-    mha_fwd_get_scheduler_metadata, hopper/flash_api.cpp:584). On TPU the
-    split/tile planning happens at trace time from static shapes, so this
-    records the validated call signature; passing it back into
-    flash_attn_varlen_func asserts the shapes it was built for."""
+    """A REAL scheduler plan (reference: the consumable int32 tensor
+    produced by mha_fwd_get_scheduler_metadata, hopper/flash_api.cpp:584,
+    computed by hopper/flash_prepare_scheduler.cu:43). `plan` carries the
+    exact tile worklist (kernels/flash_varlen.py VarlenPlan) built ONCE
+    from the step's seqlens; flash_attn_varlen_func consumes it instead of
+    re-planning per layer per call — and it is the only way a call traced
+    under jit gets the exact worklist grid (traced metadata otherwise
+    forces the rectangular fallback). `page_size` records the paged-KV
+    granularity the plan's kv axis was built for (page-aligned packing)."""
 
     batch_size: int
     max_seqlen_q: int
@@ -51,6 +55,8 @@ class SchedulerMetadata:
     num_heads_kv: int
     headdim: int
     causal: bool
+    plan: Optional[object] = None       # kernels/flash_varlen.VarlenPlan
+    page_size: Optional[int] = None
 
 
 def get_scheduler_metadata(
@@ -68,17 +74,44 @@ def get_scheduler_metadata(
     window_size: Tuple[int, int] = (-1, -1),
     has_softcap: bool = False,
     num_splits: int = 0,
+    page_size: Optional[int] = None,
     **_unused,
 ) -> SchedulerMetadata:
-    """API-parity analog of the reference's GPU-side prepare-scheduler
-    (vllm_flash_attn/flash_attn_interface.py:94). The actual block planning
-    runs at trace time (see kernels/flash_varlen.py make_varlen_metadata);
-    this returns a signature record used for validation."""
-    del cache_seqlens, qkv_dtype, headdim_v, cu_seqlens_q, window_size
-    del has_softcap, num_splits
+    """Reference analog: vllm_flash_attn/flash_attn_interface.py:94.
+
+    With host-concrete cu_seqlens_q + cache_seqlens and a page_size, this
+    builds the actual worklist plan for the paged chunked-prefill path
+    (the pages-per-sequence packed kv layout flash_attn_varlen_func
+    dispatches); otherwise it returns a validation-only record."""
+    del qkv_dtype, headdim_v, has_softcap, num_splits
+    plan = None
+    if (
+        cu_seqlens_q is not None and cache_seqlens is not None
+        and page_size
+    ):
+        import numpy as np
+
+        from flash_attn_tpu.kernels.flash_varlen import make_varlen_plan
+
+        try:
+            cu_q_host = np.asarray(jax.device_get(cu_seqlens_q), np.int64)
+            used = np.asarray(jax.device_get(cache_seqlens), np.int64)
+            pages = np.maximum(-(-used // page_size), 1)
+            cu_k_pad = np.concatenate(
+                [[0], np.cumsum(pages * page_size)]
+            ).astype(np.int64)
+            plan = make_varlen_plan(
+                cu_q_host, cu_k_pad, seqused_k=used.astype(np.int32),
+                block_q=1024, block_kv=int(page_size), causal=causal,
+                window=(int(window_size[0]), int(window_size[1])),
+            )
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            plan = None
     return SchedulerMetadata(
         batch_size, max_seqlen_q, max_seqlen_k,
         num_heads_q, num_heads_kv, headdim, causal,
+        plan=plan, page_size=page_size,
     )
 
 
@@ -109,6 +142,11 @@ def flash_attn_varlen_func(
     cp_world_size: int = 1,   # context parallelism (reference
     cp_rank: int = 0,         #  vllm_flash_attn/flash_attn_interface.py:166)
     cp_tot_seqused_k=None,
+    kv_cache_layout: str = "phd",  # paged pool layout: "phd" = the torch
+    # (npages, page, hk, d) convention; "hpd" = TPU-native head-major
+    # (npages, hk, page, d); "hpd_fused" = fused K|V pool (v ignored,
+    # runtime/kv_cache.py allocate_fused_paged_kv_cache) — head-major
+    # pools with page >= 256 get IN-KERNEL block-table reads (zero-copy)
     **kwargs,
 ):
     """vLLM's varlen entry (vllm_flash_attn/flash_attn_interface.py:136).
@@ -170,18 +208,23 @@ def flash_attn_varlen_func(
     # returns packed outputs directly (no repack scatter). Decode-shaped
     # calls (sq <= 4) and quantized/sink/descale features stay on the
     # decode kernel's multipage DMA pipeline.
+    quant_pool = k.dtype.itemsize == 1
     use_varlen_paged = (
         sq > 4
-        and k.dtype.itemsize >= 2
-        and q_descale is None and k_descale is None and v_descale is None
+        and q_descale is None
+        # Quantized pools carry k/v dequant descales — served below via
+        # the gather + XLA-upcast route (round 5; the round-4 gate that
+        # sent quantized serving caches to the padded decode path is
+        # gone). >=2-byte pools with descales still go to the decode path.
+        and (quant_pool or (k_descale is None and v_descale is None))
         and s_aux is None
         and cp_world_size == 1
     )
     if use_varlen_paged:
         import numpy as np
 
-        # The gather plan needs host-concrete per-sequence lengths; under
-        # jit with traced seqused_k a full-block-table fallback would
+        # The plan needs host-concrete per-sequence lengths; under jit
+        # with traced seqused_k a full-block-table fallback would
         # materialize nseq*max_pages*page tokens of K/V per call (the
         # memory blowup this path exists to avoid), so traced-length calls
         # route to the padded decode path below instead (ADVICE r4).
@@ -196,22 +239,129 @@ def flash_attn_varlen_func(
         )
         from flash_attn_tpu.utils.fa_logging import log_dispatch
 
-        npages_pool, page, hk, _ = k.shape
+        if kv_cache_layout == "phd":
+            npages_pool, page, hk = k.shape[0], k.shape[1], k.shape[2]
+        else:  # head-major pools
+            npages_pool, hk, page = k.shape[0], k.shape[1], k.shape[2]
         table = jnp.asarray(block_table, jnp.int32)
         pages_per_seq = [
             max(1, int(-(-int(u) // page))) for u in used_host
         ]
-        pages_in_order = jnp.concatenate(
-            [table[j, : pages_per_seq[j]] for j in range(nseq)]
-        )
         cu_k_pad = np.concatenate(
             [[0], np.cumsum([p * page for p in pages_per_seq])]
         ).astype(np.int32)
-        pages_in_order = jnp.clip(pages_in_order, 0, npages_pool - 1)
-        k_packed = k[pages_in_order].reshape(-1, hk, k.shape[3])
-        v_packed = v[pages_in_order].reshape(-1, hk, v.shape[3])
+        # The in-kernel route needs the page list AND cu_seqlens_q on the
+        # HOST (they become the static worklist plan); a traced
+        # block_table / cu_seqlens_q (jit args) can still ride the gather
+        # route, whose page indexing stays on device.
+        try:
+            bt_host = np.asarray(jax.device_get(block_table), np.int64)
+            cu_q_host = np.asarray(jax.device_get(cu_q), np.int64)
+            pages_np = np.concatenate(
+                [bt_host[j, : pages_per_seq[j]] for j in range(nseq)]
+            ).clip(0, npages_pool - 1).astype(np.int32)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            pages_np = None
+        if pages_np is not None:
+            pages_in_order = jnp.asarray(pages_np)
+        else:
+            pages_in_order = jnp.clip(
+                jnp.concatenate(
+                    [table[j, : pages_per_seq[j]] for j in range(nseq)]
+                ), 0, npages_pool - 1,
+            )
+
+        if (
+            kv_cache_layout in ("hpd", "hpd_fused")
+            and page >= 512
+            and not quant_pool
+            and pages_np is not None
+        ):
+            # IN-KERNEL block-table reads (reference hopper/paged_kv.h:18
+            # PagedKVManager): the varlen kernel's kv BlockSpec DMAs each
+            # page straight from the pool via per-step page ids — K/V are
+            # never materialized. Head-major pools only (Mosaic needs the
+            # pool's last-2 dims lane-tiled: (page, d)). The kv tile is
+            # pinned to the page size, so small pages lose more to
+            # per-step grid cost than the gather's one-pass KV copy
+            # costs — measured v5e, 3 seqs ~12.6k tokens: page=512
+            # in-kernel 86.9 vs gather 70.6 TF/s; page=256 in-kernel 59.4
+            # vs gather 69.1. Threshold 512.
+            fused = kv_cache_layout == "hpd_fused"
+            log_dispatch("varlen", route="paged-prefill-inkernel",
+                         page=page, nseq=nseq, total_q=total_q,
+                         fused=fused)
+            from flash_attn_tpu.kernels.flash_varlen import (
+                make_varlen_plan,
+            )
+
+            sm = scheduler_metadata
+            if (
+                sm is not None and getattr(sm, "plan", None) is not None
+                and sm.plan.block_kv == page
+                and sm.plan.total_q == total_q
+                and sm.plan.total_k == int(cu_k_pad[-1])
+            ):
+                # Plan built once by get_scheduler_metadata, reused
+                # across layers/steps — zero per-call planning.
+                plan = sm.plan
+            else:
+                plan = make_varlen_plan(
+                    cu_q_host, cu_k_pad,
+                    seqused_k=used_host.astype(np.int32),
+                    block_q=1024, block_kv=page, causal=True,
+                    window=(int(window_size[0]), int(window_size[1])),
+                )
+            out, lse = flash_attention_varlen_fwd(
+                q, None, None, cu_q, jnp.asarray(cu_k_pad),
+                seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+                softmax_scale=softmax_scale, causal=True,
+                window_size=window_size, softcap=softcap,
+                kv_pools=(k, None) if fused else (k, v),
+                kv_page_of_block=pages_np,
+                head_dim_v=head_dim if fused else None,
+                block_q=1024, block_kv=page,
+                plan=plan,
+            )
+            return (out, lse) if return_softmax_lse else out
+
+        if kv_cache_layout == "phd":
+            k_packed = k[pages_in_order].reshape(-1, hk, k.shape[3])
+            v_packed = v[pages_in_order].reshape(-1, hk, v.shape[3])
+        else:
+            assert kv_cache_layout == "hpd", kv_cache_layout
+            k_packed = k[pages_in_order].transpose(0, 2, 1, 3).reshape(
+                -1, hk, k.shape[3])
+            v_packed = v[pages_in_order].transpose(0, 2, 1, 3).reshape(
+                -1, hk, v.shape[3])
+        if quant_pool:
+            # Quantized pools: gather the 1-byte pages (HALF the gather
+            # bytes of bf16), then ONE fused XLA pass upcasts at HBM speed
+            # and applies the per-head dequant descales (fp8 fwd stays on
+            # XLA-level upcasts — kernels/common.py upcast_quant_tile
+            # notes; in-kernel fp8 convert crawls).
+            def dequant(x, scale):
+                xb = x.astype(jnp.bfloat16)
+                if scale is None:
+                    return xb
+                s = jnp.asarray(scale, jnp.float32)
+                if s.ndim == 1:  # (hk,)
+                    return (xb.astype(jnp.float32)
+                            * s[None, :, None]).astype(jnp.bfloat16)
+                # (nseq, hk): per-sequence scales -> per-token rows.
+                seq_of_page = np.repeat(
+                    np.arange(nseq), pages_per_seq).astype(np.int32)
+                rows = jnp.repeat(
+                    jnp.asarray(seq_of_page), page, total_repeat_length=len(
+                        seq_of_page) * page)
+                return (xb.astype(jnp.float32)
+                        * s[rows][:, :, None]).astype(jnp.bfloat16)
+
+            k_packed = dequant(k_packed, k_descale)
+            v_packed = dequant(v_packed, v_descale)
         log_dispatch("varlen", route="paged-prefill-gather", page=page,
-                     nseq=nseq, total_q=total_q)
+                     nseq=nseq, total_q=total_q, quant=quant_pool)
         out, lse = flash_attention_varlen_fwd(
             q, k_packed, v_packed, cu_q, jnp.asarray(cu_k_pad),
             seqused_k=seqused_k, alibi_slopes=alibi_slopes,
@@ -230,8 +380,19 @@ def flash_attn_varlen_func(
         nseq, sq, num_heads, head_dim
     )
 
-    kc = k.transpose(0, 2, 1, 3)  # (npages, hk, page, d)
-    vc = v.transpose(0, 2, 1, 3)
+    if kv_cache_layout == "phd":
+        kc = k.transpose(0, 2, 1, 3)  # (npages, hk, page, d)
+        vc = v.transpose(0, 2, 1, 3)
+        fused_kwargs = {}
+    elif kv_cache_layout == "hpd":
+        kc, vc = k, v  # already the decode kernel's native layout
+        fused_kwargs = {}
+    else:  # hpd_fused: K|V fused pool
+        assert kv_cache_layout == "hpd_fused", kv_cache_layout
+        kc, vc = k, None
+        fused_kwargs = dict(
+            fused_kv_dim=head_dim, fused_kv_dim_v=head_dim,
+        )
     if q_descale is not None:
         # FP8 serving descale (reference hopper/flash_api.cpp FP8 params,
         # vllm_flash_attn/flash_attn_interface.py:136-169): q_descale is per
@@ -259,6 +420,7 @@ def flash_attn_varlen_func(
         causal=True,  # vLLM's serving path is always causal
         window_left=int(window_size[0]),
         softcap=softcap,
+        **fused_kwargs,
     )
 
     # Repack to (total_q, h, d).

@@ -342,3 +342,148 @@ def test_varlen_paged_q_descale():
     )
     err = np.abs(np.asarray(out, np.float32) - ref).max()
     assert err < 4e-2, err
+
+
+def _mk_paged(page=512, h=4, hk=2, d=128, lens=(300, 900), npages=12,
+              seed=0):
+    rng = np.random.RandomState(seed)
+    nseq = len(lens)
+    maxp = max(-(-l // page) for l in lens)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    seqused = jnp.asarray(lens, jnp.int32)
+    total_q = int(sum(lens))
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (total_q, h, d), jnp.bfloat16)
+    k_phd = jax.random.normal(ks[1], (npages, page, hk, d), jnp.bfloat16)
+    v_phd = jax.random.normal(ks[2], (npages, page, hk, d), jnp.bfloat16)
+    bt = jnp.asarray(
+        rng.permutation(npages)[: nseq * maxp].reshape(nseq, maxp),
+        jnp.int32,
+    )
+    return q, k_phd, v_phd, cu_q, seqused, bt
+
+
+def test_paged_prefill_inkernel_block_table_reads():
+    """In-kernel block-table reads (reference hopper/paged_kv.h:18): the
+    head-major pool route must match the gather route, eager and jitted
+    (jit being the serving pattern the plan machinery exists for)."""
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged()
+    ref = flash_attn_varlen_func(
+        q, k_phd, v_phd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt)
+    k_hpd = k_phd.transpose(0, 2, 1, 3)
+    v_hpd = v_phd.transpose(0, 2, 1, 3)
+    got = flash_attn_varlen_func(
+        q, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd")
+    err = jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)).max()
+    assert err <= 5e-3, float(err)
+    jfn = jax.jit(lambda q: flash_attn_varlen_func(
+        q, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd"))
+    errj = jnp.abs(
+        ref.astype(jnp.float32) - jfn(q).astype(jnp.float32)).max()
+    assert errj <= 5e-3, float(errj)
+    # Fused K|V pool (engine layout).
+    kv_fused = jnp.concatenate([k_hpd, v_hpd], axis=-1)
+    got_f = flash_attn_varlen_func(
+        q, kv_fused, None, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd_fused")
+    err_f = jnp.abs(
+        ref.astype(jnp.float32) - got_f.astype(jnp.float32)).max()
+    assert err_f <= 5e-3, float(err_f)
+
+
+def test_paged_prefill_quantized_pools():
+    """Quantized (int8/fp8) pools ride the varlen prefill path with
+    gathered 1-byte pages + XLA upcast/descale (round-5: no more padded
+    decode-kernel fallback for the engine-default quantized caches)."""
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged()
+    ref = flash_attn_varlen_func(
+        q, k_phd, v_phd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt)
+    for qdtype in (jnp.int8, jnp.float8_e4m3fn):
+        if qdtype == jnp.int8:
+            scale = 0.04
+            kq = jnp.clip(jnp.round(
+                k_phd.astype(jnp.float32) / scale), -127, 127).astype(qdtype)
+            vq = jnp.clip(jnp.round(
+                v_phd.astype(jnp.float32) / scale), -127, 127).astype(qdtype)
+        else:
+            scale = 1.0
+            kq = k_phd.astype(qdtype)
+            vq = v_phd.astype(qdtype)
+        hk = k_phd.shape[2]
+        sc = jnp.full((hk,), scale, jnp.float32)
+        got = flash_attn_varlen_func(
+            q, kq, vq, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+            seqused_k=seqused, causal=True, block_table=bt,
+            k_descale=sc, v_descale=sc)
+        err = jnp.abs(
+            ref.astype(jnp.float32) - got.astype(jnp.float32)).max()
+        # int8 @ 0.04 scale quantizes finer than fp8 e4m3's 3-bit mantissa.
+        bound = 0.12 if qdtype == jnp.int8 else 0.3
+        assert err <= bound, (str(qdtype), float(err))
+
+
+def test_scheduler_metadata_real_plan_reuse():
+    """get_scheduler_metadata now builds the actual worklist plan
+    (reference flash_prepare_scheduler.cu:43); the varlen func consumes
+    it without re-planning, and the result is identical."""
+    page = 512
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged(page=page)
+    k_hpd = k_phd.transpose(0, 2, 1, 3)
+    v_hpd = v_phd.transpose(0, 2, 1, 3)
+    sm = get_scheduler_metadata(
+        batch_size=2, max_seqlen_q=1024, max_seqlen_k=1024,
+        num_heads_q=4, num_heads_kv=2, headdim=128,
+        cache_seqlens=seqused, cu_seqlens_q=cu_q, causal=True,
+        page_size=page,
+    )
+    assert sm.plan is not None and sm.plan.n_steps > 0
+    base = flash_attn_varlen_func(
+        q, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd")
+    with_plan = flash_attn_varlen_func(
+        q, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd", scheduler_metadata=sm)
+    assert jnp.array_equal(base, with_plan)
+
+
+def test_varlen_plan_main_interface():
+    """make_varlen_plan + flash_attn_varlen_func(plan=...) on the packed
+    (non-paged) path: identical output to self-planned, eager and jit."""
+    from flash_attn_tpu import flash_attn_varlen_func as main_varlen
+    from flash_attn_tpu import make_varlen_plan
+
+    lens = [200, 380, 120]
+    total = sum(lens)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    H, D = 4, 64
+    q = jax.random.normal(ks[0], (total, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, H, D), jnp.bfloat16)
+    plan = make_varlen_plan(
+        cu, cu, block_q=512, block_kv=512, causal=True)
+    base = main_varlen(q, k, v, cu, cu, causal=True,
+                       block_q=512, block_kv=512)
+    got = main_varlen(q, k, v, cu, cu, causal=True,
+                      block_q=512, block_kv=512, plan=plan)
+    assert jnp.array_equal(base, got)
+    jfn = jax.jit(lambda q, k, v: main_varlen(
+        q, k, v, cu, cu, causal=True, block_q=512, block_kv=512,
+        plan=plan))
+    gotj = jfn(q, k, v)
+    err = jnp.abs(
+        base.astype(jnp.float32) - gotj.astype(jnp.float32)).max()
+    assert err <= 5e-3, float(err)
+    # Mismatched plan config is rejected loudly.
+    with pytest.raises(AssertionError):
+        main_varlen(q, k, v, cu, cu, causal=False,
+                    block_q=512, block_kv=512, plan=plan)

@@ -94,6 +94,14 @@ class EngineConfig:
     # a per-layer {layer_idx: scalar} dict. fp8 e4m3's wide dynamic range
     # makes 1.0 a safe default; int8 should be calibrated to ~amax/127.
     kv_cache_scale: float | dict = 1.0
+    # Multi-process SPMD serving hook: every device upload (tokens,
+    # offsets, block tables, rng keys, and the KV pools at allocation)
+    # passes through this callable. Under jax.distributed with a global
+    # mesh, set it to a host_local_array_to_global_array wrapper so ONE
+    # logical engine runs across processes (every process executes the
+    # same deterministic host loop; tests/multihost_worker.py). None =
+    # plain jnp.asarray (single-process).
+    device_put_fn: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -240,7 +248,13 @@ class LLMEngine:
                 for i in range(mc.n_layer)
             }
 
+        self._put = (
+            config.device_put_fn
+            if config.device_put_fn is not None else jnp.asarray
+        )
         self.caches = alloc_caches(c)
+        if config.device_put_fn is not None:
+            self.caches = jax.tree.map(self._put, self.caches)
         self.draft_model = draft_model
         self.draft_params = draft_params
         self.draft_caches = None
@@ -453,17 +467,17 @@ class LLMEngine:
                 self.caches, self.draft_caches = self._prefill_spec_fn(
                     self.params, self.draft_params,
                     self.caches, self.draft_caches,
-                    jnp.asarray(tokens),
-                    jnp.asarray(offsets),
-                    jnp.asarray(tables),
+                    self._put(jnp.asarray(tokens)),
+                    self._put(jnp.asarray(offsets)),
+                    self._put(jnp.asarray(tables)),
                 )
             else:
                 self.caches = self._prefill_fn(
                     self.params,
                     self.caches,
-                    jnp.asarray(tokens),
-                    jnp.asarray(offsets),
-                    jnp.asarray(tables),
+                    self._put(jnp.asarray(tokens)),
+                    self._put(jnp.asarray(offsets)),
+                    self._put(jnp.asarray(tables)),
                 )
             ids = list(map(int, batch.request_ids))
             self.sched.report(ids, [0] * n, [0] * n)
@@ -500,8 +514,10 @@ class LLMEngine:
         if self.config.speculative_k > 0:
             dt, gt, self.caches, self.draft_caches = self._spec_decode_fn(
                 self.params, self.draft_params,
-                self.caches, self.draft_caches, jnp.asarray(tokens),
-                jnp.asarray(offsets), jnp.asarray(tables),
+                self.caches, self.draft_caches,
+                self._put(jnp.asarray(tokens)),
+                self._put(jnp.asarray(offsets)),
+                self._put(jnp.asarray(tables)),
             )
             dt, gt = np.asarray(dt), np.asarray(gt)
             K = self.config.speculative_k
@@ -515,8 +531,9 @@ class LLMEngine:
             self._rng, k = jax.random.split(self._rng)
             nxt, self.caches = self._decode_fn(
                 self.params,
-                self.caches, jnp.asarray(tokens), jnp.asarray(offsets),
-                jnp.asarray(tables), k,
+                self.caches, self._put(jnp.asarray(tokens)),
+                self._put(jnp.asarray(offsets)),
+                self._put(jnp.asarray(tables)), self._put(k),
             )
             nxt = np.asarray(nxt)  # (mb, decode_depth)
             cand = [[int(t) for t in nxt[i]] for i in range(n)]

@@ -146,6 +146,100 @@ if is_primary():
     print(f"ENGINE_DP_OK tokens={n_toks * nproc} "
           f"agg_tps={rates.sum():.1f} scaling_eff={eff:.2f}")
 
+# --- 3b. ONE engine across processes (SPMD over the global mesh) -----------
+# The engine-level DCN-coupling record (VERDICT r4 #6): the SAME engine
+# loop runs in every process as one logical SPMD program — every device
+# upload becomes a globally-replicated array (EngineConfig.device_put_fn),
+# params/caches are global, and all processes execute the identical
+# deterministic host schedule. Per-device work is IDENTICAL to the local
+# single-process engine (full replication), so t_local / t_global isolates
+# the cross-process dispatch + consistency cost a pod deployment pays on
+# top of perfect DP scaling. Tokens must match the golden run exactly.
+from jax.sharding import PartitionSpec as _P
+
+
+def _to_global_rep(x):
+    # Replication needs NO cross-process traffic: each process fills its
+    # local shards from its own (identical, deterministic) copy.
+    # host_local_array_to_global_array would handshake through the
+    # coordinator per call (~100ms each) and dominate every engine step.
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, _P()), lambda idx: x[idx]
+    )
+
+
+_HEAVY = os.environ.get("FLASH_ATTN_TPU_PROXY_HEAVY", "0") == "1"
+if _HEAVY:
+    # Serving-realistic weight: enough per-step compute that the
+    # cross-process sync amortizes (the committed RESULTS.md row; the
+    # default tiny config just measures the fixed sync floor).
+    cfg_s = GPTConfig(
+        vocab_size=512, n_positions=0, n_embd=512, n_layer=4, n_head=8,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", qkv_proj_bias=False,
+        out_proj_bias=False, mlp_fc1_bias=False, mlp_fc2_bias=False,
+        dtype=jnp.float32,
+    )
+    model_s = GPTLMHeadModel(cfg_s)
+    params_s = model_s.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))
+    mk_ecfg = lambda **kw: EngineConfig(
+        max_batch_size=4, page_size=32, num_pages=96, max_pages_per_seq=8,
+        prefill_chunk=32, max_seqlen=256, top_k=1, **kw)
+    prompts_shared = [
+        [1 + (3 * i + j) % 500 for j in range(40 + 8 * i)] for i in range(4)
+    ]
+    NEW_S = 48
+else:
+    cfg_s, model_s, params_s = cfg, model, params
+    mk_ecfg = lambda **kw: EngineConfig(
+        max_batch_size=2, page_size=16, num_pages=32, max_pages_per_seq=8,
+        prefill_chunk=16, max_seqlen=128, top_k=1, **kw)
+    prompts_shared = [[1 + (3 * i + j) % 96 for j in range(5 + i)]
+                      for i in range(2)]
+    NEW_S = NEW
+
+params_g = jax.tree.map(_to_global_rep, params_s)
+
+
+def timed(e, base):
+    t0 = time.perf_counter()
+    toks = e.generate([[t + 1 for t in p[:-1]] + [base] for p in
+                       prompts_shared], NEW_S)
+    return sum(len(t) for t in toks), time.perf_counter() - t0
+
+
+# The per-dispatch cross-process rendezvous is the DCN-analog cost; the
+# engine's own amortization lever is multi-step decode (decode_depth: N
+# sampled tokens per dispatch). Record the efficiency curve.
+depth_rows = []
+for depth in ([1, 8] if _HEAVY else [1]):
+    eng_spmd = LLMEngine(
+        model_s, params_g,
+        mk_ecfg(device_put_fn=_to_global_rep, decode_depth=depth))
+    eng_local2 = LLMEngine(model_s, params_s, mk_ecfg(decode_depth=depth))
+    golden_spmd = eng_local2.generate(prompts_shared, NEW_S)
+    spmd_toks = eng_spmd.generate(prompts_shared, NEW_S)  # warm/compile
+    assert spmd_toks == golden_spmd, (spmd_toks, golden_spmd)
+    timed(eng_local2, 7)  # warm the fresh prompt shapes
+    timed(eng_spmd, 7)
+    multihost_utils.sync_global_devices(f"spmd_local_start_{depth}")
+    ntok_e, t_loc_e = timed(eng_local2, 11)
+    multihost_utils.sync_global_devices(f"spmd_global_start_{depth}")
+    _, t_glob_e = timed(eng_spmd, 11)
+    multihost_utils.sync_global_devices(f"spmd_global_end_{depth}")
+    ts_e = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([t_loc_e, t_glob_e])))
+    t_le, t_ge = float(ts_e[..., 0].max()), float(ts_e[..., 1].max())
+    eff_spmd = min(t_le / t_ge, 1.0) if t_ge > 0 else 0.0
+    depth_rows.append((depth, ntok_e, t_le, t_ge, eff_spmd))
+if is_primary():
+    for depth, ntok_e, t_le, t_ge, eff_spmd in depth_rows:
+        print(f"ENGINE_SPMD_OK heavy={int(_HEAVY)} depth={depth} "
+              f"tokens={ntok_e} t_local={t_le:.3f} t_global={t_ge:.3f} "
+              f"coupling_eff={eff_spmd:.3f}")
+
 # --- 4. Compute-bound scaling proxy: equal-total-work overhead ------------
 # One host core cannot show parallel speedup (N processes time-share it, so
 # agg/(N*solo) ~ 1/N by construction). What IS measurable is DISTRIBUTION

@@ -39,3 +39,4 @@ def test_two_process_distributed():
         assert p.returncode == 0, out[-2000:]
     assert any("MULTIHOST_OK" in o for o in outs)
     assert any("ENGINE_DP_OK" in o for o in outs), outs[0][-2000:]
+    assert any("ENGINE_SPMD_OK" in o for o in outs), outs[0][-2000:]

@@ -22,6 +22,7 @@ SCRIPTS = [
     "benchmark_decode.py",
     "benchmark_sparse.py",
     "benchmark_varlen.py",
+    "benchmark_blocksparse.py",
     "benchmark_quant.py",
     "benchmark_serving.py",
     "benchmark_train_mfu.py",

@@ -99,13 +99,14 @@ def run_case(name, mask_mod, aux, density, *, b, h, s, d, tiles, quick):
                 block_sparse_tensors=bst), q, **it,
         )
         rows.append(dict(
-            case=name, tile=(tm, tn), density=round(density, 4),
-            block_density=round(live / total, 4),
+            bench="blocksparse_mod", case=name, tile=f"{tm}x{tn}",
+            density=round(density, 4),
+            block_density=round(float(live) / total, 4),
             dense_us=round(t_dense * 1e6, 1),
             sparse_us=round(t_sp * 1e6, 1),
             speedup=round(t_dense / t_sp, 2),
         ))
-        print(rows[-1])
+        print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
@@ -119,7 +120,7 @@ def main():
     s = args.seqlen
     b, h, d = 1, 16, 128
     tiles = [(512, 512)] if args.quick else [
-        (512, 512), (1024, 512), (512, 1024), (256, 512), (1024, 1024),
+        (512, 512), (1024, 512), (1024, 1024),
     ]
     out = []
     mm, aux, rho = doc_mask(s, ndocs=5)

@@ -161,6 +161,7 @@ def main():
         drift = np.abs(lp_q - lp_ref)
         ppl_q = float(np.exp(-lp_q.mean()))
         rows.append(dict(
+            bench="quant_kv_accuracy",
             kv_cache_dtype=name,
             mean_abs_logprob_drift=round(float(drift.mean()), 5),
             p99_abs_logprob_drift=round(
@@ -172,7 +173,7 @@ def main():
             model=f"{nlayer}L-{nembd}d random-init",
             tokens_scored=int(lp_ref.size),
         ))
-        print(rows[-1], flush=True)
+        print(json.dumps(rows[-1]), flush=True)
     if args.json:
         print(json.dumps(rows))
 

@@ -24,6 +24,7 @@ SCRIPTS = [
     "benchmark_varlen.py",
     "benchmark_blocksparse.py",
     "benchmark_quant.py",
+    "quant_kv_accuracy.py",
     "benchmark_serving.py",
     "benchmark_train_mfu.py",
 ]
@@ -97,6 +98,28 @@ def _multihost_scaling():
                      "DCN-analog (gRPC) collective overhead — the "
                      "core-limited host cannot show raw parallel speedup"),
         })
+    for out in outs:
+        for sm in re.finditer(
+            r"ENGINE_SPMD_OK heavy=(\d) depth=(\d+) tokens=(\d+) "
+            r"t_local=([\d.]+) t_global=([\d.]+) coupling_eff=([\d.]+)",
+            out,
+        ):
+            rows.append({
+                "bench": "multihost_engine_spmd", "nproc": 2,
+                "decode_depth": int(sm.group(2)),
+                "tokens": int(sm.group(3)),
+                "t_local_s": float(sm.group(4)),
+                "t_global_s": float(sm.group(5)),
+                "coupling_eff": float(sm.group(6)),
+                "tokens_exact": "yes",
+                "note": ("ONE engine SPMD across 2 processes "
+                         "(device_put_fn replication); tokens EXACTLY "
+                         "equal the single-process golden. coupling_eff "
+                         "is the distributed-CPU dispatch floor, not pod "
+                         "behavior"),
+            })
+        if rows and rows[-1]["bench"] == "multihost_engine_spmd":
+            break
     return rows
 
 

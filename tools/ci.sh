@@ -31,6 +31,7 @@ import jax, sys; sys.exit(0 if jax.default_backend() == 'tpu' else 1)
         tests/test_flash_attn.py tests/test_kvcache.py \
         tests/test_headdim_v.py tests/test_sparse_and_mods.py \
         tests/test_quant.py tests/test_varlen.py \
+        tests/test_block_sparsity.py tests/test_vllm_compat.py \
         tests/test_determinism_stress.py \
         -q -x
 else

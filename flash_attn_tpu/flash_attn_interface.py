@@ -994,7 +994,10 @@ def _varlen_blocksparse(
         (total_q + 1, num_heads, flat_out.shape[-1]), out_p.dtype
     ).at[dst].set(flat_out)[:total_q]
     flat_lse = lse_p.transpose(0, 2, 1).reshape(nseq * sq, num_heads)
-    lse = jnp.zeros((total_q + 1, num_heads), jnp.float32) \
+    # Unwritten rows (seqused_q-trimmed) must read -inf, matching the
+    # varlen kernel's lse contract ("out rows zero, lse rows -inf") so
+    # logsumexp-weighted combines treat them as zero mass.
+    lse = jnp.full((total_q + 1, num_heads), -jnp.inf, jnp.float32) \
         .at[dst].set(flat_lse)[:total_q].T
     if return_attn_probs:
         return out, lse, None

@@ -323,6 +323,43 @@ def compute_block_sparsity_varlen(
 # ---------------------------------------------------------------------------
 
 
+def _check_plan_grid(bst: BlockSparseTensors, batch: int, num_heads: int,
+                     num_m: int, num_n: int):
+    """Reject a plan built for a different (seqlen, tile) grid: the
+    worklist row decode (`row % nm`, `row // (h*nm)`) and the kv index
+    lists are meaningful only on the grid the plan was computed for — a
+    mismatched plan would silently produce corrupt output."""
+    pairs = [(np.asarray(bst.mask_block_cnt),
+              np.asarray(bst.mask_block_idx), "mask_block")]
+    if bst.full_block_cnt is not None:
+        pairs.append((np.asarray(bst.full_block_cnt),
+                      np.asarray(bst.full_block_idx), "full_block"))
+    for cnt, idx, name in pairs:
+        _check_plan_lists(cnt, idx, name, batch, num_heads, num_m, num_n,
+                          bst.block_size)
+
+
+def _check_plan_lists(cnt, idx, name, batch, num_heads, num_m, num_n,
+                      block_size):
+    for name, a in ((f"{name}_cnt", cnt), (f"{name}_idx", idx)):
+        assert a.shape[2] == num_m, (
+            f"block-sparse plan {name} covers {a.shape[2]} q-blocks but "
+            f"the call's seqlen_q needs {num_m} at tile_m="
+            f"{block_size[0]} — the plan was built for a different "
+            "seqlen_q or tile size")
+        assert batch % a.shape[0] == 0 and num_heads % a.shape[1] == 0, (
+            f"block-sparse plan {name} (b={a.shape[0]}, h={a.shape[1]}) "
+            f"does not broadcast to the call's (b={batch}, h={num_heads})")
+    valid = np.arange(idx.shape[3])[None, None, None, :] < cnt[..., None]
+    if valid.any():
+        mx = int(idx[valid].max())
+        assert mx < num_n, (
+            f"block-sparse plan references kv-block {mx} but the call's "
+            f"seqlen_k has only {num_n} kv-blocks at tile_n="
+            f"{block_size[1]} — the plan was built for a different "
+            "seqlen_k or tile size")
+
+
 def _dense_live(bst: BlockSparseTensors, num_m: int, num_n: int,
                 batch: int, num_heads: int):
     """(partial, full) dense bool (b, h, num_m, num_n) from packed lists."""
@@ -621,6 +658,7 @@ def flash_attention_blocksparse_fwd(
     bst = block_sparse.host()
     nm = cdiv(seqlen_q, tile_m)
     nn = cdiv(seqlen_k, tile_n)
+    _check_plan_grid(bst, batch, num_heads, nm, nn)
     partial, full = _dense_live(bst, nm, nn, batch, num_heads)
     row_tbl, n_tbl, flag_tbl = _build_worklist(
         partial, full, has_mod=mask_mod is not None,
@@ -985,6 +1023,7 @@ def flash_attention_blocksparse_bwd(
     bst = block_sparse.host()
     nm = cdiv(seqlen_q, tile_m)
     nn = cdiv(seqlen_k, tile_n)
+    _check_plan_grid(bst, batch, num_heads, nm, nn)
     partial, full = _dense_live(bst, nm, nn, batch, num_heads)
     bounds_m = _bounds_vectors(seqlen_q, tile_m, nm)
     bounds_n = _bounds_vectors(seqlen_k, tile_n, nn)

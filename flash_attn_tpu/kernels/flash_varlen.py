@@ -329,7 +329,12 @@ class VarlenPlan:
     the plan stays host-concrete even when the attention call is traced
     under jit — without a plan, a jitted call can only run the
     rectangular fallback worklist (traced metadata), re-planning per
-    trace. Build once per shape bucket, reuse across layers and steps.
+    trace. Build once per seqlen set, reuse across LAYERS freely; across
+    STEPS only while the per-sequence lengths are unchanged — chunked
+    prefill grows seqused_k every step, so rebuild per step. The plan
+    snapshots the seqlens it was built from and the consumer validates
+    them whenever the call's metadata is host-concrete (a traced call
+    cannot be checked — the plan is trusted there, which is its purpose).
     """
 
     block_q: int
@@ -343,6 +348,12 @@ class VarlenPlan:
     ktab: object   # numpy (n_steps,) int32 kv-block per step
     flags: object  # numpy (n_steps,) int32 _WL_* bits (+ page ids)
     n_steps: int
+    # Seqlen snapshot (numpy; None on legacy plans): the exact inputs the
+    # worklist was derived from, used for staleness validation.
+    cu_q: object = None
+    cu_k: object = None
+    used_q: object = None
+    used_k: object = None
 
     def with_pages(self, page_of_block) -> "VarlenPlan":
         """Fold physical page ids into the flags (paged-pool mode)."""
@@ -376,8 +387,11 @@ def make_varlen_plan(
     Runs ENTIRELY in numpy (make_varlen_metadata with xp=np), so it works
     even when invoked from inside a traced region as long as the seqlen
     arguments themselves are host-concrete; the returned plan is valid
-    inside jit for any tensors matching (total_q, total_k) and the
-    masking configuration it was built for.
+    inside jit ONLY for tensors matching (total_q, total_k), the masking
+    configuration, AND the exact per-sequence lengths it was built from
+    (the consumer validates the seqlen snapshot whenever the call's
+    metadata is host-concrete; a stale plan would silently skip visible
+    tiles, so never reuse one across steps that change seqused_k).
     """
 
     def host(x):
@@ -410,7 +424,47 @@ def make_varlen_plan(
         attention_chunk=int(attention_chunk),
         total_q=total_q, total_k=total_k,
         qtab=qtab, ktab=ktab, flags=flags, n_steps=n_steps,
+        cu_q=cu_q.astype(np.int64), cu_k=cu_k.astype(np.int64),
+        used_q=host(seqused_q), used_k=host(seqused_k),
     )
+
+
+def _check_plan_seqlens(plan, cu_q, cu_k, seqused_q, seqused_k):
+    """Reject a stale plan: per-sequence lengths are part of the worklist,
+    so a plan reused after seqused_k grew (e.g. across chunked-prefill
+    steps) would silently skip visible tiles. Only checkable when the
+    call's metadata is host-concrete; traced calls trust the plan (which
+    is the plan's whole purpose under jit). Legacy plans without a
+    snapshot (cu_q is None) are accepted unchecked."""
+    if plan.cu_q is None:
+        return
+
+    def host(x):
+        if x is None:
+            return None
+        try:
+            return np.asarray(jax.device_get(x), np.int64)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            return "traced"
+
+    for name, snap, call in (
+        ("cu_seqlens_q", plan.cu_q, host(cu_q)),
+        ("cu_seqlens_k", plan.cu_k, host(cu_k)),
+        ("seqused_q", plan.used_q, host(seqused_q)),
+        ("seqused_k", plan.used_k, host(seqused_k)),
+    ):
+        if isinstance(call, str) or (snap is None and call is None):
+            continue
+        if (snap is None) != (call is None) or not np.array_equal(
+            np.asarray(snap, np.int64), call
+        ):
+            raise AssertionError(
+                f"stale VarlenPlan: the call's {name} differs from the "
+                "lengths the plan was built from — rebuild the plan "
+                "(make_varlen_plan) whenever per-sequence lengths change "
+                "(chunked prefill changes seqused_k every step)"
+            )
 
 
 def _worklist_host(mn, mx, it, n_chains: int):
@@ -1257,6 +1311,9 @@ def flash_attention_varlen_fwd(
         assert plan.causal == causal and tuple(plan.window) == window and \
             plan.attention_chunk == attention_chunk, (
             "plan masking configuration differs from the call's")
+        _check_plan_seqlens(
+            plan, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k
+        )
         if paged:
             plan = plan.with_pages(kv_page_of_block)
         qtab = jnp.asarray(plan.qtab)

@@ -82,12 +82,18 @@ def get_scheduler_metadata(
     With host-concrete cu_seqlens_q + cache_seqlens and a page_size, this
     builds the actual worklist plan for the paged chunked-prefill path
     (the pages-per-sequence packed kv layout flash_attn_varlen_func
-    dispatches); otherwise it returns a validation-only record."""
-    del qkv_dtype, headdim_v, has_softcap, num_splits
+    dispatches); otherwise it returns a validation-only record. The plan
+    is only built when a route exists that consumes it — the in-kernel
+    block-table path needs page >= 512 and a >=2-byte pool (smaller pages
+    and quantized pools ride the gather route, which plans nothing) — so
+    per-step scheduling calls don't pay a host planning pass for
+    nothing."""
+    del headdim_v, has_softcap, num_splits
     plan = None
     if (
         cu_seqlens_q is not None and cache_seqlens is not None
-        and page_size
+        and page_size and int(page_size) >= 512
+        and jnp.dtype(qkv_dtype).itemsize >= 2
     ):
         import numpy as np
 
@@ -146,7 +152,8 @@ def flash_attn_varlen_func(
     # (npages, page, hk, d) convention; "hpd" = TPU-native head-major
     # (npages, hk, page, d); "hpd_fused" = fused K|V pool (v ignored,
     # runtime/kv_cache.py allocate_fused_paged_kv_cache) — head-major
-    # pools with page >= 256 get IN-KERNEL block-table reads (zero-copy)
+    # >=2-byte pools with page >= 512 get IN-KERNEL block-table reads
+    # (zero-copy); smaller pages and quantized pools ride the gather
     **kwargs,
 ):
     """vLLM's varlen entry (vllm_flash_attn/flash_attn_interface.py:136).
@@ -263,19 +270,12 @@ def flash_attn_varlen_func(
         except (jax.errors.ConcretizationTypeError,
                 jax.errors.TracerArrayConversionError):
             pages_np = None
-        if pages_np is not None:
-            pages_in_order = jnp.asarray(pages_np)
-        else:
-            pages_in_order = jnp.clip(
-                jnp.concatenate(
-                    [table[j, : pages_per_seq[j]] for j in range(nseq)]
-                ), 0, npages_pool - 1,
-            )
 
         if (
             kv_cache_layout in ("hpd", "hpd_fused")
             and page >= 512
             and not quant_pool
+            and alibi_slopes is None  # paged kernel: alibi rides gather
             and pages_np is not None
         ):
             # IN-KERNEL block-table reads (reference hopper/paged_kv.h:18
@@ -302,6 +302,16 @@ def flash_attn_varlen_func(
                 and sm.plan.block_kv == page
                 and sm.plan.total_q == total_q
                 and sm.plan.total_k == int(cu_k_pad[-1])
+                # A plan is only reusable for the EXACT per-sequence
+                # lengths it was built from — a stale one (seqused_k
+                # grew since get_scheduler_metadata) silently skips
+                # visible tiles, so mismatches re-plan here instead.
+                and sm.plan.cu_q is not None
+                and np.array_equal(
+                    np.asarray(sm.plan.cu_q, np.int64), cu_q_host)
+                and np.array_equal(
+                    np.asarray(sm.plan.used_k, np.int64),
+                    used_host.astype(np.int64))
             ):
                 # Plan built once by get_scheduler_metadata, reused
                 # across layers/steps — zero per-call planning.
@@ -326,9 +336,30 @@ def flash_attn_varlen_func(
             )
             return (out, lse) if return_softmax_lse else out
 
+        # Gather route: one XLA gather packs the used pages (the in-kernel
+        # branch above returns before this — pages_in_order is only built
+        # for callers that actually gather).
+        if pages_np is not None:
+            pages_in_order = jnp.asarray(pages_np)
+        else:
+            pages_in_order = jnp.clip(
+                jnp.concatenate(
+                    [table[j, : pages_per_seq[j]] for j in range(nseq)]
+                ), 0, npages_pool - 1,
+            )
         if kv_cache_layout == "phd":
             k_packed = k[pages_in_order].reshape(-1, hk, k.shape[3])
             v_packed = v[pages_in_order].reshape(-1, hk, v.shape[3])
+        elif kv_cache_layout == "hpd_fused":
+            # Fused K|V pool (npages, hk, page, Kpad+Vpad): K at
+            # [..., :d], V at [..., Kpad:Kpad+d] with each section padded
+            # to the 128-lane boundary (runtime/kv_cache.py
+            # allocate_fused_paged_kv_cache) — one gather, two slices.
+            kp = -(-head_dim // 128) * 128
+            kv_g = k[pages_in_order].transpose(0, 2, 1, 3)
+            k_packed = kv_g[..., :head_dim].reshape(-1, hk, head_dim)
+            v_packed = kv_g[..., kp:kp + head_dim].reshape(
+                -1, hk, head_dim)
         else:
             assert kv_cache_layout == "hpd", kv_cache_layout
             k_packed = k[pages_in_order].transpose(0, 2, 1, 3).reshape(

@@ -427,3 +427,65 @@ def test_blocksparse_without_mod_is_blockmask():
 
     want = flash_attn_func(q, k, v, mask_mod=block_mask_mod, block_sizes=BS)
     _assert_match(got, want)
+
+
+def test_blocksparse_plan_grid_mismatch_rejected():
+    """A plan built for one (seqlen, tile) grid must be rejected on a
+    call with a different grid — the worklist row decode would otherwise
+    silently produce corrupt output (round-5 hardening)."""
+    def causal_mod(b, h, q_idx, kv_idx):
+        return kv_idx <= q_idx
+
+    bst = compute_block_sparsity(
+        causal_mod, batch_size=B, num_heads=H, seqlen_q=S, seqlen_k=S,
+        tile_m=TILE, tile_n=TILE,
+    )
+    q, k, v = qkv()
+    q_short = q[:, : S // 2]
+    with pytest.raises(AssertionError, match="different"):
+        flash_attn_func(
+            q_short, k, v, mask_mod=causal_mod,
+            block_sparse_tensors=bst, block_sizes=BS)
+    k_short, v_short = k[:, : S // 2], v[:, : S // 2]
+    with pytest.raises(AssertionError, match="different"):
+        flash_attn_func(
+            q, k_short, v_short, mask_mod=causal_mod,
+            block_sparse_tensors=bst, block_sizes=BS)
+
+
+def test_blocksparse_varlen_lse_trimmed_rows_neg_inf():
+    """seqused_q-trimmed rows must read lse=-inf (zero mass), matching
+    the varlen kernel's contract, so logsumexp-weighted combines stay
+    correct (round-5 fix: the scatter initializer was 0.0)."""
+    from flash_attn_tpu import (
+        compute_block_sparsity_varlen,
+        flash_attn_varlen_func,
+    )
+
+    lens = [200, 380, 120]
+    used_q = np.asarray([150, 380, 96])
+    total = sum(lens)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (total, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, H, D), jnp.bfloat16)
+
+    def causal_mod(b, h, q_idx, kv_idx):
+        return kv_idx <= q_idx
+
+    bst, _, _ = compute_block_sparsity_varlen(
+        causal_mod, cu_seqlens_q=cu, cu_seqlens_k=cu, num_heads=H,
+        tile_m=TILE, tile_n=TILE,
+    )
+    out, lse, _ = flash_attn_varlen_func(
+        q, k, v, cu, cu, mask_mod=causal_mod, block_sparse_tensors=bst,
+        seqused_q=jnp.asarray(used_q, jnp.int32), return_attn_probs=True)
+    lse = np.asarray(lse, np.float32)  # (h, total_q)
+    cu_np = np.asarray(cu)
+    for i, (lo, hi) in enumerate(zip(cu_np[:-1], cu_np[1:])):
+        kept = lse[:, lo : lo + used_q[i]]
+        trimmed = lse[:, lo + used_q[i] : hi]
+        assert np.isfinite(kept).all(), i
+        if trimmed.size:
+            assert np.isneginf(trimmed).all(), i

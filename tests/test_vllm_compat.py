@@ -487,3 +487,137 @@ def test_varlen_plan_main_interface():
     with pytest.raises(AssertionError):
         main_varlen(q, k, v, cu, cu, causal=False,
                     block_q=512, block_kv=512, plan=plan)
+
+
+def test_paged_prefill_fused_pool_gather_fallback():
+    """hpd_fused pools the in-kernel gate rejects (small pages; quantized
+    pools — the ENGINE-DEFAULT quant layout) must ride the gather route
+    with the fused pool split into its K|V sections, not crash."""
+    # page=128 < the 512 in-kernel threshold -> gather, bf16 fused pool.
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged(page=128, npages=16)
+    ref = flash_attn_varlen_func(
+        q, k_phd, v_phd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt)
+    k_hpd = k_phd.transpose(0, 2, 1, 3)
+    v_hpd = v_phd.transpose(0, 2, 1, 3)
+    kv_fused = jnp.concatenate([k_hpd, v_hpd], axis=-1)
+    got = flash_attn_varlen_func(
+        q, kv_fused, None, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd_fused")
+    err = jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)).max()
+    assert err <= 5e-3, float(err)
+
+    # Quantized fused pool at page=512: in-kernel gate rejects 1-byte
+    # pools -> gather + upcast/descale on the sliced sections.
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged(page=512)
+    ref = flash_attn_varlen_func(
+        q, k_phd, v_phd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt)
+    scale = 0.04
+    kv_fused = jnp.concatenate(
+        [k_phd.transpose(0, 2, 1, 3), v_phd.transpose(0, 2, 1, 3)],
+        axis=-1)
+    kv_q = jnp.clip(jnp.round(
+        kv_fused.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    hk = k_phd.shape[2]
+    sc = jnp.full((hk,), scale, jnp.float32)
+    got_q = flash_attn_varlen_func(
+        q, kv_q, None, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd_fused", k_descale=sc, v_descale=sc)
+    err_q = jnp.abs(
+        ref.astype(jnp.float32) - got_q.astype(jnp.float32)).max()
+    assert err_q <= 0.12, float(err_q)
+
+
+def test_paged_prefill_alibi_routes_to_gather():
+    """ALiBi serving calls on head-major page>=512 pools must route to the
+    gather path (the in-kernel paged kernel asserts alibi away) and match
+    the phd-layout gather result."""
+    q, k_phd, v_phd, cu_q, seqused, bt = _mk_paged()
+    h = q.shape[1]
+    slopes = jnp.asarray(
+        [2.0 ** (-(i + 1)) for i in range(h)], jnp.float32)
+    ref = flash_attn_varlen_func(
+        q, k_phd, v_phd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        alibi_slopes=slopes)
+    got = flash_attn_varlen_func(
+        q, k_phd.transpose(0, 2, 1, 3), v_phd.transpose(0, 2, 1, 3),
+        max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd", alibi_slopes=slopes)
+    err = jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)).max()
+    assert err <= 5e-3, float(err)
+
+
+def test_stale_plan_rejected_and_metadata_replans():
+    """A VarlenPlan is only valid for the exact per-sequence lengths it
+    was built from: stale reuse is a silent-wrong-output hazard, so the
+    kernel rejects it loudly, and the vllm route re-plans instead of
+    reusing a stale scheduler_metadata plan."""
+    from flash_attn_tpu import flash_attn_varlen_func as main_varlen
+    from flash_attn_tpu import make_varlen_plan
+
+    lens = [200, 380, 120]
+    total = sum(lens)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    # Same totals, different per-sequence split -> must be rejected.
+    lens2 = [300, 280, 120]
+    cu2 = jnp.asarray(np.concatenate([[0], np.cumsum(lens2)]), jnp.int32)
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    H, D = 4, 64
+    q = jax.random.normal(ks[0], (total, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, H, D), jnp.bfloat16)
+    plan = make_varlen_plan(cu, cu, block_q=512, block_kv=512, causal=True)
+    with pytest.raises(AssertionError, match="stale"):
+        main_varlen(q, k, v, cu2, cu2, causal=True,
+                    block_q=512, block_kv=512, plan=plan)
+
+    # Serving surface: scheduler_metadata built for SHORTER lengths (a
+    # previous chunked-prefill step) with identical page counts/totals
+    # silently re-plans — output must match the plan-free call.
+    page = 512
+    qp, k_phd, v_phd, cu_q, seqused, bt = _mk_paged(page=page)
+    k_hpd = k_phd.transpose(0, 2, 1, 3)
+    v_hpd = v_phd.transpose(0, 2, 1, 3)
+    stale_used = seqused - 16  # same pages-per-seq, earlier step
+    sm = get_scheduler_metadata(
+        batch_size=2, max_seqlen_q=1024, max_seqlen_k=1024,
+        num_heads_q=4, num_heads_kv=2, headdim=128,
+        cache_seqlens=stale_used, cu_seqlens_q=cu_q, causal=True,
+        page_size=page,
+    )
+    assert sm.plan is not None
+    base = flash_attn_varlen_func(
+        qp, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd")
+    got = flash_attn_varlen_func(
+        qp, k_hpd, v_hpd, max_seqlen_q=1024, cu_seqlens_q=cu_q,
+        seqused_k=seqused, causal=True, block_table=bt,
+        kv_cache_layout="hpd", scheduler_metadata=sm)
+    assert jnp.array_equal(base, got)
+
+
+def test_scheduler_metadata_skips_unconsumable_plans():
+    """No host planning pass when no route can consume the plan (small
+    pages and quantized pools ride the gather route)."""
+    _, _, _, cu_q, seqused, _ = _mk_paged(page=128, npages=16)
+    sm = get_scheduler_metadata(
+        batch_size=2, max_seqlen_q=1024, max_seqlen_k=1024,
+        num_heads_q=4, num_heads_kv=2, headdim=128,
+        cache_seqlens=seqused, cu_seqlens_q=cu_q, causal=True,
+        page_size=128,
+    )
+    assert sm.plan is None
+    _, _, _, cu_q, seqused, _ = _mk_paged(page=512)
+    sm = get_scheduler_metadata(
+        batch_size=2, max_seqlen_q=1024, max_seqlen_k=1024,
+        num_heads_q=4, num_heads_kv=2, headdim=128,
+        cache_seqlens=seqused, cu_seqlens_q=cu_q, causal=True,
+        page_size=512, qkv_dtype=jnp.int8,
+    )
+    assert sm.plan is None
